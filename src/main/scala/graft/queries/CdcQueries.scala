@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.cdc.ChangeEvents
+import graft.functions.ExtJson.ext_json_canonical
+
+/** The reference's CDC semantics (SURVEY.md §2.1 R1–R9) re-expressed as
+  * relational ops over the `events` fixture, which stands in for the change
+  * stream (`event_type`↔`operationType`, `user_id`↔`documentKey`,
+  * `props`↔`fullDocument` — FIXTURES.md §2).
+  *
+  * Every query ends in a total-order ORDER BY so the DuckDB oracle
+  * hash-compare is deterministic (SURVEY.md §7.6). All are narrow or
+  * single-shuffle plans: filters/projections push into the parquet scan;
+  * the only shuffles are the window partitionBy in `cdc_latest_state` and
+  * the final global sorts (which at cluster scale are range-partition
+  * sorts, not single-node).
+  */
+object CdcQueries extends QueryPack {
+
+  /** The event-analog of the document-op whitelist (reference panics on the
+    * rest — main.go:111-116; `error` plays the role of `invalidate`).
+    */
+  private val opWhitelist = Seq("click", "purchase", "signup", "view")
+
+  override val queries: Seq[Q] = Seq(
+
+    // R5 (main.go:113): dynamic content-based topic routing "{db}.{coll}".
+    Q("cdc_route",
+      (s, dir) => t(s, dir, "events")
+        .select(
+          col("event_id"),
+          ChangeEvents.topicColumn(lit("db"), col("event_type")).as("topic"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, 'db' || '.' || event_type AS topic
+              FROM events ORDER BY event_id""")),
+
+    // R7 (main.go:123-131): Kafka-Connect key envelope, byte-exact.
+    Q("cdc_key_envelope",
+      (s, dir) => t(s, dir, "events")
+        .select(
+          col("event_id"),
+          ChangeEvents.connectKeyEnvelope(col("user_id").cast("string")).as("key"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     '{"schema":{"type":"string","optional":false},"payload":"'
+                       || CAST(user_id AS VARCHAR) || '"}' AS key
+              FROM events ORDER BY event_id""")),
+
+    // §2.2: keep only document ops; invalidate-analogs dead-letter.
+    Q("cdc_op_filter",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("event_type").isin(opWhitelist: _*))
+        .select("event_id", "event_type")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, event_type FROM events
+              WHERE event_type IN ('click','purchase','signup','view')
+              ORDER BY event_id""")),
+
+    // R4 (main.go:111-116): schema-on-read field extraction from the
+    // dynamic JSON payload (the reference's bson.M access).
+    Q("cdc_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events ORDER BY event_id""")),
+
+    // R8 (main.go:138): canonical ExtJSON value rendering via the native
+    // ExtJsonCanonical expression; DuckDB oracle assembles the same bytes
+    // independently by string concat.
+    Q("cdc_value_extjson",
+      (s, dir) => t(s, dir, "events")
+        .select(
+          col("event_id"),
+          ext_json_canonical(struct(
+            col("event_id"),
+            col("user_id"),
+            col("event_type").as("op"))).as("value"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     '{"event_id":{"$numberLong":"' || event_id
+                       || '"},"user_id":{"$numberLong":"' || user_id
+                       || '"},"op":"' || event_type || '"}' AS value
+              FROM events ORDER BY event_id""")),
+
+    // §2.2 delivery semantics: replay compensation — dedup by key.
+    Q("cdc_dedup",
+      (s, dir) => t(s, dir, "events")
+        .select("user_id", "event_type").distinct()
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+              ORDER BY user_id, event_type""")),
+
+    // Materialized latest state per key (UpdateLookup post-image view,
+    // main.go:92): last event wins, deterministic tie-break on event_id.
+    Q("cdc_latest_state",
+      (s, dir) => ChangeEvents.latestState(
+          t(s, dir, "events"),
+          keyCols = Seq("user_id"),
+          orderDesc = Seq(col("ts"), col("event_id")))
+        .select(
+          col("user_id"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          round(col("value"), 2).as("last_value"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, event_id AS last_event_id,
+                     event_type AS last_type, round(value, 2) AS last_value
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events)
+              WHERE rn = 1 ORDER BY user_id""")),
+
+    // R2/R4: projection + predicate, pushed into the parquet scan.
+    Q("proj_filter",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("value") > 10 && col("event_type") =!= "error")
+        .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, event_type, round(value, 2) AS value
+              FROM events WHERE value > 10 AND event_type <> 'error'
+              ORDER BY event_id""")))
+}
