@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Classic relational coverage over the TPC-H-ish fixtures (SURVEY.md §2.3:
+  * every category the reference lacks, provided via stock Catalyst — joins
+  * incl. semi/anti/broadcast, hash aggregation with partial/final phases,
+  * grouping sets, window functions, top-k, set ops, event-time windows,
+  * sessionization).
+  *
+  * Scale notes per query are inline; the common themes:
+  *  - joins on the natural keys shuffle both sides once; dimension joins
+  *    (`nation`⋈`region`, anything ⋈ `customer` at small SF) are explicitly
+  *    `broadcast()` so 100 TB fact tables never shuffle for a 25-row dim;
+  *  - aggregations rely on Spark's automatic partial (map-side) agg, so
+  *    the shuffle carries one row per (partition × group), not per input
+  *    row;
+  *  - global ORDER BY on the result is a range-partition sort over the
+  *    (small) aggregated output, not over base data;
+  *  - top-k goes through `orderBy().limit(k)` which Spark plans as
+  *    `TakeOrderedAndProject` — per-partition heaps + driver merge of k
+  *    rows, never a full sort.
+  */
+object RelationalQueries extends QueryPack {
+
+  override val queries: Seq[Q] = Seq(
+
+    // Fact⋈fact equi join (shuffle hash / SMJ picked by AQE) + hash agg.
+    Q("join_inner",
+      (s, dir) => t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"), "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+                     round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                     count(*) AS n_items
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Left-semi (EXISTS): customer is the small side → broadcast, so the
+    // orders fact never shuffles.
+    Q("join_semi",
+      (s, dir) => t(s, dir, "orders")
+        .join(
+          broadcast(t(s, dir, "customer")
+            .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey FROM orders
+              WHERE EXISTS (SELECT 1 FROM customer
+                            WHERE c_custkey = o_custkey
+                              AND c_mktsegment = 'BUILDING')
+              ORDER BY o_orderkey""")),
+
+    // Left-anti (NOT EXISTS): customers that never ordered.
+    Q("join_anti",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey""")),
+
+    // Dim⋈dim broadcast join (BroadcastHashJoin, zero shuffle).
+    Q("join_broadcast",
+      (s, dir) => t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name"), col("r_name"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, r_name FROM nation
+              JOIN region ON n_regionkey = r_regionkey
+              ORDER BY n_name""")),
+
+    // TPC-H Q1 shape: partial+final hash agg; filter pushed to the scan.
+    Q("agg_hash",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     round(sum(l_extendedprice), 2) AS sum_base_price,
+                     round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+                     round(avg(l_quantity), 4) AS avg_qty,
+                     round(avg(l_discount), 4) AS avg_disc,
+                     count(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    // Exact distinct: Spark expands to a two-phase agg (distinct on the
+    // shuffle key first, then count) — no driver-side set.
+    Q("agg_distinct",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+                     count(*) AS n_events
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Approx distinct (HLL++): sketch mergeable across 1000 executors;
+    // not SQL-oracle-able bit-for-bit → rows-only check, plus a ScalaTest
+    // asserting the estimate is within HLL error of the exact count.
+    Q("agg_approx_distinct",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type"),
+      None),
+
+    // Grouping sets via ROLLUP; group keys coalesced so the oracle's sort
+    // order is NULL-free and total.
+    Q("agg_rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+             count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                     coalesce(l_linestatus, 'ALL') AS ls,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     count(*) AS n
+              FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              ORDER BY rf, ls""")),
+
+    // Full CUBE over the same keys.
+    Q("agg_cube",
+      (s, dir) => t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                     coalesce(l_linestatus, 'ALL') AS ls,
+                     round(sum(l_quantity), 2) AS sum_qty
+              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              ORDER BY rf, ls""")),
+
+    // Ranking window: top-3 orders per customer, deterministic tie-break
+    // on o_orderkey. One shuffle on the partition key.
+    Q("win_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("price"))
+          .orderBy("o_custkey", "rk")
+      },
+      Some("""SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS price
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                    FROM orders)
+              WHERE rk <= 3 ORDER BY o_custkey, rk""")),
+
+    // Running-total window: cumulative revenue per supplier in a total
+    // frame order, so both engines fold doubles in the same sequence.
+    Q("win_running",
+      (s, dir) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // (l_orderkey, l_linenumber) is NOT unique in this fixture — the
+        // shipdate must stay in the output sort for a total order.
+        t(s, dir, "lineitem")
+          .withColumn("running_qty", round(sum("l_quantity").over(w), 2))
+          .select(col("l_suppkey"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+            col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+          .orderBy("l_suppkey", "ship_day", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+                     l_orderkey, l_linenumber,
+                     round(sum(l_quantity) OVER
+                       (PARTITION BY l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                       AS running_qty
+              FROM lineitem
+              ORDER BY l_suppkey, ship_day, l_orderkey, l_linenumber""")),
+
+    // Global top-k: Spark plans TakeOrderedAndProject (per-partition heap
+    // of k + driver merge), never a full sort — the plan that survives
+    // 100 TB.
+    Q("sort_topk",
+      (s, dir) => t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price")),
+      Some("""SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+              FROM lineitem
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+              LIMIT 100""")),
+
+    // Set ops: UNION (dedup), EXCEPT, INTERSECT — all become hash
+    // aggregations/joins on the key in both engines.
+    Q("set_union",
+      (s, dir) => t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
+        .union(t(s, dir, "customer")
+          .filter(col("c_acctbal") < 0).select(col("c_custkey").as("custkey")))
+        .distinct()
+        .orderBy("custkey"),
+      Some("""SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION
+              SELECT c_custkey FROM customer WHERE c_acctbal < 0
+              ORDER BY custkey""")),
+
+    Q("set_except",
+      (s, dir) => t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
+        .orderBy("custkey"),
+      Some("""SELECT c_custkey AS custkey FROM customer
+              EXCEPT
+              SELECT o_custkey FROM orders
+              ORDER BY custkey""")),
+
+    Q("set_intersect",
+      (s, dir) => t(s, dir, "customer")
+        .filter(col("c_acctbal") > 1000).select(col("c_custkey").as("custkey"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
+        .orderBy("custkey"),
+      Some("""SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 1000
+              INTERSECT
+              SELECT o_custkey FROM orders
+              ORDER BY custkey""")),
+
+    // Tumbling event-time window (batch analog of the streaming window;
+    // the streaming twin lives in graft.streaming). Bucket rendered as a
+    // string so µs/ns timestamp encodings can't skew the compare.
+    Q("ts_tumble",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                     event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+              FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // Sessionization: 30-min-gap sessions per user via lag + cumulative
+    // sum — one shuffle on user_id, then narrow window arithmetic.
+    Q("ts_session",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("prev_ts", lag("ts", 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("double") - col("prev_ts").cast("double") > 1800d, 1)
+              .otherwise(0))
+          .withColumn("sess_id", sum("new_sess").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id")
+          .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+              FROM (SELECT user_id,
+                           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+                    FROM (SELECT user_id, ts, event_id,
+                                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                                        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                                      THEN 1 ELSE 0 END AS new_sess
+                          FROM events))
+              GROUP BY user_id ORDER BY user_id""")))
+}
