@@ -1,0 +1,138 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosine_similarity
+import graft.text.TextFunctions
+
+/** Document deduplication operators for training-data pipelines, each in
+  * its 100 TB-shaped form:
+  *
+  *  - [[exactDedup]]       — hash-groupBy on a content fingerprint: one
+  *    shuffle on the hash, output one representative per group.
+  *  - [[jaccardPairs]]     — shingle-inverted-index self-join: explode
+  *    distinct shingles, shuffle on the *shingle* (never doc×doc), count
+  *    common shingles per pair, exact Jaccard. The classic
+  *    "index-then-verify" shape; at scale, hot shingles are the skew risk
+  *    (AQE skew-join splits them; [[minHashCandidates]] is the cheaper
+  *    path when pair verification is too expensive).
+  *  - [[minHashSignatures]] / [[minHashCandidates]] — MinHash + LSH
+  *    banding: k independent permutations approximated by salted hashes,
+  *    signatures reduced in ONE aggregation over the exploded shingles
+  *    (k `min` aggregates — no k-fold data blowup), then pairs that share
+  *    a band bucket. Candidate generation cost is linear in docs × bands.
+  *  - [[simHash]]          — 32-bit SimHash per doc: token-hash bit votes,
+  *    one aggregation, constant state per doc; near-dup = small Hamming
+  *    distance ([[simHashPairs]]).
+  *  - [[embeddingPairs]]   — cosine near-dup over embedding vectors
+  *    (brute-force verify form; candidate pruning at scale comes from
+  *    [[graft.similarity.Similarity]]'s IVF routing).
+  *
+  * All hashes are md5-derived so independent engines (the DuckDB oracle)
+  * can reproduce them exactly.
+  */
+object Dedup {
+
+  /** One representative (min id) per exact-content group. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exploded (id, shingle) inverted index over distinct word n-grams. */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      explode(TextFunctions.shingles(
+        TextFunctions.tokens(TextFunctions.normalize(col(textCol))), n)).as("shingle"))
+
+  /** Exact n-gram Jaccard similarity for every pair above `minJaccard`. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n).cache()
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = idx.as("a").join(idx.as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** The i-th MinHash "permutation": lexicographic-min of a salted md5.
+    * String min ≡ min over a uniform hash of the shingle universe, and is
+    * reproducible in any engine with md5.
+    */
+  private def saltedHash(i: Int): Column = md5(concat(lit(s"$i:"), col("shingle")))
+
+  /** k-wide MinHash signature per doc in a single aggregation. */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n)
+    idx.groupBy("doc_id")
+      .agg(min(saltedHash(0)).as("mh0"),
+        (1 until k).map(i => min(saltedHash(i)).as(s"mh$i")): _*)
+  }
+
+  /** LSH banding: docs sharing any band bucket are candidate pairs.
+    * `k` signatures split into `bands` bands of `k/bands` rows each.
+    */
+  def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val rows = k / bands
+    val sigs = minHashSignatures(docs, idCol, textCol, n, k)
+    val bandKey = (b: Int) =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as("bkey"))
+    val buckets = sigs.select(col("doc_id"),
+      explode(array((0 until bands).map(bandKey): _*)).as("bk"))
+    buckets.as("a").join(buckets.as("b"), Seq("bk"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** 32-bit frequency-weighted SimHash per document. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(TextFunctions.normalize(col(textCol)))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("vote",
+        when(expr("(h >> b) % 2") === 1, lit(1)).otherwise(lit(-1)))
+      .groupBy("doc_id", "b")
+      .agg(sum("vote").as("votes"))
+      .withColumn("bit", when(col("votes") > 0, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(sum(expr("bit << b")).as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`. */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sh = simHash(docs, idCol, textCol)
+    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", bit_count(expr("a.simhash ^ b.simhash")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs above `minCos` (brute-force verify). */
+  def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
+      minCos: Double): DataFrame =
+    embs.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+      .join(embs.select(col(idCol).as("b_id"), col(vecCol).as("b_vec")),
+        col("a_id") < col("b_id"))
+      .withColumn("cos", cosine_similarity(col("a_vec"), col("b_vec")))
+      .filter(col("cos") >= minCos)
+      .select("a_id", "b_id", "cos")
+}

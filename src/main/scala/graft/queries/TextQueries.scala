@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextFunctions
+
+/** Text-analysis + document-dedup capabilities over the `documents`
+  * fixture (the north-star LLM-pipeline operators). Each query drives the
+  * corresponding library operator ([[graft.text.TextFunctions]],
+  * [[graft.dedup.Dedup]]) and is mirrored in DuckDB SQL — including the
+  * MinHash/SimHash bit arithmetic, which both engines derive from md5 so
+  * the hashes agree bit-for-bit.
+  */
+object TextQueries extends QueryPack {
+
+  override val queries: Seq[Q] = Seq(
+
+    // Tokenize → explode → frequency. The shuffle carries (token, count)
+    // partials (map-side combine), not raw tokens.
+    Q("text_tokens",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100),
+      Some("""SELECT token, count(*) AS cnt
+              FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+                    FROM documents)
+              GROUP BY token ORDER BY cnt DESC, token LIMIT 100""")),
+
+    // Per-doc quality metrics: narrow, zero-shuffle, codegen'd.
+    Q("text_quality",
+      (s, dir) => {
+        val toks = TextFunctions.tokens(col("text"))
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(toks).as("n_tokens"),
+            size(array_distinct(toks)).as("n_uniq"),
+            round(TextFunctions.avgTokenLength(col("text"), toks), 4).as("avg_tok_len"),
+            round(TextFunctions.stopwordRatio(toks), 4).as("stop_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     len(list_distinct(string_split(text, ' '))) AS n_uniq,
+                     round(length(replace(text, ' ', ''))::DOUBLE
+                           / greatest(len(string_split(text, ' ')), 1), 4) AS avg_tok_len,
+                     round(len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the','a','an','of','and','to','in','is','it','for')))::DOUBLE
+                           / greatest(len(string_split(text, ' ')), 1), 4) AS stop_ratio
+              FROM documents ORDER BY doc_id""")),
+
+    // Language-ID heuristic (script range + marker stopwords).
+    Q("text_langid",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.langId(col("text"), TextFunctions.tokens(col("text"))).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                          WHEN len(list_intersect(string_split(text,' '),
+                                ['der','die','das','und','nicht'])) > 0 THEN 'de'
+                          WHEN len(list_intersect(string_split(text,' '),
+                                ['el','los','las','una','es'])) > 0 THEN 'es'
+                          WHEN len(list_intersect(string_split(text,' '),
+                                ['le','les','une','est','et'])) > 0 THEN 'fr'
+                          ELSE 'en' END AS lang_pred
+              FROM documents ORDER BY doc_id""")),
+
+    // Content fingerprint (md5 of normalized text).
+    Q("text_fingerprint",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+              FROM documents ORDER BY doc_id""")),
+
+    // BPE-ish token counting (alnum runs + single punctuation marks).
+    Q("text_token_count",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpe
+              FROM documents ORDER BY doc_id""")),
+
+    // Exact dedup: one representative per content-hash group.
+    Q("doc_dedup_exact",
+      (s, dir) => Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+              FROM documents
+              GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+              ORDER BY keep_id""")),
+
+    // Exact 3-gram Jaccard near-dup pairs via the shingle inverted index.
+    Q("doc_dedup_ngram",
+      (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, minJaccard = 0.8)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a_id", "b_id"),
+      Some("""WITH sh AS (
+                SELECT doc_id,
+                       list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      for i in range(1, len(t) - 1)]) AS s
+                FROM (SELECT doc_id,
+                             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+                      FROM documents)),
+              pairs AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       len(list_intersect(a.s, b.s)) AS c,
+                       len(a.s) AS na, len(b.s) AS nb
+                FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+              SELECT a_id, b_id,
+                     round(c::DOUBLE / (na + nb - c), 4) AS jaccard
+              FROM pairs
+              WHERE c::DOUBLE / (na + nb - c) >= 0.8
+              ORDER BY a_id, b_id""")),
+
+    // MinHash(16) + LSH(4 bands × 4 rows) candidate pairs.
+    Q("doc_dedup_minhash",
+      (s, dir) => Dedup.minHashCandidates(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 16, bands = 4)
+        .orderBy("a_id", "b_id"),
+      Some("""WITH sh AS (
+                SELECT doc_id, unnest(
+                  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 for i in range(1, len(t) - 1)])) AS shingle
+                FROM (SELECT doc_id,
+                             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+                      FROM documents)),
+              sig AS (
+                SELECT doc_id,
+                       min(md5('0:' || shingle)) AS mh0,  min(md5('1:' || shingle)) AS mh1,
+                       min(md5('2:' || shingle)) AS mh2,  min(md5('3:' || shingle)) AS mh3,
+                       min(md5('4:' || shingle)) AS mh4,  min(md5('5:' || shingle)) AS mh5,
+                       min(md5('6:' || shingle)) AS mh6,  min(md5('7:' || shingle)) AS mh7,
+                       min(md5('8:' || shingle)) AS mh8,  min(md5('9:' || shingle)) AS mh9,
+                       min(md5('10:' || shingle)) AS mh10, min(md5('11:' || shingle)) AS mh11,
+                       min(md5('12:' || shingle)) AS mh12, min(md5('13:' || shingle)) AS mh13,
+                       min(md5('14:' || shingle)) AS mh14, min(md5('15:' || shingle)) AS mh15
+                FROM sh GROUP BY doc_id),
+              buckets AS (
+                SELECT doc_id, band,
+                       CASE band
+                         WHEN 0 THEN md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3)
+                         WHEN 1 THEN md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7)
+                         WHEN 2 THEN md5(mh8 || '|' || mh9 || '|' || mh10 || '|' || mh11)
+                         ELSE md5(mh12 || '|' || mh13 || '|' || mh14 || '|' || mh15)
+                       END AS bkey
+                FROM sig, (SELECT unnest([0,1,2,3]) AS band))
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM buckets a JOIN buckets b
+                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+              ORDER BY a_id, b_id""")),
+
+    // 32-bit SimHash per document (frequency-weighted bit votes).
+    Q("doc_dedup_simhash",
+      (s, dir) => Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+                SELECT doc_id, unnest(
+                  string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+                FROM documents),
+              bits AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h,
+                       unnest(range(0, 32)) AS b
+                FROM tok),
+              votes AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS votes
+                FROM bits GROUP BY doc_id, b)
+              SELECT doc_id,
+                     sum(CASE WHEN votes > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
+              FROM votes GROUP BY doc_id ORDER BY doc_id""")))
+}

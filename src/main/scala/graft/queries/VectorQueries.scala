@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** Similarity search over the `embeddings` fixture (dim-64 float vectors):
+  * brute-force cosine kNN (the exact baseline), IVF-routed kNN (the scale
+  * path), and embedding-cosine near-dup pairs. The DuckDB oracle mirrors
+  * the arithmetic with `list_dot_product` — both engines widen float→double
+  * and accumulate in array order, so similarities agree bit-for-bit
+  * (rounded to 6 decimals for belt-and-braces).
+  */
+object VectorQueries extends QueryPack {
+
+  /** The probe used by the kNN queries (any fixed corpus row works). */
+  private val ProbeId = 42
+
+  private def probeSql(alias: String): String =
+    s"(SELECT embedding AS pv FROM embeddings WHERE vec_id = $ProbeId) $alias"
+
+  override val queries: Seq[Q] = Seq(
+
+    // Exact top-10 cosine neighbors of one probe vector: one corpus pass,
+    // codegen'd cosine, TakeOrderedAndProject top-k — zero shuffle.
+    Q("vec_knn",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val probe = embs.filter(col("vec_id") === ProbeId)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val probeCol = typedLit(probe)
+        Similarity.bruteForceKnn(embs, "vec_id", "embedding", probeCol, 10)
+          .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+      },
+      Some(s"""SELECT vec_id,
+                      round(list_dot_product(embedding, pv)
+                            / (sqrt(list_dot_product(embedding, embedding))
+                               * sqrt(list_dot_product(pv, pv))), 6) AS sim
+               FROM embeddings, ${probeSql("p")}
+               ORDER BY list_dot_product(embedding, pv)
+                        / (sqrt(list_dot_product(embedding, embedding))
+                           * sqrt(list_dot_product(pv, pv))) DESC, vec_id
+               LIMIT 10""")),
+
+    // IVF path: centroids = first 8 corpus vectors; every vector routes to
+    // its argmax-cosine centroid; the probe scans only its centroid's
+    // bucket. At 100 TB the corpus is written PARTITIONED BY centroid_id
+    // and this becomes partition pruning.
+    Q("vec_knn_ivf",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val centroids = embs.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val probe = embs.filter(col("vec_id") === ProbeId)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val probeCol = typedLit(probe)
+        val assigned = Similarity.assignToCentroids(
+          embs, "vec_id", "embedding", centroids, "cid", "cvec")
+        Similarity.ivfKnn(assigned, "vec_id", "embedding",
+            centroids, "cid", "cvec", probeCol, 5)
+          .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+      },
+      Some(s"""WITH cents AS (
+                 SELECT vec_id AS cid, embedding AS cvec
+                 FROM embeddings WHERE vec_id < 8),
+               assigned AS (
+                 SELECT vec_id, embedding, cid FROM (
+                   SELECT e.vec_id, e.embedding, c.cid,
+                          row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_dot_product(e.embedding, c.cvec)
+                                     / (sqrt(list_dot_product(e.embedding, e.embedding))
+                                        * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                                     c.cid) AS rn
+                   FROM embeddings e, cents c)
+                 WHERE rn = 1),
+               probe_cent AS (
+                 SELECT cid FROM cents, ${probeSql("p")}
+                 ORDER BY list_dot_product(cvec, pv)
+                          / (sqrt(list_dot_product(cvec, cvec))
+                             * sqrt(list_dot_product(pv, pv))) DESC, cid
+                 LIMIT 1)
+               SELECT a.vec_id,
+                      round(list_dot_product(a.embedding, pv)
+                            / (sqrt(list_dot_product(a.embedding, a.embedding))
+                               * sqrt(list_dot_product(pv, pv))), 6) AS sim
+               FROM assigned a, probe_cent pc, ${probeSql("p")}
+               WHERE a.cid = pc.cid
+               ORDER BY list_dot_product(a.embedding, pv)
+                        / (sqrt(list_dot_product(a.embedding, a.embedding))
+                           * sqrt(list_dot_product(pv, pv))) DESC, a.vec_id
+               LIMIT 5""")),
+
+    // Embedding-cosine near-dup pairs (brute-force verify form).
+    Q("vec_near_dup",
+      (s, dir) => Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          minCos = 0.45)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("a_id", "b_id"),
+      Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     round(list_dot_product(a.embedding, b.embedding)
+                           / (sqrt(list_dot_product(a.embedding, a.embedding))
+                              * sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cos
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+                AND list_dot_product(a.embedding, b.embedding)
+                    / (sqrt(list_dot_product(a.embedding, a.embedding))
+                       * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.45
+              ORDER BY a_id, b_id""")))
+}
