@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.cdc.ChangeEvents
+
+/** The reference relay (`/root/reference/main.go`) as a Structured
+  * Streaming pipeline. The transforms are the *same* batch functions from
+  * [[graft.cdc.ChangeEvents]] — shared batch/stream code is the point of
+  * Structured Streaming; only source/sink/state wiring lives here.
+  *
+  * Dataflow = R1…R13 of SURVEY.md §2.1:
+  *   readStream (change-event JSON)            — R1 `Watch`, main.go:90-99
+  *   → parseEnvelope (PERMISSIVE, drop bad)    — R3 decode-skip, main.go:104-108
+  *   → opFilter / deadLetter split             — §2.2 (reference panics)
+  *   → relay: topic/key/value                  — R4-R8, main.go:111-142
+  *   → keyed sink, checkpointed                — R9 produce + R12 flush
+  *
+  * Intentional improvements over the reference (SURVEY.md §7.5), all
+  * checkpoint-based: resumable offsets (the reference loses events across
+  * restarts — no resume token persisted, main.go:91-93), dead-letter
+  * instead of crash/drop, and executor-parallel transforms instead of one
+  * goroutine.
+  *
+  * Scale: every relay transform is narrow — no shuffle, no state — so
+  * throughput scales linearly with source partitions. Stateful extras
+  * (dedupByKey, latestState) shuffle once on the key and bound their state
+  * with watermarks.
+  */
+object ChangeStreamRelay {
+
+  /** File-based change-event source: line-delimited JSON with the
+    * change-stream envelope (FIXTURES.md §1). Drop-in replacement for the
+    * MongoDB connector source (`readStream.format("mongodb")` with
+    * `spark.mongodb.change.stream.*`) when that jar is on the classpath —
+    * the downstream pipeline is identical.
+    */
+  def readChangeStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(ChangeEvents.envelopeSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** The relay transform on an already-parsed envelope stream. */
+  def relay(envelope: DataFrame): DataFrame = ChangeEvents.relay(envelope)
+
+  /** Events the reference would crash on (`invalidate`, `drop*`, …) or
+    * silently lose — routed to a side sink instead.
+    */
+  def deadLetterStream(envelope: DataFrame): DataFrame =
+    ChangeEvents.deadLetter(envelope)
+      .withColumn("dead_letter_reason",
+        coalesce(concat(lit("unsupported operationType: "), col("operationType")),
+          lit("missing operationType")))
+
+  /** Streaming replay-dedup: at-least-once upstream ⇒ exactly-once
+    * downstream within the watermark horizon. State is bounded by the
+    * watermark (old keys age out) — the 100 TB-safe form of
+    * `dropDuplicates`.
+    */
+  def dedupWithinWatermark(envelope: DataFrame,
+      eventTimeCol: String, watermark: String): DataFrame =
+    envelope
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("documentKey")
+
+  /** Tumbling per-topic event counts — the streaming twin of the batch
+    * `ts_tumble` query (same logical op, windowed state + watermark).
+    */
+  def topicCounts(envelope: DataFrame,
+      eventTimeCol: String, watermark: String, window_ : String): DataFrame =
+    ChangeEvents.opFilter(envelope)
+      .withColumn("topic", ChangeEvents.topicColumn(col("ns.db"), col("ns.coll")))
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), window_), col("topic"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Kafka-shaped sink. Without the kafka-sql jar (this container), the
+    * `foreachBatch` writer persists each micro-batch as parquet
+    * partitioned by `topic` — same per-topic fan-out the Kafka sink's
+    * dynamic `topic` column gives (main.go:113,145-149); with the jar it
+    * is `.format("kafka")` with the identical (topic, key, value) frame.
+    * Checkpointing supplies the R12 flush/exactly-once epoch semantics.
+    */
+  def writePerTopicParquet(relayed: DataFrame, outDir: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    relayed.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("topic").parquet(outDir)
+      }
+
+  /** End-to-end: source dir → relay → per-topic parquet. Returns the
+    * started query; caller awaits termination.
+    */
+  def run(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val env = readChangeStream(spark, srcDir)
+    writePerTopicParquet(relay(env), outDir, checkpointDir).start()
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.VectorFunctions.cosine_similarity
+import graft.similarity.Similarity
+
+/** Semantics tests for the LLM-pipeline operators on the sf0.001 fixtures:
+  * MinHash-LSH recall vs exact Jaccard, SimHash locality, kNN exactness,
+  * IVF candidate containment, approx-distinct error bound.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private lazy val docs = Tables.table(spark, sfDir, "documents")
+  private lazy val embs = Tables.table(spark, sfDir, "embeddings")
+
+  test("minhash-LSH candidates contain every high-Jaccard pair (recall)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minHashCandidates(docs, "doc_id", "text", n = 3, k = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val missed = exact -- cand
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+  }
+
+  test("simhash: near-dup docs land within small hamming distance") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.95)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.nonEmpty)
+    val sh = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (a, b) =>
+      val ham = java.lang.Long.bitCount(sh(a) ^ sh(b))
+      assert(ham <= 6, s"pair ($a,$b) jaccard>=0.95 but hamming=$ham")
+    }
+  }
+
+  test("cosine expression matches a driver-side reference computation") {
+    val rows = embs.limit(3).select("vec_id", "embedding").collect()
+    val a = rows(0).getSeq[Float](1); val b = rows(1).getSeq[Float](1)
+    def cos(x: Seq[Float], y: Seq[Float]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      val na = math.sqrt(x.map(p => p.toDouble * p.toDouble).sum)
+      val nb = math.sqrt(y.map(p => p.toDouble * p.toDouble).sum)
+      dot / (na * nb)
+    }
+    val got = spark.range(1)
+      .select(cosine_similarity(typedLit(a), typedLit(b)).as("c"))
+      .head().getDouble(0)
+    assert(math.abs(got - cos(a, b)) < 1e-12)
+  }
+
+  test("brute-force kNN returns the exact top-k (validated by full sort)") {
+    val probe = embs.filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0)
+    val knn = Similarity.bruteForceKnn(embs, "vec_id", "embedding", typedLit(probe), 5)
+      .collect().map(_.getLong(0))
+    val full = embs
+      .withColumn("sim", cosine_similarity(col("embedding"), typedLit(probe)))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5).collect().map(_.getLong(0))
+    assert(knn.sameElements(full))
+  }
+
+  test("IVF kNN results are a subset of the probe centroid's bucket, exact within it") {
+    val centroids = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val probe = embs.filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0)
+    val assigned = Similarity.assignToCentroids(embs, "vec_id", "embedding",
+      centroids, "cid", "cvec")
+    // every corpus vector got exactly one centroid
+    assert(assigned.count() === embs.count())
+    val res = Similarity.ivfKnn(assigned, "vec_id", "embedding",
+      centroids, "cid", "cvec", typedLit(probe), 5)
+    assert(res.count() === 5)
+    // vec 7 is itself a centroid: its bucket contains it with sim 1.0
+    val top = res.orderBy(col("sim").desc).head()
+    assert(top.getLong(0) === 7L && math.abs(top.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("approx_count_distinct stays within its 2% error bound on events") {
+    val events = Tables.table(spark, sfDir, "events")
+    val exact = events.select(countDistinct("user_id")).head().getLong(0)
+    val approx = events.select(approx_count_distinct("user_id", 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+}

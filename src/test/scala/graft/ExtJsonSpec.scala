@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.cdc.ChangeEvents
+import graft.functions.ExtJson.ext_json_canonical
+
+/** Golden tests for the reference's observable serialization behavior
+  * (/root/reference/main.go:113,117,123-131,138): canonical ExtJSON type
+  * tags, Connect key envelope byte layout, HTML escaping, topic routing.
+  */
+class ExtJsonSpec extends SparkSpec {
+
+  private def renderOne(col0: org.apache.spark.sql.Column): String =
+    spark.range(1).select(col0.as("v")).head().getString(0)
+
+  test("scalar type tags match canonical ExtJSON (main.go:117 canonical=true)") {
+    assert(renderOne(ext_json_canonical(lit(42L))) === """{"$numberLong":"42"}""")
+    assert(renderOne(ext_json_canonical(lit(42))) === """{"$numberInt":"42"}""")
+    assert(renderOne(ext_json_canonical(lit(1.5))) === """{"$numberDouble":"1.5"}""")
+    assert(renderOne(ext_json_canonical(lit(3.0))) === """{"$numberDouble":"3"}""")
+    assert(renderOne(ext_json_canonical(lit("s"))) === "\"s\"")
+    assert(renderOne(ext_json_canonical(lit(true))) === "true")
+    assert(renderOne(ext_json_canonical(lit(BigDecimal("1.50")).cast("decimal(5,2)")))
+      === """{"$numberDecimal":"1.50"}""")
+  }
+
+  test("date/timestamp render as $date with epoch millis") {
+    val ts = lit("2024-01-01 00:00:00").cast("timestamp")
+    assert(renderOne(ext_json_canonical(ts))
+      === """{"$date":{"$numberLong":"1704067200000"}}""")
+  }
+
+  test("nested struct/array render with field order preserved") {
+    val c = ext_json_canonical(struct(
+      lit(7L).as("_id"),
+      array(lit(1), lit(2)).as("xs"),
+      struct(lit("x").as("k")).as("sub")))
+    assert(renderOne(c) ===
+      """{"_id":{"$numberLong":"7"},"xs":[{"$numberInt":"1"},{"$numberInt":"2"}],"sub":{"k":"x"}}""")
+  }
+
+  test("HTML escaping matches Go escapeHTML=true (main.go:117 second true)") {
+    assert(renderOne(ext_json_canonical(lit("a<b>&c")))
+      === "\"a\\u003cb\\u003e\\u0026c\"")
+  }
+
+  test("connect key envelope bytes match main.go:123-131 layout") {
+    val got = spark.range(1)
+      .select(ChangeEvents.connectKeyEnvelope(lit("{\"_id\":1}")).as("k"))
+      .head().getString(0)
+    assert(got === """{"schema":{"type":"string","optional":false},"payload":"{\"_id\":1}"}""")
+  }
+
+  test("topic routing = db ++ '.' ++ coll for arbitrary names (main.go:113)") {
+    val name = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val prop = Prop.forAll(name, name) { (db: String, coll: String) =>
+      val got = spark.range(1)
+        .select(ChangeEvents.topicColumn(lit(db), lit(coll)).as("t"))
+        .head().getString(0)
+      got == s"$db.$coll"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("op filter is total: no input crashes, complement goes to dead letter (§2.2)") {
+    import spark.implicits._
+    val ops = Seq("insert", "update", "replace", "delete", "invalidate",
+      "drop", "dropDatabase", "rename", null).toDF("operationType")
+    val kept = ChangeEvents.opFilter(ops).collect().map(_.getString(0)).toSet
+    val dead = ChangeEvents.deadLetter(ops).collect().map(r => Option(r.getString(0))).toSet
+    assert(kept === Set("insert", "update", "replace", "delete"))
+    assert(dead === Set(Some("invalidate"), Some("drop"), Some("dropDatabase"),
+      Some("rename"), None))
+    assert(kept.size + dead.size === 9)
+  }
+}
