@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** All declared engine capabilities, one [[graft.queries.Q]] each. */
   def allQueries: Seq[Q] =
-    CdcQueries.queries ++ RelationalQueries.queries ++
+    CdcQueries.queries ++ RelationalQueries.queries ++ ExtendedQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++ MultimodalQueries.queries
 
   /** Flagship: the reference's full relay hot path (main.go:103-155) as a

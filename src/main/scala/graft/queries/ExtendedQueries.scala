@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.CentroidAggregator
+
+/** Breadth beyond the core matrix: theta/range join, as-of join, lag/lead
+  * windows, GROUPING SETS via the SQL surface, a typed Aggregator (UDAF),
+  * and scalar-function coverage (string/date/math in one query).
+  */
+object ExtendedQueries extends QueryPack {
+
+  override val queries: Seq[Q] = Seq(
+
+    // Theta (range) join: fact rows land in value bands via BETWEEN-style
+    // predicates. The band table is a handful of constants → broadcast
+    // nested-loop join; the fact side never shuffles.
+    Q("join_range",
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq(
+          ("low", 0.0, 10.0), ("mid", 10.0, 50.0), ("high", 50.0, 1e9))
+          .toDF("band", "lo", "hi")
+        t(s, dir, "events")
+          .join(broadcast(bands),
+            col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .orderBy("band")
+      },
+      Some("""SELECT band, count(*) AS n, round(sum(value), 2) AS sum_value
+              FROM events
+              JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 50.0),
+                           ('high', 50.0, 1e9)) AS bands(band, lo, hi)
+                ON value >= lo AND value < hi
+              GROUP BY band ORDER BY band""")),
+
+    // As-of join (time-series): for every purchase, the most recent click
+    // by the same user at-or-before it. Composed from a running
+    // last-non-null window — one shuffle on the key, no range self-join
+    // blowup; ordering (ts, event_id) is total so the pick is
+    // deterministic.
+    Q("join_asof",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("asof_click_id",
+            last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
+              .over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("asof_click_id"), lit(-1L)).as("asof_click_id"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, coalesce(asof_click_id, -1) AS asof_click_id
+              FROM (SELECT event_id, user_id, event_type,
+                           last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase'))
+              WHERE event_type = 'purchase'
+              ORDER BY event_id""")),
+
+    // lag/lead/ntile window family over per-user event sequences.
+    Q("win_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            round(coalesce(lag("value", 1).over(w), lit(-1.0)), 2).as("prev_value"),
+            round(coalesce(lead("value", 1).over(w), lit(-1.0)), 2).as("next_value"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+                     round(coalesce(lag(value) OVER w, -1), 2) AS prev_value,
+                     round(coalesce(lead(value) OVER w, -1), 2) AS next_value,
+                     ntile(4) OVER w AS quartile
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ORDER BY event_id""")),
+
+    // GROUPING SETS through the SQL surface (the fourth grouping shape
+    // next to groupBy/rollup/cube).
+    Q("agg_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                        coalesce(l_linestatus, 'ALL') AS ls,
+                        round(sum(l_extendedprice), 2) AS sum_price
+                 FROM lineitem_v
+                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+                 ORDER BY rf, ls""")
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                     coalesce(l_linestatus, 'ALL') AS ls,
+                     round(sum(l_extendedprice), 2) AS sum_price
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+              ORDER BY rf, ls""")),
+
+    // Typed Aggregator (UDAF): per-label embedding centroid — the k-means
+    // update step, constant-size mergeable buffers. Exploded to
+    // (label, dim_idx, value) rows for the oracle.
+    Q("agg_centroid",
+      (s, dir) => {
+        import s.implicits._
+        val agg = new CentroidAggregator(64)
+        t(s, dir, "embeddings")
+          .select(col("label"), col("embedding"))
+          .as[(Int, Seq[Float])]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(agg.toColumn.name("centroid"))
+          .toDF("label", "centroid")
+          .select(col("label"), posexplode(col("centroid")).as(Seq("dim_idx", "c")))
+          .select(col("label"), col("dim_idx"), round(col("c"), 6).as("c"))
+          .orderBy("label", "dim_idx")
+      },
+      Some("""SELECT label, i - 1 AS dim_idx, round(avg(v), 6) AS c
+              FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
+                           unnest(embedding) AS v
+                    FROM embeddings)
+              GROUP BY label, i ORDER BY label, dim_idx""")),
+
+    // Scalar-function breadth: string/date/math built-ins in one narrow
+    // zero-shuffle projection.
+    Q("fn_scalar",
+      (s, dir) => t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 8)).as("prio"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_99"),
+          round(abs(col("o_totalprice") - 1000.0), 2).as("abs_dev"),
+          floor(col("o_totalprice") / 100.0).cast("long").as("price_bucket"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                     upper(substr(o_orderpriority, 1, 8)) AS prio,
+                     year(o_orderdate) AS yr,
+                     month(o_orderdate) AS mo,
+                     datediff('day', o_orderdate::DATE, DATE '1999-01-01') AS days_to_99,
+                     round(abs(o_totalprice - 1000.0), 2) AS abs_dev,
+                     CAST(floor(o_totalprice / 100.0) AS BIGINT) AS price_bucket,
+                     o_orderstatus || '-' || o_orderpriority AS status_prio
+              FROM orders ORDER BY o_orderkey""")))
+}
