@@ -159,7 +159,22 @@ object ExtJsonCanonical {
 
 /** Column-level entry points for the ExtJSON family. */
 object ExtJson {
+  import org.apache.spark.sql.functions.{coalesce, get_json_object}
+
   /** Render any column as canonical Extended JSON (main.go:117,138). */
   def ext_json_canonical(c: Column): Column =
     glue.toColumn(ExtJsonCanonical(glue.toExpression(c)))
+
+  /** Read a value back out of canonical ExtJSON, unwrapping the scalar
+    * type tags (`{"$numberLong":"42"}` → `"42"`, `$date` → epoch millis,
+    * plain strings pass through). `path` is a JSON path like `$._id`.
+    */
+  def ext_json_get(c: Column, path: String): Column =
+    coalesce(
+      get_json_object(c, s"$path['$$numberLong']"),
+      get_json_object(c, s"$path['$$numberInt']"),
+      get_json_object(c, s"$path['$$numberDouble']"),
+      get_json_object(c, s"$path['$$numberDecimal']"),
+      get_json_object(c, s"$path['$$date']['$$numberLong']"),
+      get_json_object(c, path))
 }

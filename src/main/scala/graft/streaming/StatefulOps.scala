@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators over the change-event envelope: the
+  * materialized "current state per document" view that the reference's
+  * `FullDocument=UpdateLookup` post-images imply (main.go:92) but never
+  * materialize.
+  *
+  * State shape: one small record per live key, partitioned by key hash
+  * across executors; deletes remove state so the store tracks the live
+  * keyset, and a processing-time TTL bounds it for abandoned keys —
+  * the 100 TB discipline (SURVEY.md §7.4): never unbounded per-key state.
+  */
+object StatefulOps {
+
+  /** One upsertable document version. */
+  case class KeyedChange(documentKey: String, operationType: String,
+      fullDocument: String, eventTimeMs: Long)
+
+  /** Current materialized state of one document. */
+  case class CurrentState(documentKey: String, fullDocument: String,
+      lastOp: String, lastEventTimeMs: Long)
+
+  private def updateState(ttl: Option[String])(
+      key: String,
+      changes: Iterator[KeyedChange],
+      state: GroupState[CurrentState]): Iterator[CurrentState] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    // fold this micro-batch's changes in event-time order (total order via
+    // (ts, op) — replayed deliveries fold idempotently)
+    val ordered = changes.toSeq.sortBy(c => (c.eventTimeMs, c.operationType))
+    var cur = state.getOption
+    ordered.foreach { c =>
+      if (cur.forall(_.lastEventTimeMs <= c.eventTimeMs)) {
+        c.operationType match {
+          case "delete" => cur = None
+          case _ => cur = Some(CurrentState(key, c.fullDocument, c.operationType, c.eventTimeMs))
+        }
+      }
+    }
+    cur match {
+      case Some(st) =>
+        state.update(st)
+        ttl.foreach(state.setTimeoutDuration) // TTL bounds the live keyset
+        Iterator.single(st)
+      case None =>
+        if (state.exists) state.remove()
+        Iterator.single(CurrentState(key, null, "delete", ordered.lastOption.map(_.eventTimeMs).getOrElse(0L)))
+    }
+  }
+
+  /** Streaming latest-state: emits the post-fold current state of every
+    * key touched by each micro-batch (update output mode).
+    *
+    * `ttl`: processing-time state TTL (e.g. `Some("1 hour")`) for
+    * abandoned keys. With a TTL the engine schedules extra micro-batches
+    * to fire timeouts, so pair it with a real trigger interval in
+    * production; `None` keeps state until an explicit delete.
+    */
+  def latestState(envelope: DataFrame, ttl: Option[String] = None): Dataset[CurrentState] = {
+    import envelope.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    envelope
+      .select(
+        col("documentKey"),
+        col("operationType"),
+        col("fullDocument"),
+        (unix_timestamp(to_timestamp(col("clusterTime"))) * 1000).as("eventTimeMs"))
+      .as[KeyedChange]
+      .groupByKey(_.documentKey)
+      .flatMapGroupsWithState(
+        OutputMode.Update, timeoutConf)(updateState(ttl))
+  }
+}
