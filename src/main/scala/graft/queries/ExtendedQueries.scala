@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.CentroidAggregator
+import graft.operators.Skew
 
 /** Breadth beyond the core matrix: theta/range join, as-of join, lag/lead
   * windows, GROUPING SETS via the SQL surface, a typed Aggregator (UDAF),
@@ -127,6 +128,33 @@ object ExtendedQueries extends QueryPack {
                            unnest(embedding) AS v
                     FROM embeddings)
               GROUP BY label, i ORDER BY label, dim_idx""")),
+
+    // Two-stage salted aggregation (manual skew mitigation): a hot group
+    // key fans out over 8 salt buckets in stage 1, partials merge in
+    // stage 2 — same answer as the direct aggregation (the oracle), 8×
+    // the reducers on the hot key.
+    Q("agg_salted",
+      (s, dir) => Skew.saltedAggregate(
+          t(s, dir, "events"),
+          keyCols = Seq("event_type"),
+          saltSource = col("event_id"),
+          buckets = 8,
+          partials = Seq(count(lit(1)).as("pn"), sum("value").as("psum")),
+          finals = Seq(sum("pn").as("n"), round(sum("psum"), 2).as("sum_value")))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Dynamic payloads as Spark 4 VARIANT (SURVEY §1.4's alternative to
+    // JSON-string columns): parse once, typed extraction after.
+    Q("cdc_variant",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          try_variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events ORDER BY event_id""")),
 
     // Scalar-function breadth: string/date/math built-ins in one narrow
     // zero-shuffle projection.

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** The SQL surface of the native expressions and the skew utilities. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("native expressions callable from SQL after registration") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT ext_json_canonical(named_struct('a', 1L)) AS j,
+               cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                                 array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""")
+      .head()
+    assert(r.getString(0) === """{"a":{"$numberLong":"1"}}""")
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-15)
+  }
+
+  test("every declared function builder constructs an evaluable expression") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val sampleArgs = Map(
+      "ext_json_canonical" -> Seq(Literal(1L)),
+      "cosine_similarity" -> Seq(
+        Literal.create(Array(1.0f, 0.0f)), Literal.create(Array(1.0f, 0.0f))))
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      assert(info != null)
+      val expr = builder(sampleArgs(name))
+      assert(expr.checkInputDataTypes().isSuccess, s"$name type check")
+      assert(expr.eval(null) != null, s"$name eval")
+    }
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val events = Tables.table(spark, sfDir, "events")
+    val direct = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type").collect()
+    val salted = Skew.saltedAggregate(events,
+        Seq("event_type"), col("event_id"), 8,
+        Seq(count(lit(1)).as("pn"), sum("value").as("psum")),
+        Seq(sum("pn").as("n"), round(sum("psum"), 2).as("sum_value")))
+      .orderBy("event_type").collect()
+    assert(direct.map(_.toSeq).toSeq === salted.map(_.toSeq).toSeq)
+  }
+
+  test("salt spreads a hot key over the requested buckets") {
+    val events = Tables.table(spark, sfDir, "events")
+    val nBuckets = events
+      .select(Skew.salt(col("event_id"), 8).as("s"))
+      .distinct().count()
+    assert(nBuckets === 8)
+  }
+}
