@@ -79,6 +79,21 @@ object ChangeStreamRelay {
       .groupBy(window(col(eventTimeCol), window_), col("topic"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming sessionization: `session_window` groups events into
+    * gap-bounded sessions per topic (the streaming twin of the batch
+    * `ts_session` query). Watermark closes sessions and evicts their
+    * state — bounded even with unbounded key cardinality.
+    */
+  def topicSessions(envelope: DataFrame,
+      eventTimeCol: String, watermark: String, gap: String): DataFrame =
+    ChangeEvents.opFilter(envelope)
+      .withColumn("topic", ChangeEvents.topicColumn(col("ns.db"), col("ns.coll")))
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(session_window(col(eventTimeCol), gap), col("topic"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("topic"), col("n"))
+
   /** Kafka-shaped sink. Without the kafka-sql jar (this container), the
     * `foreachBatch` writer persists each micro-batch as parquet
     * partitioned by `topic` — same per-topic fan-out the Kafka sink's

@@ -1,0 +1,50 @@
+package graft
+
+/** Plan-shape regression tests: the scale properties the engine promises
+  * (pushdown, broadcast, top-k heaps, partial aggregation) asserted
+  * against the optimized physical plans, so a refactor that silently
+  * degrades a plan to a full shuffle/sort fails CI — the local proxy for
+  * "would this still work at 100 TB".
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("filters and projections reach the parquet scan (proj_filter)") {
+    val p = plan("proj_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(value)"), p)
+    assert(p.contains("ReadSchema: struct<event_id:bigint,event_type:string,value:double>"), p)
+  }
+
+  test("dimension joins broadcast instead of shuffling the fact side") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+    val semi = plan("join_semi")
+    assert(semi.contains("BroadcastHashJoin") && semi.contains("LeftSemi"))
+    assert(!plan("join_broadcast").contains("SortMergeJoin"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, never a full sort") {
+    val p = plan("sort_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("brute-force kNN is a single scan + top-k heap (no shuffle)") {
+    val p = plan("vec_knn")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("hash aggregation runs partial then final (map-side combine)") {
+    val p = plan("agg_hash")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("the relay hot path is shuffle-free (narrow, executor-parallel)") {
+    val relayed = SparkEntry.entry(spark)
+    val p = relayed.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), p)
+  }
+}

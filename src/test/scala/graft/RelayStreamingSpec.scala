@@ -94,6 +94,29 @@ class RelayStreamingSpec extends SparkSpec {
     assert(second.filter(col("value").contains("\"_id\":\"4\"")).count() === 1)
   }
 
+  test("streaming session windows close on the gap and count per topic") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val envelope = ChangeEvents.parseEnvelope(input.toDF(), "value")
+      .withColumn("event_time", to_timestamp(col("clusterTime")))
+    val sessions = ChangeStreamRelay.topicSessions(
+      envelope, "event_time", "1 minute", "10 minutes")
+
+    val q = sessions.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("complete").start()
+    // two events 5 min apart (one session), a third 30 min later (new one)
+    input.addData(
+      ev(1, "insert", ts = "2024-01-01T00:00:00.000Z"),
+      ev(2, "insert", ts = "2024-01-01T00:05:00.000Z"),
+      ev(3, "insert", ts = "2024-01-01T00:35:00.000Z"))
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("sessions_out")
+      .select("topic", "n").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSet === Set(("app.c", 2L), ("app.c", 1L)))
+  }
+
   test("streaming tumbling topic counts with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
