@@ -156,6 +156,38 @@ object ExtendedQueries extends QueryPack {
                      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
               FROM events ORDER BY event_id""")),
 
+    // Ordered-statistics aggregation: exact interpolated percentiles
+    // (median/p90). Spark plans a sort-based aggregate per group; both
+    // engines use the standard linear-interpolation definition.
+    Q("agg_median",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("median_value"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90_value"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+                     round(quantile_cont(value, 0.5), 4) AS median_value,
+                     round(quantile_cont(value, 0.9), 4) AS p90_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Array-function coverage over the embedding vectors (exact float
+    // comparisons only — no accumulation-order hazards).
+    Q("fn_array",
+      (s, dir) => t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          array_max(col("embedding")).as("max_elem"),
+          array_min(col("embedding")).as("min_elem"),
+          element_at(col("embedding"), 1).as("first_elem"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id, len(embedding) AS dim,
+                     list_max(embedding) AS max_elem,
+                     list_min(embedding) AS min_elem,
+                     embedding[1] AS first_elem
+              FROM embeddings ORDER BY vec_id""")),
+
     // Scalar-function breadth: string/date/math built-ins in one narrow
     // zero-shuffle projection.
     Q("fn_scalar",

@@ -117,6 +117,37 @@ class RelayStreamingSpec extends SparkSpec {
     assert(rows.toSet === Set(("app.c", 2L), ("app.c", 1L)))
   }
 
+  test("stream-stream join: inserts matched to deletes within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val envelope = ChangeEvents.parseEnvelope(input.toDF(), "value")
+      .withColumn("event_time", to_timestamp(col("clusterTime")))
+    val inserts = envelope.filter(col("operationType") === "insert")
+      .select(col("documentKey").as("ik"), col("event_time").as("itime"))
+      .withWatermark("itime", "1 minute")
+    val deletes = envelope.filter(col("operationType") === "delete")
+      .select(col("documentKey").as("dk"), col("event_time").as("dtime"))
+      .withWatermark("dtime", "1 minute")
+    // delete joins its insert if within 1 hour after it — document lifetime
+    val joined = inserts.join(deletes,
+      col("ik") === col("dk") &&
+        col("dtime") >= col("itime") &&
+        col("dtime") <= col("itime") + expr("INTERVAL 1 HOUR"))
+
+    val q = joined.writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").start()
+    input.addData(
+      ev(1, "insert", key = "a", ts = "2024-01-01T00:00:00.000Z"),
+      ev(2, "insert", key = "b", ts = "2024-01-01T00:00:00.000Z"),
+      ev(3, "delete", key = "a", ts = "2024-01-01T00:30:00.000Z"),   // within bound
+      ev(4, "delete", key = "b", ts = "2024-01-01T02:00:00.000Z"))   // outside bound
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("ss_join_out").select("ik").as[String].collect()
+    assert(rows.toSeq === Seq("{\"_id\":\"a\"}"))
+  }
+
   test("streaming tumbling topic counts with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
