@@ -93,6 +93,17 @@ object VectorQueries extends QueryPack {
                            * sqrt(list_dot_product(pv, pv))) DESC, a.vec_id
                LIMIT 5""")),
 
+    // Multi-table SRP-LSH candidate generation (the sub-linear ANN
+    // candidate path; exact verify happens on the candidates only).
+    // Hyperplanes are seeded-deterministic but not SQL-mirrorable →
+    // rows-only driver check + the determinism/recall ScalaTests.
+    Q("vec_lsh_candidates",
+      (s, dir) => Similarity.srpCandidates(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          bitsPerTable = 8, tables = 4)
+        .orderBy("a_id", "b_id"),
+      None),
+
     // Embedding-cosine near-dup pairs (brute-force verify form).
     Q("vec_near_dup",
       (s, dir) => Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",

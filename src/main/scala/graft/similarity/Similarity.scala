@@ -35,6 +35,47 @@ object Similarity {
       .limit(k)
       .select(col(idCol), col("sim"))
 
+  /** Deterministic ±1 random-hyperplane set for SRP-LSH: plane `p`,
+    * dimension `d` gets sign from a seeded hash — reproducible across
+    * runs/engines without storing plane matrices.
+    */
+  def signedPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+  }
+
+  /** SRP-LSH bucket key per row: the sign-bit string of `planes.size`
+    * signed projections. Cosine-close vectors agree on most sign bits, so
+    * they collide with probability (1 - θ/π) per bit. Narrow per-row
+    * compute (the codegen'd dot), zero shuffle.
+    */
+  def srpBucket(vec: Column, planes: Seq[Array[Float]]): Column =
+    concat(planes.map { p =>
+      when(cosine_similarity(vec, typedLit(p.toSeq)) >= 0, "1").otherwise("0")
+    }: _*)
+
+  /** Multi-table SRP-LSH candidate pairs: `tables` independent bucket
+    * keys; rows sharing any bucket are candidates. The shuffle is on
+    * (table, bucket) — never doc×doc — and recall rises with table count
+    * while each table stays cheap.
+    */
+  def srpCandidates(corpus: DataFrame, idCol: String, vecCol: String,
+      bitsPerTable: Int, tables: Int, seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val buckets = corpus.select(
+      col(idCol),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          srpBucket(col(vecCol),
+            signedPlanes(bitsPerTable, dim, seed + t)).as("bucket"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("bk.tbl"), col("bk.bucket"))
+    buckets.as("a").join(buckets.as("b"), Seq("tbl", "bucket"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+  }
+
   /** Nearest-centroid assignment: broadcast the centroid table, argmax
     * cosine per corpus row (window over the small per-row candidate set).
     */

@@ -81,6 +81,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top.getLong(0) === 7L && math.abs(top.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("SRP-LSH: bucket keys are deterministic and candidates are id-ordered pairs") {
+    val c1 = Similarity.srpCandidates(embs, "vec_id", "embedding",
+      bitsPerTable = 4, tables = 4)
+    val c2 = Similarity.srpCandidates(embs, "vec_id", "embedding",
+      bitsPerTable = 4, tables = 4)
+    val s1 = c1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s2 = c2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s1 === s2, "deterministic across runs")
+    assert(s1.nonEmpty)
+    assert(s1.forall { case (a, b) => a < b })
+    // more tables can only add candidates (monotone recall)
+    val more = Similarity.srpCandidates(embs, "vec_id", "embedding",
+      bitsPerTable = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s1.subsetOf(more))
+  }
+
   test("approx_count_distinct stays within its 2% error bound on events") {
     val events = Tables.table(spark, sfDir, "events")
     val exact = events.select(countDistinct("user_id")).head().getLong(0)
