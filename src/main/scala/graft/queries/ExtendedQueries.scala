@@ -156,6 +156,25 @@ object ExtendedQueries extends QueryPack {
                      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
               FROM events ORDER BY event_id""")),
 
+    // Pivot (crosstab): event counts per user fanned into one column per
+    // event type. Values are enumerated explicitly so the plan is a single
+    // aggregation pass (no extra distinct-values job) — the form that
+    // scales.
+    Q("agg_pivot",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+                     count(*) FILTER (WHERE event_type = 'click') AS click,
+                     count(*) FILTER (WHERE event_type = 'error') AS error,
+                     count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                     count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                     count(*) FILTER (WHERE event_type = 'view') AS view
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // Ordered-statistics aggregation: exact interpolated percentiles
     // (median/p90). Spark plans a sort-based aggregate per group; both
     // engines use the standard linear-interpolation definition.
