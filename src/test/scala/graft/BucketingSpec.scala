@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bucketing
+
+/** Bucketed co-located joins: after a one-time bucketed write, equi-joins
+  * on the bucket key must plan with no Exchange on either side — the
+  * write-once/never-reshuffle contract.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("join of two tables bucketed on the key plans without any shuffle") {
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(li, "li_bucketed", "l_orderkey", numBuckets = 8)
+    Bucketing.writeBucketed(o, "o_bucketed", "o_orderkey", numBuckets = 8)
+
+    // disable broadcast so the small fixture exercises the sort-merge
+    // path a 100 TB fact⋈fact join would take
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark,
+        "li_bucketed", "o_bucketed", "l_orderkey", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+
+      // and it computes the same answer as the plain join
+      val expected = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
