@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.dedup.Dedup
 import graft.text.TextFunctions
@@ -86,6 +87,43 @@ object TextQueries extends QueryPack {
       Some("""SELECT doc_id,
                      len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpe
               FROM documents ORDER BY doc_id""")),
+
+    // TF-IDF: term frequency × inverse document frequency, top-5 terms
+    // per doc. Two aggregations (doc×token, then token df) + a ranking
+    // window — the shuffle carries (token, count) partials. Scores are
+    // rounded BEFORE ranking so ordering is ulp-stable across engines.
+    Q("text_tfidf",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val nDocs = docs.count().toDouble
+        val toks = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("token"))
+        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("token"))
+        tf.join(dfreq, "token")
+          .withColumn("score",
+            round(col("tf") * log(lit(nDocs) / col("df")), 4))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select("doc_id", "rk", "token", "score")
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+                FROM documents),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+              dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              scored AS (
+                SELECT doc_id, token,
+                       round(tf * ln((SELECT count(*) FROM documents)::DOUBLE / df), 4) AS score
+                FROM tf JOIN dfreq USING (token))
+              SELECT doc_id, rk, token, score
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+                    FROM scored)
+              WHERE rk <= 5 ORDER BY doc_id, rk""")),
 
     // Exact dedup: one representative per content-hash group.
     Q("doc_dedup_exact",
