@@ -15,6 +15,17 @@ class BucketingSpec extends SparkSpec {
       .select("l_orderkey", "l_quantity")
     val o = Tables.table(spark, sfDir, "orders")
       .select("o_orderkey", "o_totalprice")
+    // a previous JVM's warehouse dir survives while the in-memory catalog
+    // doesn't — drop both the table and any orphaned location first
+    Seq("li_bucketed", "o_bucketed").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     Bucketing.writeBucketed(li, "li_bucketed", "l_orderkey", numBuckets = 8)
     Bucketing.writeBucketed(o, "o_bucketed", "o_orderkey", numBuckets = 8)
 

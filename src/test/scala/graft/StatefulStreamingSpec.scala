@@ -47,6 +47,38 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(finalState("k2")._1 === "delete")
   }
 
+  test("transformWithState latest-state matches the flatMapGroupsWithState fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[String]
+      val envelope = ChangeEvents.parseEnvelope(input.toDF(), "value")
+      val state = graft.streaming.LatestStateProcessor.latestState(envelope)
+
+      val q = state.toDF().writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      input.addData(ev("insert", "k1", "v1", "2024-01-01T00:00:00Z"))
+      q.processAllAvailable()
+      input.addData(
+        ev("update", "k1", "v2", "2024-01-01T00:01:00Z"),
+        ev("insert", "k2", "w1", "2024-01-01T00:01:30Z"))
+      q.processAllAvailable()
+      input.addData(ev("delete", "k1", "", "2024-01-01T00:02:00Z"))
+      q.processAllAvailable()
+      q.stop()
+
+      val finalState = spark.table("tws_out")
+        .groupBy("documentKey")
+        .agg(max(struct(col("lastEventTimeMs"), col("lastOp"), col("fullDocument"))).as("s"))
+        .select(col("documentKey"), col("s.lastOp"), col("s.fullDocument"))
+        .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+      assert(finalState("k1")._1 === "delete")
+      assert(finalState("k2") === ("insert", "w1"))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("delivery-report listener observes per-epoch input rows (main.go:50-62 analog)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
