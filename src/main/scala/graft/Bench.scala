@@ -22,11 +22,15 @@ object Bench {
     def runAll(timed: Boolean): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           if (timed) System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          // -1 marks a FAILED query so the 2x gate can't mistake broken
+          // for fast
+          name -> -1.0
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }
     // one untimed warm-up pass (JIT + codegen + page cache), then the
     // timed pass: reports steady-state engine throughput, the number that
@@ -35,7 +39,8 @@ object Bench {
     val results = runAll(timed = true)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // any failed query poisons the total: broken must never read as fast
+    val total = if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -77,15 +77,16 @@ object ChangeEvents {
     df.filter(!col(opCol).isin(DocumentOps: _*) || col(opCol).isNull)
 
   /** Parse raw change-event JSON lines (the file-based stand-in for the
-    * change-stream wire format) into the typed envelope. PERMISSIVE mode +
-    * corrupt-record drop == the reference's decode-error-skip
-    * (main.go:106-108).
+    * change-stream wire format) into the typed envelope. Decode failures
+    * become rows with a null `operationType` plus the raw line in `_raw` —
+    * [[deadLetter]] captures them instead of the reference's silent
+    * decode-error-skip (main.go:106-108); [[opFilter]] (and thus the relay
+    * hot path) never sees them.
     */
   def parseEnvelope(raw: DataFrame, jsonCol: String = "value"): DataFrame =
     raw
       .withColumn("ev", from_json(col(jsonCol), envelopeSchema))
-      .filter(col("ev").isNotNull && col("ev.operationType").isNotNull)
-      .select("ev.*")
+      .select(col("ev.*"), col(jsonCol).as("_raw"))
 
   /** The full relay hot path (main.go:103-155) as one narrow transform:
     * envelope in → `(topic, key, value)` out, ready for a Kafka sink

@@ -48,10 +48,18 @@ object Dedup {
       explode(TextFunctions.shingles(
         TextFunctions.tokens(TextFunctions.normalize(col(textCol))), n)).as("shingle"))
 
-  /** Exact n-gram Jaccard similarity for every pair above `minJaccard`. */
+  /** Exact n-gram Jaccard similarity for every pair above `minJaccard`.
+    *
+    * The shingle index is deliberately NOT `.cache()`d: a lazy transform
+    * must not pin executor storage for the session's lifetime (no safe
+    * unpersist point for a returned-lazy frame). The index recompute is a
+    * narrow scan+explode — cheap relative to the pair join — and a 100 TB
+    * pipeline materializes the index to parquet once and reads it back
+    * instead.
+    */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, n).cache()
+    val idx = shingleIndex(docs, idCol, textCol, n)
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = idx.as("a").join(idx.as("b"), Seq("shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))

@@ -106,8 +106,9 @@ object ExtJsonCanonical {
           .append(v.asInstanceOf[Decimal].toBigDecimal.bigDecimal.toPlainString)
           .append("\"}")
       case TimestampType | TimestampNTZType =>
-        // stored micros → BSON $date is epoch millis
-        val ms = v.asInstanceOf[Long] / 1000L
+        // stored micros → BSON $date is epoch millis; floorDiv, not /, so
+        // pre-1970 sub-millisecond values floor like Go's time.UnixMilli
+        val ms = Math.floorDiv(v.asInstanceOf[Long], 1000L)
         sb.append("{\"$date\":{\"$numberLong\":\"").append(ms).append("\"}}")
       case DateType =>
         val ms = v.asInstanceOf[Int].toLong * 86400000L

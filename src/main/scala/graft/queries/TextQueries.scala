@@ -85,7 +85,7 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
-                     len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpe
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpe
               FROM documents ORDER BY doc_id""")),
 
     // TF-IDF: term frequency × inverse document frequency, top-5 terms

@@ -76,19 +76,27 @@ object Similarity {
       .distinct()
   }
 
-  /** Nearest-centroid assignment: broadcast the centroid table, argmax
-    * cosine per corpus row (window over the small per-row candidate set).
+  /** Nearest-centroid assignment as a PURE PROJECTION: the centroid table
+    * is small by definition, so it collects to the driver and becomes a
+    * literal array of (sim, -cid, cid) structs; `array_max` picks the
+    * argmax lexicographically (ties → smallest cid). Zero shuffle, zero
+    * join — each corpus partition assigns independently, which is what
+    * lets a 100 TB corpus partition-prune by `centroid_id` afterwards.
     */
   def assignToCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__csim").desc, col(cidCol))
-    corpus
-      .crossJoin(broadcast(centroids.select(col(cidCol), col(cvecCol))))
-      .withColumn("__csim", cosine_similarity(col(vecCol), col(cvecCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col(cidCol).as("centroid_id"))
+    val cents: Array[(Int, Seq[Float])] = centroids
+      .select(col(cidCol).cast("int"), col(cvecCol))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val scored = array(cents.map { case (cid, cvec) =>
+      struct(
+        cosine_similarity(col(vecCol), typedLit(cvec)).as("s"),
+        lit(-cid).as("negcid"),
+        lit(cid).as("cid"))
+    }: _*)
+    corpus.select(col(idCol), col(vecCol),
+      array_max(scored).getField("cid").as("centroid_id"))
   }
 
   /** IVF search with `nprobe`=1: scan only the corpus partition owned by

@@ -58,15 +58,18 @@ object ChangeStreamRelay {
           lit("missing operationType")))
 
   /** Streaming replay-dedup: at-least-once upstream ⇒ exactly-once
-    * downstream within the watermark horizon. State is bounded by the
-    * watermark (old keys age out) — the 100 TB-safe form of
+    * downstream within the watermark horizon. Dedups on the EVENT identity
+    * (`_id`, the resume token) — never the document key: change streams
+    * legitimately carry many distinct events per document, and keying on
+    * `documentKey` would silently drop real updates. State is bounded by
+    * the watermark (old event ids age out) — the 100 TB-safe form of
     * `dropDuplicates`.
     */
   def dedupWithinWatermark(envelope: DataFrame,
       eventTimeCol: String, watermark: String): DataFrame =
     envelope
       .withWatermark(eventTimeCol, watermark)
-      .dropDuplicatesWithinWatermark("documentKey")
+      .dropDuplicatesWithinWatermark("_id")
 
   /** Tumbling per-topic event counts — the streaming twin of the batch
     * `ts_tumble` query (same logical op, windowed state + watermark).
@@ -99,7 +102,12 @@ object ChangeStreamRelay {
     * partitioned by `topic` — same per-topic fan-out the Kafka sink's
     * dynamic `topic` column gives (main.go:113,145-149); with the jar it
     * is `.format("kafka")` with the identical (topic, key, value) frame.
-    * Checkpointing supplies the R12 flush/exactly-once epoch semantics.
+    *
+    * Exactly-once: `foreachBatch` alone is at-least-once (a crash between
+    * the write and the checkpoint commit replays the batch), so each epoch
+    * OVERWRITES its own `batch=<id>` directory — the replayed write is
+    * idempotent, and checkpoint + idempotent sink = exactly-once. Readers
+    * `spark.read.parquet(outDir)` and see `batch` as a partition column.
     */
   def writePerTopicParquet(relayed: DataFrame, outDir: String,
       checkpointDir: String): DataStreamWriter[Row] =
@@ -107,8 +115,9 @@ object ChangeStreamRelay {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("topic").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").partitionBy("topic")
+          .parquet(s"$outDir/batch=$batchId")
       }
 
   /** End-to-end: source dir → relay → per-topic parquet. Returns the

@@ -33,20 +33,16 @@ class LatestStateProcessor
     ordered.foreach { c =>
       if (cur.forall(_.lastEventTimeMs <= c.eventTimeMs)) {
         c.operationType match {
-          case "delete" => cur = None
+          // tombstone, not clear(): rejects replayed older events from
+          // later micro-batches (TTLConfig reclaims tombstones)
+          case "delete" => cur = Some(CurrentState(key, null, "delete", c.eventTimeMs))
           case _ => cur = Some(CurrentState(key, c.fullDocument, c.operationType, c.eventTimeMs))
         }
       }
     }
-    cur match {
-      case Some(st) =>
-        state.update(st)
-        Iterator.single(st)
-      case None =>
-        state.clear()
-        Iterator.single(CurrentState(key, null, "delete",
-          ordered.lastOption.map(_.eventTimeMs).getOrElse(0L)))
-    }
+    val st = cur.getOrElse(CurrentState(key, null, "delete", 0L))
+    state.update(st)
+    Iterator.single(st)
   }
 }
 
@@ -63,7 +59,7 @@ object LatestStateProcessor {
         col("documentKey"),
         col("operationType"),
         col("fullDocument"),
-        (unix_timestamp(to_timestamp(col("clusterTime"))) * 1000).as("eventTimeMs"))
+        unix_millis(to_timestamp(col("clusterTime"))).as("eventTimeMs"))
       .as[KeyedChange]
       .groupByKey(_.documentKey)
       .transformWithState(

@@ -36,20 +36,19 @@ object StatefulOps {
     ordered.foreach { c =>
       if (cur.forall(_.lastEventTimeMs <= c.eventTimeMs)) {
         c.operationType match {
-          case "delete" => cur = None
+          // deletes persist as a TOMBSTONE (not state removal): an
+          // at-least-once upstream can replay an older insert in a LATER
+          // micro-batch, and only the tombstone's timestamp rejects it.
+          // The TTL is what eventually reclaims tombstone state.
+          case "delete" => cur = Some(CurrentState(key, null, "delete", c.eventTimeMs))
           case _ => cur = Some(CurrentState(key, c.fullDocument, c.operationType, c.eventTimeMs))
         }
       }
     }
-    cur match {
-      case Some(st) =>
-        state.update(st)
-        ttl.foreach(state.setTimeoutDuration) // TTL bounds the live keyset
-        Iterator.single(st)
-      case None =>
-        if (state.exists) state.remove()
-        Iterator.single(CurrentState(key, null, "delete", ordered.lastOption.map(_.eventTimeMs).getOrElse(0L)))
-    }
+    val st = cur.getOrElse(CurrentState(key, null, "delete", 0L))
+    state.update(st)
+    ttl.foreach(state.setTimeoutDuration) // TTL bounds keyset + tombstones
+    Iterator.single(st)
   }
 
   /** Streaming latest-state: emits the post-fold current state of every
@@ -70,7 +69,7 @@ object StatefulOps {
         col("documentKey"),
         col("operationType"),
         col("fullDocument"),
-        (unix_timestamp(to_timestamp(col("clusterTime"))) * 1000).as("eventTimeMs"))
+        unix_millis(to_timestamp(col("clusterTime"))).as("eventTimeMs"))
       .as[KeyedChange]
       .groupByKey(_.documentKey)
       .flatMapGroupsWithState(

@@ -39,7 +39,7 @@ object TextFunctions {
     * tokenizers).
     */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
 
   /** English-ish stopword list used by the quality score. */
   val Stopwords: Seq[String] =

@@ -26,8 +26,11 @@ class RelayStreamingSpec extends SparkSpec {
     val input = MemoryStream[String]
     val envelope = ChangeEvents.parseEnvelope(input.toDF(), "value")
     val relayed = ChangeStreamRelay.relay(envelope)
+    val dead = ChangeStreamRelay.deadLetterStream(envelope)
 
     val q = relayed.writeStream.format("memory").queryName("relay_out")
+      .outputMode("append").start()
+    val qd = dead.writeStream.format("memory").queryName("dead_out")
       .outputMode("append").start()
     input.addData(
       ev(1, "insert", coll = "users"),
@@ -36,6 +39,13 @@ class RelayStreamingSpec extends SparkSpec {
       "not json at all",
       ev(4, "delete", coll = "users"))
     q.processAllAvailable(); q.stop()
+    qd.processAllAvailable(); qd.stop()
+
+    // invalidate + corrupt line went to the dead letter, not the relay
+    val deadRows = spark.table("dead_out")
+      .select("dead_letter_reason").collect().map(_.getString(0)).sorted
+    assert(deadRows === Array(
+      "missing operationType", "unsupported operationType: invalidate"))
 
     val rows = spark.table("relay_out").collect()
     assert(rows.length === 3) // invalidate + corrupt line dropped
