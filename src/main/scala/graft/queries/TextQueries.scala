@@ -172,15 +172,24 @@ object TextQueries extends QueryPack {
                              string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
                       FROM documents)),
               sig AS (
+                -- each salted md5 yields 4 independent 8-hex-char lanes
                 SELECT doc_id,
-                       min(md5('0:' || shingle)) AS mh0,  min(md5('1:' || shingle)) AS mh1,
-                       min(md5('2:' || shingle)) AS mh2,  min(md5('3:' || shingle)) AS mh3,
-                       min(md5('4:' || shingle)) AS mh4,  min(md5('5:' || shingle)) AS mh5,
-                       min(md5('6:' || shingle)) AS mh6,  min(md5('7:' || shingle)) AS mh7,
-                       min(md5('8:' || shingle)) AS mh8,  min(md5('9:' || shingle)) AS mh9,
-                       min(md5('10:' || shingle)) AS mh10, min(md5('11:' || shingle)) AS mh11,
-                       min(md5('12:' || shingle)) AS mh12, min(md5('13:' || shingle)) AS mh13,
-                       min(md5('14:' || shingle)) AS mh14, min(md5('15:' || shingle)) AS mh15
+                       min(substr(md5('0:' || shingle), 1, 8))  AS mh0,
+                       min(substr(md5('0:' || shingle), 9, 8))  AS mh1,
+                       min(substr(md5('0:' || shingle), 17, 8)) AS mh2,
+                       min(substr(md5('0:' || shingle), 25, 8)) AS mh3,
+                       min(substr(md5('1:' || shingle), 1, 8))  AS mh4,
+                       min(substr(md5('1:' || shingle), 9, 8))  AS mh5,
+                       min(substr(md5('1:' || shingle), 17, 8)) AS mh6,
+                       min(substr(md5('1:' || shingle), 25, 8)) AS mh7,
+                       min(substr(md5('2:' || shingle), 1, 8))  AS mh8,
+                       min(substr(md5('2:' || shingle), 9, 8))  AS mh9,
+                       min(substr(md5('2:' || shingle), 17, 8)) AS mh10,
+                       min(substr(md5('2:' || shingle), 25, 8)) AS mh11,
+                       min(substr(md5('3:' || shingle), 1, 8))  AS mh12,
+                       min(substr(md5('3:' || shingle), 9, 8))  AS mh13,
+                       min(substr(md5('3:' || shingle), 17, 8)) AS mh14,
+                       min(substr(md5('3:' || shingle), 25, 8)) AS mh15
                 FROM sh GROUP BY doc_id),
               buckets AS (
                 SELECT doc_id, band,
