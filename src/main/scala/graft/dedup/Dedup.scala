@@ -156,10 +156,14 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("hamming"))
   }
 
-  /** Embedding-cosine near-dup pairs above `minCos` (brute-force verify). */
+  /** Embedding-cosine near-dup pairs above `minCos` (brute-force verify).
+    * The streamed side is repartitioned so the O(n²) cosine loop spreads
+    * over all cores even when the corpus arrives as one small file.
+    */
   def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
       minCos: Double): DataFrame =
     embs.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+      .repartition(embs.sparkSession.sparkContext.defaultParallelism)
       .join(embs.select(col(idCol).as("b_id"), col(vecCol).as("b_vec")),
         col("a_id") < col("b_id"))
       .withColumn("cos", cosine_similarity(col("a_vec"), col("b_vec")))

@@ -96,8 +96,10 @@ object TextQueries extends QueryPack {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val nDocs = docs.count().toDouble
-        val toks = docs.select(col("doc_id"),
-          explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("token"))
+        val toks = docs
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("token"))
         val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("doc_id")
