@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.streaming.ChangeStreamRelay
+
+/** Relay throughput bench — the reference's native metric (it is a CDC
+  * relay; the comparable number is events/second through the full
+  * source → envelope → topic/key/value → keyed-sink path, which the
+  * reference processes on ONE goroutine, main.go:103-155).
+  *
+  * Synthesizes change-event JSON from the events fixture, runs the
+  * streaming relay end-to-end (AvailableNow, checkpointed, per-topic
+  * parquet sink), prints one JSON line with events/s.
+  */
+object RelayBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val src = Files.createTempDirectory("relaybench_src").toString
+    val out = Files.createTempDirectory("relaybench_out").toString
+    val chk = Files.createTempDirectory("relaybench_chk").toString
+
+    // synthesize the change-stream wire format from the events fixture
+    // (same mapping as SparkEntry.entry; error → invalidate dead-letters)
+    import graft.functions.ExtJson.ext_json_canonical
+    val events = Tables.table(spark, sfDir, "events")
+    val n = events.count()
+    events.select(to_json(struct(
+        col("event_id").cast("string").as("_id"),
+        when(col("event_type") === "signup", "insert")
+          .when(col("event_type") === "purchase", "update")
+          .when(col("event_type") === "click", "replace")
+          .when(col("event_type") === "view", "update")
+          .otherwise("invalidate").as("operationType"),
+        ext_json_canonical(col("ts")).as("clusterTime"),
+        struct(lit("app").as("db"), col("event_type").as("coll")).as("ns"),
+        ext_json_canonical(struct(col("user_id").as("_id"))).as("documentKey"),
+        ext_json_canonical(struct(
+          col("event_id"), col("user_id"), col("value"), col("props"))).as("fullDocument")))
+        .as("value"))
+      .write.mode("overwrite").text(src)
+
+    val t0 = System.nanoTime()
+    ChangeStreamRelay.run(spark, src, out, chk).awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val relayed = spark.read.parquet(out).count()
+    println(s"""{"metric":"relay_events_per_sec","value":${(n / sec).round},"unit":"events/s","events":$n,"relayed":$relayed,"sec":$sec,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
