@@ -270,6 +270,28 @@ object RelationalQueries extends QueryPack {
                      event_type, count(*) AS n, round(sum(value), 2) AS sum_value
               FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
+    // Sliding event-time windows (1 h window, 30 min slide): every event
+    // lands in 2 overlapping buckets. The oracle reproduces Spark's
+    // epoch-aligned window() semantics by exploding the k = window/slide
+    // candidate starts per event.
+    Q("ts_slide",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"))
+        .orderBy("w_start", "event_type"),
+      Some("""SELECT strftime(to_timestamp(start_s), '%Y-%m-%d %H:%M:%S') AS w_start,
+                     event_type, count(*) AS n
+              FROM (SELECT event_type,
+                           (floor(epoch(ts) / 1800) * 1800)::BIGINT - k * 1800 AS start_s,
+                           epoch(ts) AS t
+                    FROM events, (SELECT unnest([0, 1]) AS k))
+              WHERE t >= start_s AND t < start_s + 3600
+              GROUP BY start_s, event_type
+              ORDER BY w_start, event_type""")),
+
     // Sessionization: 30-min-gap sessions per user via lag + cumulative
     // sum — one shuffle on user_id, then narrow window arithmetic.
     Q("ts_session",
