@@ -77,7 +77,7 @@ object Multimodal {
     meta.toDF()
       .filter(col("kind") === "video")
       .select(col("media_id"), col("n_frames"), col("n_bytes"),
-        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+        explode(sequence(lit(0L), col("n_frames").cast("long") - 1, lit(stride.toLong))).as("frame_idx"))
       .withColumn("byte_offset", col("frame_idx") * col("n_bytes") / col("n_frames"))
       .select("media_id", "frame_idx", "byte_offset")
 
@@ -86,11 +86,11 @@ object Multimodal {
     */
   def decodeMetaColumns(media: DataFrame): DataFrame =
     media
-      .withColumn("n_bytes", length(col("bytes")))
-      .withColumn("width", lit(64) + pmod(col("n_bytes"), lit(577)))
-      .withColumn("height", lit(64) + pmod(col("n_bytes") * 31, lit(433)))
+      .withColumn("n_bytes", length(col("bytes")).cast("long"))
+      .withColumn("width", (lit(64) + pmod(col("n_bytes"), lit(577))).cast("long"))
+      .withColumn("height", (lit(64) + pmod(col("n_bytes") * 31, lit(433))).cast("long"))
       .withColumn("n_frames",
         when(col("kind") === "video", lit(1) + pmod(col("n_bytes"), lit(24)))
-          .otherwise(lit(1)))
+          .otherwise(lit(1)).cast("long"))
       .select("media_id", "kind", "n_bytes", "width", "height", "n_frames")
 }

@@ -75,7 +75,7 @@ object ExtendedQueries extends QueryPack {
           .select(col("event_id"), col("user_id"),
             round(coalesce(lag("value", 1).over(w), lit(-1.0)), 2).as("prev_value"),
             round(coalesce(lead("value", 1).over(w), lit(-1.0)), 2).as("next_value"),
-            ntile(4).over(w).as("quartile"))
+            ntile(4).over(w).cast("long").as("quartile"))
           .orderBy("event_id")
       },
       Some("""SELECT event_id, user_id,
@@ -120,7 +120,7 @@ object ExtendedQueries extends QueryPack {
           .agg(agg.toColumn.name("centroid"))
           .toDF("label", "centroid")
           .select(col("label"), posexplode(col("centroid")).as(Seq("dim_idx", "c")))
-          .select(col("label"), col("dim_idx"), round(col("c"), 6).as("c"))
+          .select(col("label"), col("dim_idx").cast("long").as("dim_idx"), round(col("c"), 6).as("c"))
           .orderBy("label", "dim_idx")
       },
       Some("""SELECT label, i - 1 AS dim_idx, round(avg(v), 6) AS c
@@ -196,7 +196,7 @@ object ExtendedQueries extends QueryPack {
       (s, dir) => t(s, dir, "embeddings")
         .select(
           col("vec_id"),
-          size(col("embedding")).as("dim"),
+          size(col("embedding")).cast("long").as("dim"),
           array_max(col("embedding")).as("max_elem"),
           array_min(col("embedding")).as("min_elem"),
           element_at(col("embedding"), 1).as("first_elem"))
@@ -214,9 +214,9 @@ object ExtendedQueries extends QueryPack {
         .select(
           col("o_orderkey"),
           upper(substring(col("o_orderpriority"), 1, 8)).as("prio"),
-          year(col("o_orderdate")).as("yr"),
-          month(col("o_orderdate")).as("mo"),
-          datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_99"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date")).cast("long").as("days_to_99"),
           round(abs(col("o_totalprice") - 1000.0), 2).as("abs_dev"),
           floor(col("o_totalprice") / 100.0).cast("long").as("price_bucket"),
           concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"))

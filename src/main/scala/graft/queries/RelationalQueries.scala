@@ -170,7 +170,7 @@ object RelationalQueries extends QueryPack {
         val w = Window.partitionBy("o_custkey")
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         t(s, dir, "orders")
-          .withColumn("rk", row_number().over(w))
+          .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 3)
           .select(col("o_custkey"), col("rk"), col("o_orderkey"),
             round(col("o_totalprice"), 2).as("price"))
@@ -309,7 +309,7 @@ object RelationalQueries extends QueryPack {
           .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
           .orderBy("user_id")
       },
-      Some("""SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+      Some("""SELECT user_id, max(sess_id)::BIGINT AS n_sessions, count(*) AS n_events
               FROM (SELECT user_id,
                            sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id

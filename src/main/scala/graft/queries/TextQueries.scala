@@ -37,8 +37,8 @@ object TextQueries extends QueryPack {
         t(s, dir, "documents")
           .select(
             col("doc_id"),
-            size(toks).as("n_tokens"),
-            size(array_distinct(toks)).as("n_uniq"),
+            size(toks).cast("long").as("n_tokens"),
+            size(array_distinct(toks)).cast("long").as("n_uniq"),
             round(TextFunctions.avgTokenLength(col("text"), toks), 4).as("avg_tok_len"),
             round(TextFunctions.stopwordRatio(toks), 4).as("stop_ratio"))
           .orderBy("doc_id")
@@ -82,7 +82,7 @@ object TextQueries extends QueryPack {
     // BPE-ish token counting (alnum runs + single punctuation marks).
     Q("text_token_count",
       (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
+        .select(col("doc_id"), TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
                      len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpe
@@ -107,7 +107,7 @@ object TextQueries extends QueryPack {
         tf.join(dfreq, "token")
           .withColumn("score",
             round(col("tf") * log(lit(nDocs) / col("df")), 4))
-          .withColumn("rk", row_number().over(w))
+          .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 5)
           .select("doc_id", "rk", "token", "score")
           .orderBy("doc_id", "rk")

@@ -20,10 +20,10 @@ class MultimodalSpec extends SparkSpec {
     assert(typed.length === cols.length && typed.length > 0)
     typed.zip(cols).foreach { case (t, c) =>
       assert(t.getLong(0) === c.getLong(0))
-      assert(t.getInt(2) === c.getInt(2))   // n_bytes
-      assert(t.getInt(3) === c.getInt(3))   // width
-      assert(t.getInt(4) === c.getInt(4))   // height
-      assert(t.getInt(5) === c.getInt(5))   // n_frames
+      assert(t.getInt(2).toLong === c.getLong(2))   // n_bytes
+      assert(t.getInt(3).toLong === c.getLong(3))   // width
+      assert(t.getInt(4).toLong === c.getLong(4))   // height
+      assert(t.getInt(5).toLong === c.getLong(5))   // n_frames
     }
   }
 
