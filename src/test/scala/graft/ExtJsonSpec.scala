@@ -65,6 +65,24 @@ class ExtJsonSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("string escaping round-trips through a real JSON parser for arbitrary strings") {
+    import org.apache.spark.sql.functions.{col, from_json, struct}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('"', '\\', '\n', '\t', '<', '>', '&', '€', '中'),
+      Gen.choose(' ', '~'))).map(_.mkString)
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val prop = Prop.forAll(strGen) { (s: String) =>
+      val rendered = spark.range(1)
+        .select(ext_json_canonical(struct(lit(s).as("s"))).as("j"))
+        .select(from_json(col("j"), schema).getField("s").as("back"))
+        .head().getString(0)
+      rendered == s
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("op filter is total: no input crashes, complement goes to dead letter (§2.2)") {
     import spark.implicits._
     val ops = Seq("insert", "update", "replace", "delete", "invalidate",
