@@ -62,16 +62,21 @@ object Dedup {
     *
     * The shingle index backs three subtrees (sizes + both join sides), so
     * it is cached — measured 6× faster than recomputing it per subtree.
-    * The pin is MEMORY_AND_DISK and LRU-evictable; long-lived sessions
-    * that need deterministic reclamation should materialize the index
-    * themselves (`shingleIndex(...).write.parquet`) and pass it through
-    * the join manually — at 100 TB that one-time materialization is the
-    * right shape anyway.
+    * The pin is MEMORY_AND_DISK and LRU-evictable, but a returned-lazy
+    * frame has no safe unpersist point, so each call leaves one pinned
+    * plan behind — long-lived sessions making many calls should pass
+    * `cacheIndex = false` (recompute per subtree) or materialize the
+    * index themselves (`shingleIndex(...).write.parquet`) and join
+    * manually; at 100 TB that one-time materialization is the right
+    * shape anyway.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minJaccard: Double): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      n: Int, minJaccard: Double, cacheIndex: Boolean = true): DataFrame = {
+    val idx0 = shingleIndex(docs, idCol, textCol, n)
+    val idx =
+      if (cacheIndex)
+        idx0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else idx0
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = idx.as("a").join(idx.as("b"), Seq("shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))

@@ -20,8 +20,11 @@ import org.apache.spark.sql.types._
   * SEQUENTIALLY IN FLOAT32 over the array, then widen to double for the
   * sqrt/divide — exactly DuckDB `list_dot_product`'s scheme (verified
   * bit-for-bit against it), so similarity values hash-compare across
-  * engines. The float32 accumulator costs ~1e-7 relative accuracy, which
-  * is far below any ANN decision threshold.
+  * engines. The float32 accumulator costs ~1e-7 relative accuracy (far
+  * below any ANN decision threshold) and narrows dynamic range: a
+  * squared-norm sum past Float.MaxValue overflows to Infinity exactly as
+  * DuckDB's float accumulator does — parity holds there too; normalize
+  * embeddings upstream if magnitudes approach 1e19.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {

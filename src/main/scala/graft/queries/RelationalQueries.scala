@@ -282,7 +282,7 @@ object RelationalQueries extends QueryPack {
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
           col("event_type"), col("n"))
         .orderBy("w_start", "event_type"),
-      Some("""SELECT strftime(to_timestamp(start_s), '%Y-%m-%d %H:%M:%S') AS w_start,
+      Some("""SELECT strftime(make_timestamp(start_s * 1000000), '%Y-%m-%d %H:%M:%S') AS w_start,
                      event_type, count(*) AS n
               FROM (SELECT event_type,
                            (floor(epoch(ts) / 1800) * 1800)::BIGINT - k * 1800 AS start_s,

@@ -110,11 +110,12 @@ object ChangeStreamRelay {
     * `spark.read.parquet(outDir)` and see `batch` as a partition column.
     */
   def writePerTopicParquet(relayed: DataFrame, outDir: String,
-      checkpointDir: String): DataStreamWriter[Row] =
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
     relayed.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.write.mode("overwrite").partitionBy("topic")
           .parquet(s"$outDir/batch=$batchId")
@@ -122,10 +123,18 @@ object ChangeStreamRelay {
 
   /** End-to-end: source dir → relay → per-topic parquet. Returns the
     * started query; caller awaits termination.
+    *
+    * `oneShot = true` (default) drains what exists and stops
+    * (`AvailableNow` — the batch/test shape); `oneShot = false` runs as a
+    * continuous daemon like the reference's forever-loop (main.go:103),
+    * polling the source every 5 s.
     */
   def run(spark: SparkSession, srcDir: String, outDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, oneShot: Boolean = true): StreamingQuery = {
     val env = readChangeStream(spark, srcDir)
-    writePerTopicParquet(relay(env), outDir, checkpointDir).start()
+    val trigger =
+      if (oneShot) Trigger.AvailableNow()
+      else Trigger.ProcessingTime("5 seconds")
+    writePerTopicParquet(relay(env), outDir, checkpointDir, trigger).start()
   }
 }

@@ -43,14 +43,18 @@ object RelayApp {
       checkpointDir = env.getOrElse("CHECKPOINT_DIR", "/tmp/graft-relay/checkpoint"))
 
     implicit class Ops(val c: RelayConfig) extends AnyVal {
-      /** Options for the MongoDB change-stream connector source. */
+      /** Reader options for the MongoDB Spark connector v10 change-stream
+        * source — the UNPREFIXED key shape `readStream.format("mongodb")
+        * .options(...)` expects (the `spark.mongodb.read.*` prefix form is
+        * only for SparkConf-level defaults).
+        */
       def sourceOptions: Map[String, String] = Map(
-        "spark.mongodb.connection.uri" -> c.mongoUri,
-        "spark.mongodb.database" -> c.mongoDb,
-        "spark.mongodb.collection" -> c.mongoCollection,
+        "connection.uri" -> c.mongoUri,
+        "database" -> c.mongoDb,
+        "collection" -> c.mongoCollection,
         // full post-image per update, as the reference requests
         // (UpdateLookup, main.go:92)
-        "spark.mongodb.change.stream.lookup.full.document" -> "updateLookup")
+        "change.stream.lookup.full.document" -> "updateLookup")
 
       /** Options for the Kafka sink (acks parity with main.go:33-41). */
       def kafkaSinkOptions: Map[String, String] = Map(
@@ -72,7 +76,11 @@ object RelayApp {
     val srcDir = cfg.sourceDir.getOrElse(
       sys.error("SOURCE_DIR must point at a change-event JSON directory " +
         "(connector-free local mode; Mongo connector jar not on classpath)"))
-    val query = ChangeStreamRelay.run(spark, srcDir, cfg.outDir, cfg.checkpointDir)
+    // daemon by default, like the reference's forever-loop (main.go:103);
+    // RELAY_DRAIN=true drains existing files once and exits
+    val oneShot = sys.env.get("RELAY_DRAIN").contains("true")
+    val query = ChangeStreamRelay.run(spark, srcDir, cfg.outDir, cfg.checkpointDir,
+      oneShot = oneShot)
     query.awaitTermination()
     spark.stop()
   }

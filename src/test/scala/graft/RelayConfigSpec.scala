@@ -27,10 +27,10 @@ class RelayConfigSpec extends AnyFunSuite {
       "MONGO_COLLECTION" -> "events"))
     assert(c.kafkaSinkOptions === Map(
       "kafka.bootstrap.servers" -> "broker:9092", "kafka.acks" -> "1"))
-    assert(c.sourceOptions("spark.mongodb.database") === "prod")
-    assert(c.sourceOptions("spark.mongodb.collection") === "events")
+    assert(c.sourceOptions("database") === "prod")
+    assert(c.sourceOptions("collection") === "events")
     // UpdateLookup post-image parity (main.go:92)
-    assert(c.sourceOptions("spark.mongodb.change.stream.lookup.full.document")
+    assert(c.sourceOptions("change.stream.lookup.full.document")
       === "updateLookup")
   }
 }

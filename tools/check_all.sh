@@ -12,6 +12,6 @@ python3 tools/xcheck.py /root/testdata/sf0.01 /tmp/vout_ca
 sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/vout_ca001"
 python3 tools/xcheck.py /root/testdata/sf0.001 /tmp/vout_ca001
 
-sbt -batch "runMain graft.Demo" | grep -a "rows=" || true
+sbt -batch "runMain graft.Demo" | grep -a "rows=799"
 sbt -batch "runMain graft.Bench" | grep -a '"metric"'
 echo "ALL CHECKS PASSED"
