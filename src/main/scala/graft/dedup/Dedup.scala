@@ -78,13 +78,28 @@ object Dedup {
         idx0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else idx0
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val common = idx.as("a").join(idx.as("b"), Seq("shingle"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_common"))
+    // Postings-list pair generation: ONE shuffle of the index (groupBy
+    // shingle), then pairs explode narrowly from each posting array —
+    // half the shuffle volume of the self-join shape (which moves the
+    // index twice), and singleton shingles (which can never produce a
+    // pair) die in the size filter instead of riding through a join.
+    // A shingle shared by d docs still yields d²/2 pairs either way —
+    // that blowup is inherent to exact Jaccard; the posting array just
+    // holds the d doc ids (not the pairs) in memory per group.
+    val pairs = idx.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+          |    named_struct('a_id', x, 'b_id', y))))""".stripMargin)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+    val common = pairs.groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+    // sizes is one row per doc — tiny next to the pair table; broadcast
+    // keeps the two enrichment joins shuffle-free
     common
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na")), "a_id")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb")), "b_id")
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double"))
@@ -92,28 +107,45 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Fixed coefficients for the MinHash linear permutations: arbitrary odd
+    * multipliers < 2³⁰ and offsets < 2³², so `a·h + b` with a 32-bit `h`
+    * stays under 2⁶³ — no overflow in Java longs OR in engines whose
+    * BIGINT arithmetic raises on overflow (the DuckDB oracle) instead of
+    * wrapping. Public so oracle SQL can be generated from the same values.
+    */
+  val Perms: IndexedSeq[(Long, Long)] = IndexedSeq(
+    (972663749L, 1005101413L), (589317241L, 259122101L),
+    (775982237L, 847983251L), (463856993L, 754976947L),
+    (646428733L, 185959823L), (854747021L, 362736509L),
+    (569352097L, 719240027L), (912338389L, 478562137L),
+    (737106461L, 928392013L), (398479853L, 613790467L),
+    (820055317L, 294817291L), (507909379L, 881573279L),
+    (693582359L, 157399841L), (941276489L, 536098331L),
+    (425918047L, 672410393L), (758631229L, 409563119L))
+
   /** k-wide MinHash signature per doc in a single aggregation.
     *
-    * Permutation `i` = lexicographic-min of an 8-hex-char LANE of a salted
-    * md5: one md5 yields 4 independent uniform lanes (32 hex chars / 8),
-    * so k permutations cost k/4 md5 calls per shingle. The salted md5s
-    * are materialized in a projection BEFORE the aggregation — aggregate
-    * expressions don't share subexpressions, so `min(substr(md5(...)))`
-    * k times would recompute every md5 k/4 times. String min over a
-    * uniform hex lane ≡ min over a uniform hash of the shingle universe,
-    * reproducible in any engine with md5.
+    * The classic one-hash scheme: md5 the shingle ONCE, take its first
+    * 32 bits as `h`, and approximate k independent permutations with k
+    * linear transforms `(aᵢ·h + bᵢ) mod 2³²` ([[Perms]]) — k `min`
+    * aggregates over cheap integer arithmetic instead of k/4 md5 calls
+    * per shingle (md5 dominated the old profile 4:1). Pure integer math
+    * on an md5-derived value, so any engine with md5 reproduces the
+    * signatures bit-for-bit.
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
-    val nSalts = (k + 3) / 4
+    require(k <= Perms.length, s"at most ${Perms.length} permutations wired")
     val idx = shingleIndex(docs, idCol, textCol, n)
-      .select(col("doc_id") +:
-        (0 until nSalts).map(s =>
-          md5(concat(lit(s"$s:"), col("shingle"))).as(s"h$s")): _*)
-    val lane = (i: Int) => substring(col(s"h${i / 4}"), (i % 4) * 8 + 1, 8)
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h"))
+    def perm(i: Int): Column = {
+      val (a, b) = Perms(i)
+      (col("h") * a + b) % 4294967296L
+    }
     idx.groupBy("doc_id")
-      .agg(min(lane(0)).as("mh0"),
-        (1 until k).map(i => min(lane(i)).as(s"mh$i")): _*)
+      .agg(min(perm(0)).as("mh0"),
+        (1 until k).map(i => min(perm(i)).as(s"mh$i")): _*)
   }
 
   /** LSH banding: docs sharing any band bucket are candidate pairs.
@@ -135,21 +167,30 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit frequency-weighted SimHash per document. */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
+  /** 32-bit frequency-weighted SimHash per document.
+    *
+    * ONE aggregation with 32 integer `sum` columns (one per bit), not an
+    * explode of tokens × 32 bit-positions: the explode shape pushed a 32×
+    * row blowup through two shuffles; here the shuffle carries 32 long
+    * partials per doc (map-side combine) and the bit votes stay inside
+    * whole-stage codegen. Integer sums are order-independent, so the
+    * result is bit-identical to the per-bit formulation.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(TextFunctions.normalize(col(textCol)))).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
-      .withColumn("vote",
-        when(expr("(h >> b) % 2") === 1, lit(1)).otherwise(lit(-1)))
-      .groupBy("doc_id", "b")
-      .agg(sum("vote").as("votes"))
-      .withColumn("bit", when(col("votes") > 0, 1L).otherwise(0L))
-      .groupBy("doc_id")
-      .agg(sum(expr("bit << b")).as("simhash"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+    val votes = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"v$b"))
+    hashed.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -15,6 +15,15 @@ import graft.text.TextFunctions
   */
 object TextQueries extends QueryPack {
 
+  /** The oracle's mirror of [[Dedup.minHashSignatures]]'s permutations,
+    * generated from the same coefficient table so the two engines cannot
+    * drift.
+    */
+  private def minHashSigSql(k: Int): String =
+    Dedup.Perms.take(k).zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % 4294967296) AS mh$i"
+    }.mkString(",\n                       ")
+
   override val queries: Seq[Q] = Seq(
 
     // Tokenize → explode → frequency. The shuffle carries (token, count)
@@ -104,7 +113,10 @@ object TextQueries extends QueryPack {
         val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("token"))
-        tf.join(dfreq, "token")
+        // dfreq is one row per vocabulary term — orders of magnitude
+        // smaller than the doc×term tf table; broadcasting it keeps tf
+        // un-shuffled going into the join
+        tf.join(broadcast(dfreq), "token")
           .withColumn("score",
             round(col("tf") * log(lit(nDocs) / col("df")), 4))
           .withColumn("rk", row_number().over(w).cast("long"))
@@ -166,40 +178,29 @@ object TextQueries extends QueryPack {
       (s, dir) => Dedup.minHashCandidates(t(s, dir, "documents"), "doc_id", "text",
           n = 3, k = 16, bands = 4)
         .orderBy("a_id", "b_id"),
-      Some("""WITH sh AS (
+      Some(s"""WITH sh AS (
                 SELECT doc_id, unnest(
                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                                  for i in range(1, len(t) - 1)])) AS shingle
                 FROM (SELECT doc_id,
                              string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
                       FROM documents)),
+              lane AS (
+                SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+                FROM sh),
+              -- one-hash MinHash: permutation i = (a_i*h + b_i) mod 2^32,
+              -- coefficients shared with graft.dedup.Dedup.Perms
               sig AS (
-                -- each salted md5 yields 4 independent 8-hex-char lanes
                 SELECT doc_id,
-                       min(substr(md5('0:' || shingle), 1, 8))  AS mh0,
-                       min(substr(md5('0:' || shingle), 9, 8))  AS mh1,
-                       min(substr(md5('0:' || shingle), 17, 8)) AS mh2,
-                       min(substr(md5('0:' || shingle), 25, 8)) AS mh3,
-                       min(substr(md5('1:' || shingle), 1, 8))  AS mh4,
-                       min(substr(md5('1:' || shingle), 9, 8))  AS mh5,
-                       min(substr(md5('1:' || shingle), 17, 8)) AS mh6,
-                       min(substr(md5('1:' || shingle), 25, 8)) AS mh7,
-                       min(substr(md5('2:' || shingle), 1, 8))  AS mh8,
-                       min(substr(md5('2:' || shingle), 9, 8))  AS mh9,
-                       min(substr(md5('2:' || shingle), 17, 8)) AS mh10,
-                       min(substr(md5('2:' || shingle), 25, 8)) AS mh11,
-                       min(substr(md5('3:' || shingle), 1, 8))  AS mh12,
-                       min(substr(md5('3:' || shingle), 9, 8))  AS mh13,
-                       min(substr(md5('3:' || shingle), 17, 8)) AS mh14,
-                       min(substr(md5('3:' || shingle), 25, 8)) AS mh15
-                FROM sh GROUP BY doc_id),
+                       ${minHashSigSql(k = 16)}
+                FROM lane GROUP BY doc_id),
               buckets AS (
                 SELECT doc_id, band,
                        CASE band
-                         WHEN 0 THEN md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3)
-                         WHEN 1 THEN md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7)
-                         WHEN 2 THEN md5(mh8 || '|' || mh9 || '|' || mh10 || '|' || mh11)
-                         ELSE md5(mh12 || '|' || mh13 || '|' || mh14 || '|' || mh15)
+                         WHEN 0 THEN md5(concat_ws('|', mh0, mh1, mh2, mh3))
+                         WHEN 1 THEN md5(concat_ws('|', mh4, mh5, mh6, mh7))
+                         WHEN 2 THEN md5(concat_ws('|', mh8, mh9, mh10, mh11))
+                         ELSE md5(concat_ws('|', mh12, mh13, mh14, mh15))
                        END AS bkey
                 FROM sig, (SELECT unnest([0,1,2,3]) AS band))
               SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
