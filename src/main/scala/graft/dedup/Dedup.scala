@@ -71,24 +71,58 @@ object Dedup {
     * shape anyway.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minJaccard: Double, cacheIndex: Boolean = true): DataFrame = {
+      n: Int, minJaccard: Double, cacheIndex: Boolean = true,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val idx0 = shingleIndex(docs, idCol, textCol, n)
     val idx =
       if (cacheIndex)
         idx0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else idx0
+    jaccardPairsFromIndex(idx, minJaccard, maxShingleDf)
+  }
+
+  /** Materialize the shingle index once (partitioned by shingle hash so
+    * downstream pair generation reads pre-bucketed data), for the
+    * long-lived-session / 100 TB shape: build once, run many
+    * [[jaccardPairsFromIndex]] passes at different thresholds without a
+    * cache pin or recompute. Pair with
+    * `spark.read.parquet(path)` → [[jaccardPairsFromIndex]].
+    */
+  def writeShingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, path: String, buckets: Int = 64): DataFrame = {
+    shingleIndex(docs, idCol, textCol, n)
+      .withColumn("shingle_bucket", pmod(xxhash64(col("shingle")), lit(buckets)))
+      .write.partitionBy("shingle_bucket").mode("overwrite").parquet(path)
+    docs.sparkSession.read.parquet(path)
+  }
+
+  /** Exact Jaccard pairs from a prebuilt (doc_id, shingle) index — the
+    * primary pair-generation engine behind [[jaccardPairs]].
+    *
+    * Postings-list shape: ONE shuffle of the index (groupBy shingle),
+    * then pairs explode narrowly from each posting array — half the
+    * shuffle volume of the self-join shape (which moves the index twice),
+    * and singleton shingles (which can never produce a pair) die in the
+    * size filter instead of riding through a join.
+    *
+    * `maxShingleDf` is the stop-shingle cap: a shingle appearing in d
+    * docs yields d²/2 pairs, so one web-scale stop-shingle ("in the of")
+    * explodes quadratically. Dropping postings longer than the cap before
+    * pair generation bounds every posting's fan-out at cap²/2.
+    * RECALL TRADEOFF: a pair whose every common shingle is capped is
+    * lost, and a pair that keeps some common shingles still counts the
+    * capped ones in the union (sizes are computed pre-cap), so its
+    * Jaccard is UNDERestimated — the cap trades bounded work for
+    * one-sided (never inflated) similarity. Near-dup pairs share many
+    * low-df shingles, so a generous cap (≫ typical duplication factor,
+    * ≪ corpus size) loses nothing in practice.
+    */
+  def jaccardPairsFromIndex(idx: DataFrame, minJaccard: Double,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // Postings-list pair generation: ONE shuffle of the index (groupBy
-    // shingle), then pairs explode narrowly from each posting array —
-    // half the shuffle volume of the self-join shape (which moves the
-    // index twice), and singleton shingles (which can never produce a
-    // pair) die in the size filter instead of riding through a join.
-    // A shingle shared by d docs still yields d²/2 pairs either way —
-    // that blowup is inherent to exact Jaccard; the posting array just
-    // holds the d doc ids (not the pairs) in memory per group.
     val pairs = idx.groupBy("shingle")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxShingleDf)
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
           |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
@@ -192,27 +226,100 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`. */
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, via
+    * pigeonhole banding — NOT an all-pairs join.
+    *
+    * The 32-bit signature splits into `maxHamming + 1` contiguous bit
+    * chunks; two signatures within Hamming distance `maxHamming` differ
+    * in at most `maxHamming` bits, so BY PIGEONHOLE at least one chunk is
+    * bit-identical — the equi-join on (band, chunk) has **guaranteed
+    * total recall** (this is exact, not approximate). The join is
+    * hash-partitioned on the chunk value (never doc×doc); survivors are
+    * Hamming-verified with one XOR+popcount, and multi-band collisions
+    * dedup on the pair key. At 100 TB the shuffle carries
+    * (maxHamming+1) × one long per doc.
+    */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "need 0 <= maxHamming < 32 for 32-bit bands")
+    val nBands = maxHamming + 1
     val sh = simHash(docs, idCol, textCol)
-    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming", bit_count(expr("a.simhash ^ b.simhash")))
+    val bandKeys = (0 until nBands).map { b =>
+      val lo = b * 32 / nBands
+      val width = (b + 1) * 32 / nBands - lo
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)).as("chunk"))
+    }
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    banded.as("a").join(banded.as("b"), Seq("band", "chunk"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(expr("a.simhash ^ b.simhash")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("hamming"))
+      .distinct()
   }
 
-  /** Embedding-cosine near-dup pairs above `minCos` (brute-force verify).
-    * The streamed side is repartitioned so the O(n²) cosine loop spreads
-    * over all cores even when the corpus arrives as one small file.
+  /** Exact embedding-cosine near-dup pairs above `minCos`, as a
+    * **blocked triangle join** — every pair is compared exactly once, but
+    * through a hash-partitioned equi-join instead of a broadcast
+    * nested-loop: rows are assigned to one of `blocks` buckets by id
+    * hash; a row in bucket `p` replicates to join keys (p, q) for q ≥ p
+    * on the left and (q, p) for q ≤ p on the right, so reducer (i, j)
+    * sees exactly blocks i and j and compares them locally. Work is the
+    * inherent n²/2 cosines of an exact threshold join, spread evenly over
+    * B(B+1)/2 reducers with ~(B+1)× row replication — choose `blocks` ≈
+    * n / √(pairs-per-task budget) at scale. Diagonal reducers (i = i)
+    * dedup by `a_id < b_id`; cross-block matches occur exactly once and
+    * re-order their ids on output.
+    *
+    * Why not LSH here: an exact result at a MODERATE threshold
+    * (cos ≈ 0.5 ⇒ ~0.65 per-bit collision) needs so many tables that
+    * candidate volume exceeds n²/2 — see
+    * [[graft.similarity.Similarity.srpCandidates]]'s regime note. For
+    * true near-dup thresholds use [[embeddingPairsViaCandidates]].
     */
   def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
-      minCos: Double): DataFrame =
-    embs.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
-      .repartition(embs.sparkSession.sparkContext.defaultParallelism)
-      .join(embs.select(col(idCol).as("b_id"), col(vecCol).as("b_vec")),
-        col("a_id") < col("b_id"))
+      minCos: Double, blocks: Int = 8): DataFrame = {
+    val base = embs
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("blk"))
+    val aSide = base.select(col("id").as("xa_id"), col("vec").as("a_vec"),
+      col("blk").as("bi"), explode(sequence(col("blk"), lit(blocks - 1))).as("bj"))
+    val bSide = base.select(col("id").as("xb_id"), col("vec").as("b_vec"),
+      explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"))
+    aSide.join(bSide, Seq("bi", "bj"))
+      // diagonal reducers see each unordered pair twice (and each row
+      // against itself once) — keep one orientation; cross-block pairs
+      // arrive exactly once in arbitrary id order
+      .filter(col("bi") =!= col("bj") || col("xa_id") < col("xb_id"))
+      .withColumn("cos", cosine_similarity(col("a_vec"), col("b_vec")))
+      .filter(col("cos") >= minCos)
+      .select(least(col("xa_id"), col("xb_id")).as("a_id"),
+        greatest(col("xa_id"), col("xb_id")).as("b_id"), col("cos"))
+  }
+
+  /** Embedding near-dup via SRP-LSH candidates → exact cosine verify —
+    * the sub-quadratic path for TRUE near-duplicate thresholds
+    * (cos ≥ ~0.85), where a few tables give near-total recall at a
+    * candidate volume ≪ n²/2. Candidates shuffle on (table, bucket);
+    * the verify joins vectors back by id and keeps pairs ≥ `minCos`.
+    * Approximate by construction: recall is 1-(1-p^bits)^tables per pair
+    * (p = 1 - θ/π); raise `tables` to taste.
+    */
+  def embeddingPairsViaCandidates(embs: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, dim: Int, bitsPerTable: Int = 12, tables: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    val cands = graft.similarity.Similarity.srpCandidates(
+      embs, idCol, vecCol, bitsPerTable, tables, dim, seed)
+    val vecs = embs.select(col(idCol), col(vecCol))
+    cands
+      .join(vecs.select(col(idCol).as("a_id"), col(vecCol).as("a_vec")), "a_id")
+      .join(vecs.select(col(idCol).as("b_id"), col(vecCol).as("b_vec")), "b_id")
       .withColumn("cos", cosine_similarity(col("a_vec"), col("b_vec")))
       .filter(col("cos") >= minCos)
       .select("a_id", "b_id", "cos")
+  }
 }

@@ -87,8 +87,70 @@ case class CosineSimilarity(left: Expression, right: Expression)
     })
 }
 
+/** Plain float32 dot product of two `array<float>` columns — the cheap
+  * sibling of [[CosineSimilarity]] for the places that only need the
+  * projection, not the angle: SRP-LSH bucketing takes `sign(v·p)`, and
+  * pre-normalized corpora can rank by dot alone. Skipping the two norm
+  * loops cuts ~2/3 of the flops per call, which is the whole cost of an
+  * LSH bucketing pass. Same float32 sequential accumulation as
+  * [[CosineSimilarity]] (DuckDB `list_dot_product` parity).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects two array<float> columns, got " +
+            s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0f
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i) * b.getFloat(i)
+      i += 1
+    }
+    dot.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |float $dot = 0.0f;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getFloat($i) * $b.getFloat($i);
+         |}
+         |${ev.value} = (double) $dot;
+       """.stripMargin
+    })
+}
+
 object VectorFunctions {
   /** Cosine similarity between two `array<float>` columns (codegen'd). */
   def cosine_similarity(a: Column, b: Column): Column =
     glue.toColumn(CosineSimilarity(glue.toExpression(a), glue.toExpression(b)))
+
+  /** Float32 dot product between two `array<float>` columns (codegen'd). */
+  def dot_product(a: Column, b: Column): Column =
+    glue.toColumn(DotProduct(glue.toExpression(a), glue.toExpression(b)))
 }

@@ -68,10 +68,16 @@ object ExtendedQueries extends QueryPack {
               ORDER BY event_id""")),
 
     // lag/lead/ntile window family over per-user event sequences.
+    // Certified on a 1-in-10 user band (same rationale as win_running):
+    // identical window physics per band, bounded certified output — the
+    // global ORDER BY exists only for the oracle hash and must not sort
+    // the world. user_id filter = partition-key filter → pushes below
+    // the window to the scan.
     Q("win_lag_lead",
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         t(s, dir, "events")
+          .filter(col("user_id") % 10 === 0)
           .select(col("event_id"), col("user_id"),
             round(coalesce(lag("value", 1).over(w), lit(-1.0)), 2).as("prev_value"),
             round(coalesce(lead("value", 1).over(w), lit(-1.0)), 2).as("next_value"),
@@ -83,6 +89,7 @@ object ExtendedQueries extends QueryPack {
                      round(coalesce(lead(value) OVER w, -1), 2) AS next_value,
                      ntile(4) OVER w AS quartile
               FROM events
+              WHERE user_id % 10 = 0
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
               ORDER BY event_id""")),
 

@@ -185,6 +185,13 @@ object RelationalQueries extends QueryPack {
 
     // Running-total window: cumulative revenue per supplier in a total
     // frame order, so both engines fold doubles in the same sequence.
+    // Certified on a 1-in-10 supplier band: the window physics (shuffle
+    // on l_suppkey, frame-bounded running sum) is identical for every
+    // band, but the certified output — whose only consumer is the
+    // oracle's hash, via a global total-order sort — stays bounded
+    // instead of sorting the whole table at any scale. The supplier
+    // filter sits below the window (same partition key) so it pushes to
+    // the parquet scan.
     Q("win_running",
       (s, dir) => {
         val w = Window.partitionBy("l_suppkey")
@@ -193,6 +200,7 @@ object RelationalQueries extends QueryPack {
         // (l_orderkey, l_linenumber) is NOT unique in this fixture — the
         // shipdate must stay in the output sort for a total order.
         t(s, dir, "lineitem")
+          .filter(col("l_suppkey") % 10 === 0)
           .withColumn("running_qty", round(sum("l_quantity").over(w), 2))
           .select(col("l_suppkey"),
             date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
@@ -207,6 +215,7 @@ object RelationalQueries extends QueryPack {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                        AS running_qty
               FROM lineitem
+              WHERE l_suppkey % 10 = 0
               ORDER BY l_suppkey, ship_day, l_orderkey, l_linenumber""")),
 
     // Global top-k: Spark plans TakeOrderedAndProject (per-partition heap

@@ -104,7 +104,10 @@ object TextQueries extends QueryPack {
     Q("text_tfidf",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val nDocs = docs.count().toDouble
+        // corpus size as an IN-PLAN 1-row aggregate (broadcast cross
+        // join), not a driver-side count() — no extra eager scan of the
+        // corpus before the pipeline even starts
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
         val toks = docs
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"),
@@ -117,8 +120,9 @@ object TextQueries extends QueryPack {
         // smaller than the doc×term tf table; broadcasting it keeps tf
         // un-shuffled going into the join
         tf.join(broadcast(dfreq), "token")
+          .crossJoin(broadcast(nDocs))
           .withColumn("score",
-            round(col("tf") * log(lit(nDocs) / col("df")), 4))
+            round(col("tf") * log(col("n_docs") / col("df")), 4))
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 5)
           .select("doc_id", "rk", "token", "score")
@@ -227,5 +231,40 @@ object TextQueries extends QueryPack {
                 FROM bits GROUP BY doc_id, b)
               SELECT doc_id,
                      sum(CASE WHEN votes > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
-              FROM votes GROUP BY doc_id ORDER BY doc_id""")))
+              FROM votes GROUP BY doc_id ORDER BY doc_id""")),
+
+    // SimHash near-dup PAIRS via pigeonhole banding: the signature splits
+    // into maxHamming+1 chunks and pairs equi-join on (band, chunk) —
+    // guaranteed-total recall (≤ maxHamming differing bits can't touch
+    // every chunk), hash-partitioned, never doc×doc. The oracle is the
+    // O(n²) all-pairs SQL — DuckDB re-derives the same answer the
+    // brute-force way, proving the banding loses nothing.
+    Q("doc_dedup_simhash_pairs",
+      (s, dir) => Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 2)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+        .orderBy("a_id", "b_id"),
+      Some("""WITH tok AS (
+                SELECT doc_id, unnest(
+                  string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+                FROM documents),
+              bits AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h,
+                       unnest(range(0, 32)) AS b
+                FROM tok),
+              votes AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS votes
+                FROM bits GROUP BY doc_id, b),
+              sh AS (
+                SELECT doc_id,
+                       sum(CASE WHEN votes > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
+                FROM votes GROUP BY doc_id)
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     bit_count(xor(a.simhash, b.simhash)::BIT)::BIGINT AS hamming
+              FROM sh a, sh b
+              WHERE a.doc_id < b.doc_id
+                AND bit_count(xor(a.simhash, b.simhash)::BIT) <= 2
+              ORDER BY a_id, b_id""")))
 }

@@ -100,11 +100,13 @@ object VectorQueries extends QueryPack {
     Q("vec_lsh_candidates",
       (s, dir) => Similarity.srpCandidates(
           t(s, dir, "embeddings"), "vec_id", "embedding",
-          bitsPerTable = 8, tables = 4)
+          bitsPerTable = 8, tables = 4, dim = 64)
         .orderBy("a_id", "b_id"),
       None),
 
-    // Embedding-cosine near-dup pairs (brute-force verify form).
+    // Embedding-cosine near-dup pairs: exact blocked triangle join —
+    // hash-partitioned equi-join on block-pair keys, no broadcast
+    // nested-loop, work spread evenly over B(B+1)/2 reducers.
     Q("vec_near_dup",
       (s, dir) => Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           minCos = 0.45)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.cosine_similarity
+import graft.functions.VectorFunctions.{cosine_similarity, dot_product}
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
   * column.
@@ -47,21 +47,35 @@ object Similarity {
   /** SRP-LSH bucket key per row: the sign-bit string of `planes.size`
     * signed projections. Cosine-close vectors agree on most sign bits, so
     * they collide with probability (1 - θ/π) per bit. Narrow per-row
-    * compute (the codegen'd dot), zero shuffle.
+    * compute, zero shuffle. `sign(cos(v,p)) == sign(v·p)` (norms are
+    * non-negative), so this uses the norm-free [[dot_product]] — 1/3 the
+    * flops of the cosine form for identical bucket keys.
     */
   def srpBucket(vec: Column, planes: Seq[Array[Float]]): Column =
     concat(planes.map { p =>
-      when(cosine_similarity(vec, typedLit(p.toSeq)) >= 0, "1").otherwise("0")
+      when(dot_product(vec, typedLit(p.toSeq)) >= 0, "1").otherwise("0")
     }: _*)
 
   /** Multi-table SRP-LSH candidate pairs: `tables` independent bucket
     * keys; rows sharing any bucket are candidates. The shuffle is on
     * (table, bucket) — never doc×doc — and recall rises with table count
     * while each table stays cheap.
+    *
+    * `dim` is the (fixed) embedding dimensionality — a schema fact the
+    * caller knows; taking it as a parameter avoids a driver-side
+    * `.head()` job against the corpus just to measure one array.
+    *
+    * Regime note: per-bit collision probability is `1 - θ/π`, so
+    * amplified recall at a given candidate budget depends sharply on the
+    * similarity floor. For near-duplicate thresholds (cos ≥ ~0.85,
+    * p ≥ 0.82/bit) a handful of tables gives near-total recall at a tiny
+    * candidate volume. For moderate thresholds (cos ≈ 0.5, p ≈ 0.65/bit)
+    * the tables needed for high recall generate MORE candidate pairs than
+    * the exact blocked join ([[graft.dedup.Dedup.embeddingPairs]]) —
+    * use that instead there.
     */
   def srpCandidates(corpus: DataFrame, idCol: String, vecCol: String,
-      bitsPerTable: Int, tables: Int, seed: Long = 42L): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+      bitsPerTable: Int, tables: Int, dim: Int, seed: Long = 42L): DataFrame = {
     val buckets = corpus.select(
       col(idCol),
       explode(array((0 until tables).map { t =>

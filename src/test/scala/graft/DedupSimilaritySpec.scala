@@ -84,9 +84,9 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("SRP-LSH: bucket keys are deterministic and candidates are id-ordered pairs") {
     val c1 = Similarity.srpCandidates(embs, "vec_id", "embedding",
-      bitsPerTable = 4, tables = 4)
+      bitsPerTable = 4, tables = 4, dim = 64)
     val c2 = Similarity.srpCandidates(embs, "vec_id", "embedding",
-      bitsPerTable = 4, tables = 4)
+      bitsPerTable = 4, tables = 4, dim = 64)
     val s1 = c1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val s2 = c2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(s1 === s2, "deterministic across runs")
@@ -94,9 +94,89 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(s1.forall { case (a, b) => a < b })
     // more tables can only add candidates (monotone recall)
     val more = Similarity.srpCandidates(embs, "vec_id", "embedding",
-      bitsPerTable = 4, tables = 8)
+      bitsPerTable = 4, tables = 8, dim = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(s1.subsetOf(more))
+  }
+
+  test("blocked embeddingPairs matches all-pairs brute force, at any block count") {
+    val ref = embs.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+      .crossJoin(embs.select(col("vec_id").as("b_id"), col("embedding").as("b_vec")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine_similarity(col("a_vec"), col("b_vec")))
+      .filter(col("cos") >= 0.45)
+      .select("a_id", "b_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ref.nonEmpty, "fixture should contain planted near-dup vectors")
+    for (blocks <- Seq(1, 4, 8)) {
+      val got = Dedup.embeddingPairs(embs, "vec_id", "embedding",
+          minCos = 0.45, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === ref, s"blocks=$blocks diverged from brute force")
+    }
+  }
+
+  test("simHashPairs banding matches the all-pairs Hamming join exactly") {
+    val sh = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val maxHam = 3
+    val ref = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      ham = java.lang.Long.bitCount(ha ^ hb) if ham <= maxHam
+    } yield (a, b, ham)).toSet
+    assert(ref.nonEmpty, "fixture should contain simhash-close docs")
+    val got = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = maxHam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === ref)
+  }
+
+  test("jaccard stop-shingle cap: identity above max df, one-sided below") {
+    val off = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(off.nonEmpty)
+    // fixture's max shingle df is 9 — a cap of 20 must change nothing
+    val generous = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.8, maxShingleDf = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(generous === off)
+    // an aggressive cap may only LOSE pairs / shrink jaccard, never add
+    val tight = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.8, maxShingleDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(off.map(t => (t._1, t._2))))
+  }
+
+  test("materialized shingle index reproduces jaccardPairs without a cache pin") {
+    val dir = java.nio.file.Files.createTempDirectory("shingle_idx").toString
+    try {
+      val idx = Dedup.writeShingleIndex(docs, "doc_id", "text", n = 3, path = dir)
+      val fromIdx = Dedup.jaccardPairsFromIndex(idx, minJaccard = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val direct = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+          minJaccard = 0.8, cacheIndex = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fromIdx === direct)
+      assert(fromIdx.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("LSH candidates→verify achieves total recall in the near-dup regime") {
+    // plant exact duplicates (cos = 1.0): identical vectors agree on every
+    // SRP sign bit, so they collide in every table — recall is certain,
+    // which is precisely the regime the candidates path is for
+    val planted = embs.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val corpus = embs.select("vec_id", "embedding").unionAll(planted)
+    val got = Dedup.embeddingPairsViaCandidates(corpus, "vec_id", "embedding",
+        minCos = 0.999, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = embs.select("vec_id").collect()
+      .map(_.getLong(0)).map(id => (id, id + 100000L)).toSet
+    assert(expected.subsetOf(got),
+      s"missing planted duplicates: ${expected -- got}")
+    // and no false positives below the verify threshold survive
+    assert(got.forall { case (a, b) => a < b })
   }
 
   test("approx_count_distinct stays within its 2% error bound on events") {

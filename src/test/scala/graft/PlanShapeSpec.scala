@@ -47,4 +47,16 @@ class PlanShapeSpec extends SparkSpec {
     val p = relayed.queryExecution.executedPlan.toString()
     assert(!p.contains("Exchange"), p)
   }
+
+  test("vec_near_dup is a hash-partitioned blocked join, not an all-pairs NLJ") {
+    val p = plan("vec_near_dup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("simhash pair generation equi-joins on bands, never doc×doc") {
+    val p = plan("doc_dedup_simhash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
