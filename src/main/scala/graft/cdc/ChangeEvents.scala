@@ -88,6 +88,33 @@ object ChangeEvents {
       .withColumn("ev", from_json(col(jsonCol), envelopeSchema))
       .select(col("ev.*"), col(jsonCol).as("_raw"))
 
+  /** Kafka value = canonical ExtJSON of the WHOLE event with the dynamic
+    * payloads as NESTED OBJECTS (main.go:138, FIXTURES.md §1): the
+    * envelope's `clusterTime`/`documentKey`/`fullDocument`/
+    * `updateDescription` columns already hold canonical-ExtJSON text, so
+    * they are spliced in RAW — running them through `to_json` would
+    * re-escape them into string literals and break every consumer of the
+    * reference's topics. Typed fields (`_id`, `operationType`, `ns`) go
+    * through [[graft.functions.ExtJson.ext_json_canonical]] for correct
+    * escaping; null payload fields are ABSENT (a delete has no
+    * `fullDocument`), matching MarshalExtJSON of the reference's `bson.M`.
+    */
+  def eventValue(): Column = {
+    import graft.functions.ExtJson.ext_json_canonical
+    def raw(name: String): Column =
+      when(col(name).isNotNull,
+        concat(lit(",\"" + name + "\":"), col(name))).otherwise(lit(""))
+    concat(
+      lit("{\"_id\":"), ext_json_canonical(col("_id")),
+      lit(",\"operationType\":"), ext_json_canonical(col("operationType")),
+      raw("clusterTime"),
+      lit(",\"ns\":"), ext_json_canonical(col("ns")),
+      raw("documentKey"),
+      raw("fullDocument"),
+      raw("updateDescription"),
+      lit("}"))
+  }
+
   /** The full relay hot path (main.go:103-155) as one narrow transform:
     * envelope in → `(topic, key, value)` out, ready for a Kafka sink
     * (`topic`/`key`/`value` are exactly the column names the Spark Kafka
@@ -98,10 +125,7 @@ object ChangeEvents {
       .select(
         topicColumn(col("ns.db"), col("ns.coll")).as("topic"),
         connectKeyEnvelope(col("documentKey")).as("key"),
-        to_json(struct(
-          col("_id"), col("operationType"), col("clusterTime"),
-          col("ns"), col("documentKey"), col("fullDocument"),
-          col("updateDescription"))).as("value"))
+        eventValue().as("value"))
 
   /** Replay/at-least-once compensation: drop duplicate deliveries by key.
     * Batch flavor — deterministic "first by `orderCols`" rather than

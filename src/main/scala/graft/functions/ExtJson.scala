@@ -64,6 +64,9 @@ object ExtJsonCanonical {
         case '<'  => sb.append("\\u003c")
         case '>'  => sb.append("\\u003e")
         case '&'  => sb.append("\\u0026")
+        // Go's encoding/json always escapes the JS line separators
+        case '\u2028' => sb.append("\\u2028")
+        case '\u2029' => sb.append("\\u2029")
         case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
         case c => sb.append(c)
       }
@@ -72,17 +75,58 @@ object ExtJsonCanonical {
     sb.append('"')
   }
 
-  /** Shortest-round-trip double text, matching Go's strconv (and the BSON
-    * canonical spec) for the common cases; whole doubles render without
-    * the trailing ".0" Java adds.
+  /** Double text matching the Go mongo-driver's canonical-ExtJSON
+    * `formatDouble`: shortest round-trip digits rendered with
+    * `strconv.FormatFloat(f, 'G', -1, 64)` semantics — exponential form
+    * (`dE±XX`, upper-case E, signed two-digit-minimum exponent) when the
+    * decimal exponent is < -4 or ≥ 6, plain decimal otherwise — and a
+    * `.0` appended to integral plain forms (3.0 → "3.0", 1e21 →
+    * "1E+21", 1e-5 → "1E-05"). The shortest digits come from Java's
+    * `Double.toString`; on rare pre-JDK-19 inputs Java emits one digit
+    * more than Go's shortest — same value, one extra digit.
     */
-  private def doubleText(d: Double): String = {
+  private[functions] def doubleText(d: Double): String = {
     if (d.isNaN) "NaN"
     else if (d.isPosInfinity) "Infinity"
     else if (d.isNegInfinity) "-Infinity"
+    else if (d == 0.0) { if (1.0 / d < 0) "-0.0" else "0.0" }
     else {
-      val s = java.lang.Double.toString(d)
-      if (s.endsWith(".0")) s.substring(0, s.length - 2) else s
+      val neg = d < 0
+      val s = java.lang.Double.toString(math.abs(d)) // "ddd.ddd" or "d.dddE±x"
+      // normalize to (digits without leading/trailing zeros, decimal point
+      // position dp): value = 0.<digits> × 10^dp
+      val (digits, dp) = {
+        val eIdx = s.indexOf('E')
+        val mant = if (eIdx < 0) s else s.substring(0, eIdx)
+        val e = if (eIdx < 0) 0 else s.substring(eIdx + 1).toInt
+        val dot = mant.indexOf('.')
+        val raw = mant.substring(0, dot) + mant.substring(dot + 1)
+        val lead = raw.indexWhere(_ != '0')
+        val trimmed = raw.substring(lead).reverse.dropWhile(_ == '0').reverse
+        (trimmed, dot - lead + e)
+      }
+      val exp = dp - 1
+      val sb = new java.lang.StringBuilder(24)
+      if (neg) sb.append('-')
+      if (exp < -4 || exp >= 6) {
+        sb.append(digits.charAt(0))
+        if (digits.length > 1) sb.append('.').append(digits, 1, digits.length)
+        sb.append('E').append(if (exp < 0) '-' else '+')
+        val ae = math.abs(exp)
+        if (ae < 10) sb.append('0')
+        sb.append(ae)
+      } else if (dp <= 0) {
+        sb.append("0.")
+        var i = dp; while (i < 0) { sb.append('0'); i += 1 }
+        sb.append(digits)
+      } else if (dp >= digits.length) {
+        sb.append(digits)
+        var i = digits.length; while (i < dp) { sb.append('0'); i += 1 }
+        sb.append(".0")
+      } else {
+        sb.append(digits, 0, dp).append('.').append(digits, dp, digits.length)
+      }
+      sb.toString
     }
   }
 
@@ -160,11 +204,22 @@ object ExtJsonCanonical {
 
 /** Column-level entry points for the ExtJSON family. */
 object ExtJson {
-  import org.apache.spark.sql.functions.{coalesce, get_json_object}
+  import org.apache.spark.sql.functions.{coalesce, get_json_object, lower, hex, struct}
 
   /** Render any column as canonical Extended JSON (main.go:117,138). */
   def ext_json_canonical(c: Column): Column =
     glue.toColumn(ExtJsonCanonical(glue.toExpression(c)))
+
+  /** ObjectId convention: wrap a 12-byte `binary` column (or any binary
+    * holding a Mongo ObjectId) so [[ext_json_canonical]] renders it as
+    * the BSON `{"$oid":"<24-hex>"}` form instead of generic `$binary` —
+    * a struct whose single field is literally named `$oid` carrying the
+    * lower-case hex, which is exactly the canonical shape the reference's
+    * MarshalExtJSON emits for `primitive.ObjectID` (main.go:117).
+    * Compose inside structs: `struct(object_id(col("id")).as("_id"), …)`.
+    */
+  def object_id(binaryCol: Column): Column =
+    struct(lower(hex(binaryCol)).as("$oid"))
 
   /** Read a value back out of canonical ExtJSON, unwrapping the scalar
     * type tags (`{"$numberLong":"42"}` → `"42"`, `$date` → epoch millis,

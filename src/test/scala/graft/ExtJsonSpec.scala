@@ -19,11 +19,71 @@ class ExtJsonSpec extends SparkSpec {
     assert(renderOne(ext_json_canonical(lit(42L))) === """{"$numberLong":"42"}""")
     assert(renderOne(ext_json_canonical(lit(42))) === """{"$numberInt":"42"}""")
     assert(renderOne(ext_json_canonical(lit(1.5))) === """{"$numberDouble":"1.5"}""")
-    assert(renderOne(ext_json_canonical(lit(3.0))) === """{"$numberDouble":"3"}""")
+    assert(renderOne(ext_json_canonical(lit(3.0))) === """{"$numberDouble":"3.0"}""")
     assert(renderOne(ext_json_canonical(lit("s"))) === "\"s\"")
     assert(renderOne(ext_json_canonical(lit(true))) === "true")
     assert(renderOne(ext_json_canonical(lit(BigDecimal("1.50")).cast("decimal(5,2)")))
       === """{"$numberDecimal":"1.50"}""")
+  }
+
+  test("double text mirrors Go formatDouble: '.0' on integral, 'G' exponents") {
+    // the mongo-go-driver renders doubles with FormatFloat(f,'G',-1,64)
+    // and appends ".0" to integral non-exponential forms; 'G' switches to
+    // E-notation when the decimal exponent is < -4 or >= 6
+    val cases = Seq(
+      3.0 -> "3.0", 1.5 -> "1.5", -2.5 -> "-2.5", 0.0 -> "0.0",
+      100000.0 -> "100000.0", 123456.0 -> "123456.0",
+      1e6 -> "1E+06", 1e21 -> "1E+21", 1.5e7 -> "1.5E+07",
+      0.0001 -> "0.0001", 1e-5 -> "1E-05", 2.5e-8 -> "2.5E-08")
+    cases.foreach { case (d, want) =>
+      assert(renderOne(ext_json_canonical(lit(d)))
+        === s"""{"$$numberDouble":"$want"}""", s"for $d")
+    }
+  }
+
+  test("U+2028/U+2029 are \\u-escaped like Go's encoding/json") {
+    assert(renderOne(ext_json_canonical(lit("a\u2028b\u2029c")))
+      === "\"a\\u2028b\\u2029c\"")
+  }
+
+  test("object_id convention renders as {\"$oid\":\"<24 hex>\"}") {
+    import graft.functions.ExtJson.object_id
+    val bytes = Array.tabulate[Byte](12)(i => (i * 17 + 3).toByte)
+    val hexStr = bytes.map(b => f"${b & 0xff}%02x").mkString
+    assert(renderOne(ext_json_canonical(object_id(lit(bytes))))
+      === s"""{"$$oid":"$hexStr"}""")
+  }
+
+  test("relay value splices payloads as nested objects, absent when null (main.go:138)") {
+    val mkEnv = (id: String, op: String, ct: String, dk: String,
+        fd: Option[String], ud: Option[String]) =>
+      spark.range(1).select(
+        lit(id).as("_id"), lit(op).as("operationType"), lit(ct).as("clusterTime"),
+        struct(lit("app").as("db"), lit("users").as("coll")).as("ns"),
+        lit(dk).as("documentKey"),
+        fd.map(lit(_)).getOrElse(lit(null).cast("string")).as("fullDocument"),
+        ud.map(lit(_)).getOrElse(lit(null).cast("string")).as("updateDescription"))
+    val ins = ChangeEvents.relay(mkEnv("1", "insert",
+        """{"$timestamp":{"t":1704068166,"i":1}}""",
+        """{"_id":{"$numberLong":"12"}}""",
+        Some("""{"_id":{"$numberLong":"12"},"name":"ada"}"""), None))
+      .head().getAs[String]("value")
+    assert(ins ===
+      """{"_id":"1","operationType":"insert","clusterTime":{"$timestamp":{"t":1704068166,"i":1}},""" +
+      """"ns":{"db":"app","coll":"users"},"documentKey":{"_id":{"$numberLong":"12"}},""" +
+      """"fullDocument":{"_id":{"$numberLong":"12"},"name":"ada"}}""")
+    val del = ChangeEvents.relay(mkEnv("2", "delete",
+        """{"$timestamp":{"t":1704068167,"i":1}}""",
+        """{"_id":{"$numberLong":"13"}}""", None, None))
+      .head().getAs[String]("value")
+    assert(del ===
+      """{"_id":"2","operationType":"delete","clusterTime":{"$timestamp":{"t":1704068167,"i":1}},""" +
+      """"ns":{"db":"app","coll":"users"},"documentKey":{"_id":{"$numberLong":"13"}}}""")
+    // the value must be real JSON with documentKey as a nested OBJECT
+    val back = spark.range(1)
+      .select(get_json_object(lit(ins), "$.documentKey._id.$numberLong").as("x"))
+      .head().getString(0)
+    assert(back === "12")
   }
 
   test("date/timestamp render as $date with epoch millis") {
