@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -23,6 +23,31 @@ object StatefulOps {
   /** Current materialized state of one document. */
   case class CurrentState(documentKey: String, fullDocument: String,
       lastOp: String, lastEventTimeMs: Long)
+
+  /** Epoch-millis extraction from the envelope's `clusterTime` string,
+    * which FIXTURES.md §1 defines as canonical ExtJSON — either the BSON
+    * `{"$timestamp":{"t":<epoch s>,"i":…}}` a real change stream carries
+    * or a `{"$date":{"$numberLong":"<ms>"}}`; plain ISO-8601 strings (the
+    * unit-test shorthand) fall back to `try_to_timestamp`. Anything else
+    * is NULL — callers dead-letter those rows rather than crash the
+    * non-nullable encoder.
+    */
+  def eventTimeMillis(clusterTime: Column): Column = coalesce(
+    get_json_object(clusterTime, "$['$date']['$numberLong']").cast("long"),
+    get_json_object(clusterTime, "$['$timestamp']['t']").cast("long") * 1000,
+    unix_millis(try_to_timestamp(clusterTime)))
+
+  /** The envelope projected to [[KeyedChange]] columns; rows whose
+    * `clusterTime` defeats every [[eventTimeMillis]] form are split out by
+    * the `valid` flag (dead-letter them — a null in the non-nullable
+    * `eventTimeMs` would otherwise fail at encode time).
+    */
+  private[streaming] def keyedChanges(envelope: DataFrame): DataFrame =
+    envelope.select(
+      col("documentKey"),
+      col("operationType"),
+      col("fullDocument"),
+      eventTimeMillis(col("clusterTime")).as("eventTimeMs"))
 
   private def updateState(ttl: Option[String])(
       key: String,
@@ -58,21 +83,27 @@ object StatefulOps {
     * abandoned keys. With a TTL the engine schedules extra micro-batches
     * to fire timeouts, so pair it with a real trigger interval in
     * production; `None` keeps state until an explicit delete.
+    *
+    * Rows with an unparseable `clusterTime` are dropped here (they have
+    * no position in the event-time fold); route them through
+    * [[latestStateDeadLetter]] for audit.
     */
   def latestState(envelope: DataFrame, ttl: Option[String] = None): Dataset[CurrentState] = {
     import envelope.sparkSession.implicits._
     val timeoutConf =
       if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    envelope
-      .select(
-        col("documentKey"),
-        col("operationType"),
-        col("fullDocument"),
-        unix_millis(to_timestamp(col("clusterTime"))).as("eventTimeMs"))
+    keyedChanges(envelope)
+      .filter(col("eventTimeMs").isNotNull)
       .as[KeyedChange]
       .groupByKey(_.documentKey)
       .flatMapGroupsWithState(
         OutputMode.Update, timeoutConf)(updateState(ttl))
   }
+
+  /** The rows [[latestState]] cannot fold: `clusterTime` parsed to
+    * nothing under every accepted form ($date / $timestamp / ISO).
+    */
+  def latestStateDeadLetter(envelope: DataFrame): DataFrame =
+    keyedChanges(envelope).filter(col("eventTimeMs").isNull)
 }

@@ -79,6 +79,41 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("latest-state parses fixture-shaped ExtJSON clusterTime ($timestamp / $date)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val envelope = ChangeEvents.parseEnvelope(input.toDF(), "value")
+    val state = StatefulOps.latestState(envelope)
+    val q = state.toDF().writeStream.format("memory").queryName("exts_out")
+      .outputMode("update").start()
+    // FIXTURES.md §1: clusterTime is canonical ExtJSON, not ISO text
+    input.addData(
+      ev("insert", "k1", "v1", """{\"$timestamp\":{\"t\":1704067200,\"i\":1}}"""),
+      ev("update", "k1", "v2", """{\"$timestamp\":{\"t\":1704067260,\"i\":1}}"""),
+      ev("insert", "k2", "w1", """{\"$date\":{\"$numberLong\":\"1704067300000\"}}"""))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("exts_out")
+      .groupBy("documentKey")
+      .agg(max(struct(col("lastEventTimeMs"), col("lastOp"), col("fullDocument"))).as("s"))
+      .select(col("documentKey"), col("s.lastOp"), col("s.lastEventTimeMs"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows("k1") === ("update", 1704067260000L))
+    assert(rows("k2") === ("insert", 1704067300000L))
+  }
+
+  test("unparseable clusterTime dead-letters instead of crashing the encoder") {
+    import spark.implicits._
+    val envelope = ChangeEvents.parseEnvelope(
+      Seq(
+        ev("insert", "k1", "v1", "2024-01-01T00:00:00Z"),
+        ev("insert", "k2", "v1", "not-a-time-at-all")).toDF("value"), "value")
+    val dead = StatefulOps.latestStateDeadLetter(envelope).collect()
+    assert(dead.length === 1)
+    assert(dead.head.getAs[String]("documentKey") === "k2")
+  }
+
   test("delivery-report listener observes per-epoch input rows (main.go:50-62 analog)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
