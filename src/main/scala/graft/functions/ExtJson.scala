@@ -160,6 +160,24 @@ object ExtJsonCanonical {
       case BinaryType =>
         val b64 = java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]])
         sb.append("{\"$binary\":{\"base64\":\"").append(b64).append("\",\"subType\":\"00\"}}")
+      // BSON Timestamp carries its t/i as PLAIN JSON numbers in canonical
+      // ExtJSON (the one spec'd exception to scalar tagging) — a struct
+      // following the {"$timestamp":{t,i}} convention renders that way
+      case st: StructType
+          if st.length == 1 && st(0).name == "$timestamp" &&
+            (st(0).dataType match {
+              case inner: StructType =>
+                inner.length == 2 && inner(0).name == "t" && inner(1).name == "i" &&
+                  inner.forall(f => f.dataType == LongType || f.dataType == IntegerType)
+              case _ => false
+            }) && !v.asInstanceOf[InternalRow].isNullAt(0) =>
+        val inner = st(0).dataType.asInstanceOf[StructType]
+        val ts = v.asInstanceOf[InternalRow].getStruct(0, 2)
+        sb.append("{\"$timestamp\":{\"t\":")
+          .append(String.valueOf(ts.get(0, inner(0).dataType)))
+          .append(",\"i\":")
+          .append(String.valueOf(ts.get(1, inner(1).dataType)))
+          .append("}}")
       case st: StructType =>
         val row = v.asInstanceOf[InternalRow]
         sb.append('{')
@@ -220,6 +238,24 @@ object ExtJson {
     */
   def object_id(binaryCol: Column): Column =
     struct(lower(hex(binaryCol)).as("$oid"))
+
+  /** BSON Timestamp convention (the type a change stream's `clusterTime`
+    * really is): renders as `{"$timestamp":{"t":<seconds>,"i":<ordinal>}}`
+    * with t/i as PLAIN JSON numbers — the canonical-spec form, which the
+    * renderer special-cases (a generic struct would tag the longs as
+    * `$numberLong`).
+    */
+  def bson_timestamp(seconds: Column, ordinal: Column): Column =
+    struct(struct(seconds.cast("long").as("t"),
+      ordinal.cast("long").as("i")).as("$timestamp"))
+
+  /** BSON regular-expression convention: renders as
+    * `{"$regularExpression":{"pattern":"…","options":"…"}}` (canonical
+    * spec form the Go driver emits for `primitive.Regex`).
+    */
+  def bson_regex(pattern: Column, options: Column): Column =
+    struct(struct(pattern.as("pattern"), options.as("options"))
+      .as("$regularExpression"))
 
   /** Read a value back out of canonical ExtJSON, unwrapping the scalar
     * type tags (`{"$numberLong":"42"}` → `"42"`, `$date` → epoch millis,

@@ -11,6 +11,16 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * per-epoch progress — rows/s in and out per micro-batch, plus terminal
   * failure (R13, main.go:160-162). Observability, not dataflow: it never
   * touches the hot path.
+  *
+  * GRANULARITY DIVERGENCE (the one R-op whose granularity differs from
+  * the reference): the reference logs topic/partition/offset PER MESSAGE;
+  * Spark's listener surface is per MICRO-BATCH epoch, because the engine
+  * owns the producer and per-record acks never reach user code. The
+  * per-epoch report subsumes the per-message one for delivery accounting
+  * (a failed record fails its epoch, which retries atomically under
+  * checkpointing — there is no per-message partial-failure state to
+  * report), but per-message offset logging is not reproducible without a
+  * custom sink; consumers needing offsets should read them from Kafka.
   */
 class DeliveryReportListener extends StreamingQueryListener {
 

@@ -54,6 +54,22 @@ class ExtJsonSpec extends SparkSpec {
       === s"""{"$$oid":"$hexStr"}""")
   }
 
+  test("bson_timestamp renders t/i as plain JSON numbers (canonical spec exception)") {
+    import graft.functions.ExtJson.bson_timestamp
+    assert(renderOne(ext_json_canonical(bson_timestamp(lit(1704067200L), lit(1))))
+      === """{"$timestamp":{"t":1704067200,"i":1}}""")
+    // nested inside a document it stays in spec form
+    assert(renderOne(ext_json_canonical(struct(
+        bson_timestamp(lit(7L), lit(2)).as("clusterTime"))))
+      === """{"clusterTime":{"$timestamp":{"t":7,"i":2}}}""")
+  }
+
+  test("bson_regex renders the canonical $regularExpression form") {
+    import graft.functions.ExtJson.bson_regex
+    assert(renderOne(ext_json_canonical(bson_regex(lit("^a.*b$"), lit("i"))))
+      === """{"$regularExpression":{"pattern":"^a.*b$","options":"i"}}""")
+  }
+
   test("relay value splices payloads as nested objects, absent when null (main.go:138)") {
     val mkEnv = (id: String, op: String, ct: String, dk: String,
         fd: Option[String], ud: Option[String]) =>
