@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, ExtJsonCanonical}
+import graft.functions.{CosineSimilarity, DotProduct, ExtJsonCanonical}
 
 /** SQL-surface registration of the engine's native expressions, so
   * `spark.sql("SELECT ext_json_canonical(...), cosine_similarity(...)")`
@@ -33,7 +33,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => ExtJsonCanonical(exprs.head)),
     ("cosine_similarity",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))),
+    ("dot_product",
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
 
   /** Register on a live session (temp functions, session-scoped). */
   def registerAll(spark: SparkSession): Unit =

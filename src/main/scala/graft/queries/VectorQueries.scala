@@ -104,6 +104,31 @@ object VectorQueries extends QueryPack {
         .orderBy("a_id", "b_id"),
       None),
 
+    // Symmetric int8 quantization of the embedding column (127/max|x|
+    // scale) — the 4× memory/IO cut a 100 TB vector corpus takes before
+    // ANN. Pure narrow projection, zero shuffle; exploded to
+    // (vec_id, dim_idx, q) for the oracle. Both engines widen float →
+    // double, compute the same scale, and use round-half-away-from-zero.
+    Q("vec_quantize",
+      (s, dir) => t(s, dir, "embeddings")
+        .withColumn("mx",
+          array_max(expr("transform(embedding, x -> abs(x))")).cast("double"))
+        .withColumn("scale",
+          when(col("mx") === 0.0, 0.0).otherwise(lit(127.0) / col("mx")))
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("embedding")).as(Seq("dim_idx", "x")))
+        .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
+          round(col("x").cast("double") * col("scale")).cast("long").as("q"))
+        .orderBy("vec_id", "dim_idx"),
+      Some("""SELECT vec_id, i - 1 AS dim_idx,
+                     CAST(round(x * CASE WHEN mx = 0 THEN 0
+                                         ELSE 127.0 / mx END) AS BIGINT) AS q
+              FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                           unnest(embedding) AS x,
+                           list_max(list_transform(embedding, y -> abs(y)))::DOUBLE AS mx
+                    FROM embeddings)
+              ORDER BY vec_id, dim_idx""")),
+
     // Embedding-cosine near-dup pairs: exact blocked triangle join —
     // hash-partitioned equi-join on block-pair keys, no broadcast
     // nested-loop, work spread evenly over B(B+1)/2 reducers.

@@ -179,6 +179,50 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.forall { case (a, b) => a < b })
   }
 
+  test("k-means: deterministic fit, k centroids, objective never worsens") {
+    def objective(cents: Seq[(Int, Seq[Float])]): Double = {
+      // mean max-cosine to a centroid — higher is tighter clustering
+      val centDf = Similarity.assignToCentroids(
+        embs, "vec_id", "embedding",
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            cents.map { case (c, v) => org.apache.spark.sql.Row(c, v) }, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cid",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("cvec",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.FloatType))))),
+        "cid", "cvec")
+      centDf.join(
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              cents.map { case (c, v) => org.apache.spark.sql.Row(c, v) }, 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("centroid_id",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("cvec",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.FloatType))))),
+          "centroid_id")
+        .select(avg(cosine_similarity(col("embedding"), col("cvec"))))
+        .head().getDouble(0)
+    }
+    val fit1 = graft.similarity.KMeans.fit(embs, "vec_id", "embedding",
+      k = 8, iters = 3, dim = 64)
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val fit2 = graft.similarity.KMeans.fit(embs, "vec_id", "embedding",
+      k = 8, iters = 3, dim = 64)
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    assert(fit1 === fit2, "k-means must be deterministic")
+    assert(fit1.size === 8)
+    // more Lloyd iterations never hurt the clustering objective
+    val fit0 = graft.similarity.KMeans.fit(embs, "vec_id", "embedding",
+      k = 8, iters = 1, dim = 64)
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    assert(objective(fit1) >= objective(fit0) - 1e-9)
+  }
+
   test("approx_count_distinct stays within its 2% error bound on events") {
     val events = Tables.table(spark, sfDir, "events")
     val exact = events.select(countDistinct("user_id")).head().getLong(0)

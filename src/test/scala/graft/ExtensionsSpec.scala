@@ -23,7 +23,9 @@ class ExtensionsSpec extends SparkSpec {
     val sampleArgs = Map(
       "ext_json_canonical" -> Seq(Literal(1L)),
       "cosine_similarity" -> Seq(
-        Literal.create(Array(1.0f, 0.0f)), Literal.create(Array(1.0f, 0.0f))))
+        Literal.create(Array(1.0f, 0.0f)), Literal.create(Array(1.0f, 0.0f))),
+      "dot_product" -> Seq(
+        Literal.create(Array(1.0f, 2.0f)), Literal.create(Array(3.0f, 4.0f))))
     GraftFunctions.all.foreach { case (name, info, builder) =>
       assert(info != null)
       val expr = builder(sampleArgs(name))
