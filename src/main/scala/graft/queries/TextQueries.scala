@@ -39,6 +39,41 @@ object TextQueries extends QueryPack {
                     FROM documents)
               GROUP BY token ORDER BY cnt DESC, token LIMIT 100""")),
 
+    // Deterministic content-hash stratified sampling: keep the docs whose
+    // content md5 lands in 1 of 8 buckets — the reproducible downsampling
+    // a curation pipeline needs (same doc always samples the same way, on
+    // any engine, at any scale; no RNG state to coordinate). Narrow,
+    // zero-shuffle, filter pushes to the scan.
+    Q("doc_sample_hash",
+      (s, dir) => t(s, dir, "documents")
+        .filter(pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+          lit(8)) === 0)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source, lang FROM documents
+              WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 8 = 0
+              ORDER BY doc_id""")),
+
+    // Corpus-wide bigram DOCUMENT frequency (top 50) — shingles() dedups
+    // per doc, so the count is "how many docs contain this bigram": the
+    // n-gram contamination-check / stop-shingle-discovery primitive (its
+    // output is exactly what tunes jaccardPairs' maxShingleDf cap).
+    // Shingle explode → one aggregation with map-side combine; top-k caps
+    // the output.
+    Q("text_bigrams",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(TextFunctions.shingles(
+          TextFunctions.tokens(TextFunctions.normalize(col("text"))), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(50),
+      Some("""SELECT bigram, count(*) AS cnt
+              FROM (SELECT unnest(list_distinct([t[i] || ' ' || t[i+1]
+                                                 for i in range(1, len(t))])) AS bigram
+                    FROM (SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+                          FROM documents))
+              GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""")),
+
     // Per-doc quality metrics: narrow, zero-shuffle, codegen'd.
     Q("text_quality",
       (s, dir) => {
