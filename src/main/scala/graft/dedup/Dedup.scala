@@ -301,6 +301,52 @@ object Dedup {
         greatest(col("xa_id"), col("xb_id")).as("b_id"), col("cos"))
   }
 
+  /** Duplicate-cluster formation: connected components of the undirected
+    * near-dup pair graph, labeled by each component's minimum doc id —
+    * the step that turns pairwise [[jaccardPairs]]/[[simHashPairs]]/
+    * [[embeddingPairs]] output into "keep one representative per
+    * cluster". Iterative min-label propagation: each round every node
+    * takes the min of its own and its neighbors' labels — converges in
+    * O(graph diameter) rounds (near-dup graphs are shallow: dup clusters
+    * are cliques or short chains). Each round is one shuffle-join + one
+    * aggregation on the edge list; `localCheckpoint` truncates the plan
+    * lineage so iteration count doesn't grow the DAG. The per-round
+    * driver convergence check reads ONE boolean (empty/non-empty), not
+    * data. Output: (doc_id, cluster_id) for every doc appearing in a
+    * pair; a doc in no pair is its own cluster by definition (callers
+    * left-join and coalesce to itself).
+    */
+  def duplicateClusters(pairs: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src").agg(min("label").as("nlabel"))
+        .withColumnRenamed("src", "id")
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.label") < col("o.label"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding near-dup via SRP-LSH candidates → exact cosine verify —
     * the sub-quadratic path for TRUE near-duplicate thresholds
     * (cos ≥ ~0.85), where a few tables give near-total recall at a

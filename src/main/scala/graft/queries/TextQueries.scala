@@ -212,6 +212,41 @@ object TextQueries extends QueryPack {
               WHERE c::DOUBLE / (na + nb - c) >= 0.8
               ORDER BY a_id, b_id""")),
 
+    // Duplicate-cluster formation: connected components of the 0.8-Jaccard
+    // pair graph, cluster id = min member (keep-one-representative dedup's
+    // final step). Engine: iterative min-label propagation (O(diameter)
+    // shuffle rounds); oracle: DuckDB recursive-CTE transitive closure —
+    // two completely different algorithms, same fixpoint.
+    Q("doc_dedup_clusters",
+      (s, dir) => Dedup.duplicateClusters(
+          Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+            n = 3, minJaccard = 0.8))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      for i in range(1, len(t) - 1)]) AS s
+                FROM (SELECT doc_id,
+                             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+                      FROM documents)),
+              cand AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       len(list_intersect(a.s, b.s)) AS c,
+                       len(a.s) AS na, len(b.s) AS nb
+                FROM sh a, sh b WHERE a.doc_id < b.doc_id),
+              pairs AS (
+                SELECT a_id, b_id FROM cand
+                WHERE c::DOUBLE / (na + nb - c) >= 0.8),
+              edges(s, d) AS (
+                SELECT a_id, b_id FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+              reach(s, d) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+              SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+              FROM reach GROUP BY s ORDER BY doc_id""")),
+
     // MinHash(16) + LSH(4 bands × 4 rows) candidate pairs.
     Q("doc_dedup_minhash",
       (s, dir) => Dedup.minHashCandidates(t(s, dir, "documents"), "doc_id", "text",

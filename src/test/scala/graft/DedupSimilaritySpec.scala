@@ -179,6 +179,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.forall { case (a, b) => a < b })
   }
 
+  test("duplicateClusters labels every component by its minimum member") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.8)
+    val pairList = pairs.select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairList.nonEmpty)
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference components via driver-side union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    assert(got === expected)
+    // cluster id is always a member and the minimum of its cluster
+    got.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keySet.min === cid)
+    }
+  }
+
   test("k-means: deterministic fit, k centroids, objective never worsens") {
     def objective(cents: Seq[(Int, Seq[Float])]): Double = {
       // mean max-cosine to a centroid — higher is tighter clustering
