@@ -93,6 +93,54 @@ object VectorQueries extends QueryPack {
                            * sqrt(list_dot_product(pv, pv))) DESC, a.vec_id
                LIMIT 5""")),
 
+    // IVF with nprobe=2: the recall/latency dial — scan the two nearest
+    // centroids' buckets instead of one. At 100 TB this is reading 2/k of
+    // the corpus via partition pruning.
+    Q("vec_knn_ivf_probe2",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val centroids = embs.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val probe = embs.filter(col("vec_id") === ProbeId)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val probeCol = typedLit(probe)
+        val assigned = Similarity.assignToCentroids(
+          embs, "vec_id", "embedding", centroids, "cid", "cvec")
+        Similarity.ivfKnn(assigned, "vec_id", "embedding",
+            centroids, "cid", "cvec", probeCol, 5, nprobe = 2)
+          .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+      },
+      Some(s"""WITH cents AS (
+                 SELECT vec_id AS cid, embedding AS cvec
+                 FROM embeddings WHERE vec_id < 8),
+               assigned AS (
+                 SELECT vec_id, embedding, cid FROM (
+                   SELECT e.vec_id, e.embedding, c.cid,
+                          row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_dot_product(e.embedding, c.cvec)
+                                     / (sqrt(list_dot_product(e.embedding, e.embedding))
+                                        * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                                     c.cid) AS rn
+                   FROM embeddings e, cents c)
+                 WHERE rn = 1),
+               probe_cent AS (
+                 SELECT cid FROM cents, ${probeSql("p")}
+                 ORDER BY list_dot_product(cvec, pv)
+                          / (sqrt(list_dot_product(cvec, cvec))
+                             * sqrt(list_dot_product(pv, pv))) DESC, cid
+                 LIMIT 2)
+               SELECT a.vec_id,
+                      round(list_dot_product(a.embedding, pv)
+                            / (sqrt(list_dot_product(a.embedding, a.embedding))
+                               * sqrt(list_dot_product(pv, pv))), 6) AS sim
+               FROM assigned a, ${probeSql("p")}
+               WHERE a.cid IN (SELECT cid FROM probe_cent)
+               ORDER BY list_dot_product(a.embedding, pv)
+                        / (sqrt(list_dot_product(a.embedding, a.embedding))
+                           * sqrt(list_dot_product(pv, pv))) DESC, a.vec_id
+               LIMIT 5""")),
+
     // Multi-table SRP-LSH candidate generation (the sub-linear ANN
     // candidate path; exact verify happens on the candidates only).
     // Hyperplanes are seeded-deterministic but not SQL-mirrorable →

@@ -113,19 +113,24 @@ object Similarity {
       array_max(scored).getField("cid").as("centroid_id"))
   }
 
-  /** IVF search with `nprobe`=1: scan only the corpus partition owned by
-    * the probe's nearest centroid, exact top-k within it.
+  /** IVF search: scan only the corpus partitions owned by the probe's
+    * `nprobe` nearest centroids, exact top-k within them. `nprobe` is the
+    * recall/latency dial — 1 reads a single centroid bucket (fastest,
+    * lowest recall); the number of centroids reads everything and
+    * reproduces [[bruteForceKnn]] exactly (the property the test pins).
+    * The probed-centroid set is a ≤nprobe-row broadcast, so at 100 TB the
+    * join is partition pruning over the centroid-partitioned corpus.
     */
   def ivfKnn(assigned: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
-      probeVec: Column, k: Int): DataFrame = {
-    val probeCentroid = centroids
+      probeVec: Column, k: Int, nprobe: Int = 1): DataFrame = {
+    val probeCentroids = centroids
       .withColumn("__psim", cosine_similarity(col(cvecCol), probeVec))
       .orderBy(col("__psim").desc, col(cidCol))
-      .limit(1)
+      .limit(nprobe)
       .select(col(cidCol).as("centroid_id"))
     bruteForceKnn(
-      assigned.join(broadcast(probeCentroid), "centroid_id"),
+      assigned.join(broadcast(probeCentroids), "centroid_id"),
       idCol, vecCol, probeVec, k)
   }
 }

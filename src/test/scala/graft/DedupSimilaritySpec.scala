@@ -179,6 +179,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.forall { case (a, b) => a < b })
   }
 
+  test("IVF multi-probe: recall grows with nprobe, full probe = brute force") {
+    val centroids = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val probe = embs.filter(col("vec_id") === 33)
+      .select("embedding").head().getSeq[Float](0)
+    val assigned = Similarity.assignToCentroids(embs, "vec_id", "embedding",
+      centroids, "cid", "cvec")
+    def knnAt(nprobe: Int): Seq[Long] =
+      Similarity.ivfKnn(assigned, "vec_id", "embedding",
+        centroids, "cid", "cvec", typedLit(probe), 10, nprobe)
+        .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.bruteForceKnn(embs, "vec_id", "embedding",
+        typedLit(probe), 10)
+      .collect().map(_.getLong(0)).toSeq
+    // probing every centroid reads the whole corpus: exactly brute force
+    assert(knnAt(8) === exact)
+    // recall against the exact top-10 never decreases as nprobe grows
+    val recalls = Seq(1, 2, 4, 8).map(np => knnAt(np).toSet.intersect(exact.toSet).size)
+    assert(recalls.sliding(2).forall { case Seq(a, b) => a <= b })
+  }
+
   test("duplicateClusters labels every component by its minimum member") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.8)
     val pairList = pairs.select("a_id", "b_id")
