@@ -93,6 +93,76 @@ object ExtendedQueries extends QueryPack {
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
               ORDER BY event_id""")),
 
+    // Full-outer join: customers with zero orders and (hypothetical)
+    // orphan orders both survive with coalesced keys. The orders side is
+    // pre-aggregated to one row per customer, so the outer join is
+    // key-unique on both sides — no row-explosion hazard at scale.
+    Q("join_outer",
+      (s, dir) => {
+        val perCust = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("tot"))
+        t(s, dir, "customer")
+          .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("tot"), lit(0.0)).as("total_spend"))
+          .orderBy("custkey")
+      },
+      Some("""SELECT coalesce(c_custkey, o_custkey) AS custkey,
+                     coalesce(n_orders, 0) AS n_orders,
+                     coalesce(tot, 0.0) AS total_spend
+              FROM customer
+              FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders,
+                                      round(sum(o_totalprice), 2) AS tot
+                               FROM orders GROUP BY o_custkey) o
+                ON c_custkey = o_custkey
+              ORDER BY custkey""")),
+
+    // RANGE-frame window (time-interval frame, not row-count): per-user
+    // trailing-30-minute event count and value sum. Both engines frame on
+    // floor-second epochs so the peer sets agree exactly; certified on a
+    // 1-in-10 user band like the other full-output window queries.
+    Q("win_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").cast("long"))
+          .rangeBetween(-1800, 0)
+        t(s, dir, "events")
+          .filter(col("user_id") % 10 === 0)
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_30m"),
+            round(sum("value").over(w), 2).as("sum_30m"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+                     count(*) OVER w AS n_30m,
+                     round(sum(value) OVER w, 2) AS sum_30m
+              FROM events
+              WHERE user_id % 10 = 0
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                           RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+              ORDER BY event_id""")),
+
+    // Statistical aggregates: sample stddev, covariance, correlation —
+    // streaming-mergeable moment sketches in both engines; rounded to
+    // absorb merge-order ulp differences.
+    Q("agg_stats",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(stddev_samp(col("value")), 4).as("sd_value"),
+          round(covar_samp(col("value"), col("user_id")), 4).as("cov_vu"),
+          round(corr(col("value"), col("user_id")), 4).as("corr_vu"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+                     round(stddev_samp(value), 4) AS sd_value,
+                     round(covar_samp(value, user_id), 4) AS cov_vu,
+                     round(corr(value, user_id), 4) AS corr_vu
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // GROUPING SETS through the SQL surface (the fourth grouping shape
     // next to groupBy/rollup/cube).
     Q("agg_grouping_sets",

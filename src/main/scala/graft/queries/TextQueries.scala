@@ -282,6 +282,53 @@ object TextQueries extends QueryPack {
                 ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
               ORDER BY a_id, b_id""")),
 
+    // Fuzzy-dedup verify: exact Levenshtein edit distance computed ONLY on
+    // the MinHash-LSH candidate pairs — the candidates→verify composition
+    // with the O(len²) DP confined to pairs the cheap index already
+    // flagged. Both engines implement unit-cost Levenshtein identically.
+    Q("text_edit_distance",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.minHashCandidates(docs, "doc_id", "text", n = 3, k = 16, bands = 4)
+          .join(docs.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
+          .join(docs.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
+          .select(col("a_id"), col("b_id"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH sh AS (
+                SELECT doc_id, unnest(
+                  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 for i in range(1, len(t) - 1)])) AS shingle
+                FROM (SELECT doc_id,
+                             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+                      FROM documents)),
+              lane AS (
+                SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+                FROM sh),
+              sig AS (
+                SELECT doc_id,
+                       ${minHashSigSql(k = 16)}
+                FROM lane GROUP BY doc_id),
+              buckets AS (
+                SELECT doc_id, band,
+                       CASE band
+                         WHEN 0 THEN md5(concat_ws('|', mh0, mh1, mh2, mh3))
+                         WHEN 1 THEN md5(concat_ws('|', mh4, mh5, mh6, mh7))
+                         WHEN 2 THEN md5(concat_ws('|', mh8, mh9, mh10, mh11))
+                         ELSE md5(concat_ws('|', mh12, mh13, mh14, mh15))
+                       END AS bkey
+                FROM sig, (SELECT unnest([0,1,2,3]) AS band)),
+              cand AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM buckets a JOIN buckets b
+                  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+              SELECT c.a_id, c.b_id, levenshtein(da.text, db.text) AS edit_dist
+              FROM cand c
+              JOIN documents da ON da.doc_id = c.a_id
+              JOIN documents db ON db.doc_id = c.b_id
+              ORDER BY a_id, b_id""")),
+
     // 32-bit SimHash per document (frequency-weighted bit votes).
     Q("doc_dedup_simhash",
       (s, dir) => Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
