@@ -322,8 +322,10 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // fold round 1 into the init: label = min(self, direct neighbors) —
+    // one aggregation instead of a full join+update+convergence round
+    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
       .localCheckpoint()
     var converged = false
     var i = 0
@@ -332,16 +334,17 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy("src").agg(min("label").as("nlabel"))
         .withColumnRenamed("src", "id")
+      // carry a per-row `changed` flag through the SAME pass, so the
+      // convergence check is a filter over the materialized checkpoint,
+      // not another shuffle join against the previous labels
       val updated = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
         .localCheckpoint()
-      converged = updated.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.label") < col("o.label"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.select("id", "label")
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

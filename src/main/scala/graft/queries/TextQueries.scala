@@ -62,6 +62,9 @@ object TextQueries extends QueryPack {
     // the output.
     Q("text_bigrams",
       (s, dir) => t(s, dir, "documents")
+        // shingling is CPU-heavy narrow work; a single-file fixture gives
+        // ONE input partition — spread it before the per-row loop
+        .repartition(s.sparkContext.defaultParallelism)
         .select(explode(TextFunctions.shingles(
           TextFunctions.tokens(TextFunctions.normalize(col("text"))), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
