@@ -59,4 +59,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("int8 quantization is a narrow projection — no hash shuffle") {
+    val p = plan("vec_quantize")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("full-outer join stays an equi-join on the coalesced key") {
+    val p = plan("join_outer")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
