@@ -60,18 +60,18 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for every pair above `minJaccard`.
     *
-    * The shingle index backs three subtrees (sizes + both join sides), so
-    * it is cached — measured 6× faster than recomputing it per subtree.
-    * The pin is MEMORY_AND_DISK and LRU-evictable, but a returned-lazy
-    * frame has no safe unpersist point, so each call leaves one pinned
-    * plan behind — long-lived sessions making many calls should pass
-    * `cacheIndex = false` (recompute per subtree) or materialize the
-    * index themselves (`shingleIndex(...).write.parquet`) and join
-    * manually; at 100 TB that one-time materialization is the right
-    * shape anyway.
+    * The shingle index backs three subtrees (sizes + both join sides);
+    * `cacheIndex = true` pins it MEMORY_AND_DISK (measured 6× faster than
+    * recomputing per subtree) — but a returned-lazy frame has no safe
+    * unpersist point, so each cached call leaves one pinned plan behind.
+    * The default is therefore the leak-free recompute path; callers that
+    * want the cached speed without the leak should use
+    * [[withShingleIndex]] (scoped pin, released on exit) or
+    * [[writeShingleIndex]] (one-time materialization — the right shape at
+    * 100 TB anyway).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minJaccard: Double, cacheIndex: Boolean = true,
+      n: Int, minJaccard: Double, cacheIndex: Boolean = false,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val idx0 = shingleIndex(docs, idCol, textCol, n)
     val idx =
@@ -79,6 +79,21 @@ object Dedup {
         idx0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else idx0
     jaccardPairsFromIndex(idx, minJaccard, maxShingleDf)
+  }
+
+  /** Loan-pattern shingle index: pins the index for the duration of `f`
+    * and releases the pin on exit — the non-leaking way to run several
+    * pair-generation passes (different thresholds, pairs + clusters) over
+    * one build of the index. `f` MUST consume its result (collect/write)
+    * before returning: the pin is gone once this returns, so a lazy frame
+    * escaping `f` silently recomputes the index per subtree.
+    */
+  def withShingleIndex[A](docs: DataFrame, idCol: String, textCol: String,
+      n: Int)(f: DataFrame => A): A = {
+    val idx = shingleIndex(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(idx)
+    finally { idx.unpersist(blocking = false); () }
   }
 
   /** Materialize the shingle index once (partitioned by shingle hash so
@@ -309,24 +324,45 @@ object Dedup {
     * takes the min of its own and its neighbors' labels — converges in
     * O(graph diameter) rounds (near-dup graphs are shallow: dup clusters
     * are cliques or short chains). Each round is one shuffle-join + one
-    * aggregation on the edge list; `localCheckpoint` truncates the plan
-    * lineage so iteration count doesn't grow the DAG. The per-round
+    * aggregation on the edge list; per-round checkpointing truncates the
+    * plan lineage so iteration count doesn't grow the DAG. The per-round
     * driver convergence check reads ONE boolean (empty/non-empty), not
     * data. Output: (doc_id, cluster_id) for every doc appearing in a
     * pair; a doc in no pair is its own cluster by definition (callers
     * left-join and coalesce to itself).
+    *
+    * Fault tolerance: when the session has a checkpoint directory set
+    * (`sc.setCheckpointDir`, pointing at reliable storage — HDFS/S3 on a
+    * cluster), each round uses RELIABLE `checkpoint()`: an executor loss
+    * mid-iteration recovers from storage. Without one it falls back to
+    * `localCheckpoint()` (executor-local blocks — fine for local mode,
+    * unrecoverable on executor loss because lineage is truncated), which
+    * is the only option anyway. Checkpoint files accumulate one small
+    * (id,label) table per round; `spark.cleaner.referenceTracking
+    * .cleanCheckpoints=true` reclaims them as rounds are GC'd.
+    *
+    * Convergence: a component whose diameter exceeds `maxIter` would get
+    * truncated (wrong) labels — that is never returned silently. With
+    * `requireConvergence` (default) the method throws; disabling it logs
+    * a warning and returns the partial labels for callers that prefer
+    * approximate clusters over failure.
     */
   def duplicateClusters(pairs: DataFrame, aCol: String = "a_id",
-      bCol: String = "b_id", maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint()
+      bCol: String = "b_id", maxIter: Int = 25,
+      requireConvergence: Boolean = true): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def truncateLineage(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val edges = truncateLineage(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
     // fold round 1 into the init: label = min(self, direct neighbors) —
     // one aggregation instead of a full join+update+convergence round
-    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
-      .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
-      .localCheckpoint()
+    var labels = truncateLineage(
+      edges.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("id"), least(col("src"), col("mn")).as("label")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -337,15 +373,22 @@ object Dedup {
       // carry a per-row `changed` flag through the SAME pass, so the
       // convergence check is a filter over the materialized checkpoint,
       // not another shuffle join against the previous labels
-      val updated = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
-        .localCheckpoint()
+      val updated = truncateLineage(
+        labels
+          .join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+            (coalesce(col("nlabel"), col("label")) < col("label")).as("changed")))
       converged = updated.filter(col("changed")).isEmpty
       labels = updated.select("id", "label")
       i += 1
+    }
+    if (!converged) {
+      val msg = s"duplicateClusters did not converge within maxIter=$maxIter " +
+        "rounds: some component's diameter exceeds the round budget and its " +
+        "labels are still split across sub-clusters"
+      if (requireConvergence) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }

@@ -24,6 +24,24 @@ object TextQueries extends QueryPack {
       s"min(($a * h + $b) % 4294967296) AS mh$i"
     }.mkString(",\n                       ")
 
+  /** One pinned shingle index per (session, fixture dir, n) — shared by
+    * `doc_dedup_ngram` and `doc_dedup_clusters`, which both run the same
+    * 3-gram Jaccard pipeline: without sharing, the clusters query rebuilds
+    * the entire index the ngram query just built. The memo is keyed (not
+    * per-call), so repeated invocations of either query re-use ONE pin —
+    * pinned-plan count is bounded by distinct fixtures touched, never by
+    * call count (the leak `Dedup.jaccardPairs(cacheIndex=true)` had).
+    */
+  private object SharedShingleIndex {
+    private val memo = scala.collection.concurrent.TrieMap[(Int, String, Int),
+      org.apache.spark.sql.DataFrame]()
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String, n: Int)
+        : org.apache.spark.sql.DataFrame =
+      memo.getOrElseUpdate((System.identityHashCode(s), dir, n),
+        Dedup.shingleIndex(graft.Tables.table(s, dir, "documents"), "doc_id", "text", n)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   override val queries: Seq[Q] = Seq(
 
     // Tokenize → explode → frequency. The shuffle carries (token, count)
@@ -191,10 +209,11 @@ object TextQueries extends QueryPack {
               GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
               ORDER BY keep_id""")),
 
-    // Exact 3-gram Jaccard near-dup pairs via the shingle inverted index.
+    // Exact 3-gram Jaccard near-dup pairs via the shingle inverted index
+    // (built once per fixture and shared with doc_dedup_clusters).
     Q("doc_dedup_ngram",
-      (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, minJaccard = 0.8)
+      (s, dir) => Dedup.jaccardPairsFromIndex(
+          SharedShingleIndex(s, dir, 3), minJaccard = 0.8)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("a_id", "b_id"),
       Some("""WITH sh AS (
@@ -222,8 +241,8 @@ object TextQueries extends QueryPack {
     // two completely different algorithms, same fixpoint.
     Q("doc_dedup_clusters",
       (s, dir) => Dedup.duplicateClusters(
-          Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-            n = 3, minJaccard = 0.8))
+          Dedup.jaccardPairsFromIndex(
+            SharedShingleIndex(s, dir, 3), minJaccard = 0.8))
         .orderBy("doc_id"),
       Some("""WITH RECURSIVE sh AS (
                 SELECT doc_id,

@@ -225,6 +225,73 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("duplicateClusters uses reliable checkpoints when a checkpoint dir is set") {
+    val ckDir = java.nio.file.Files.createTempDirectory("cc_ck").toString
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.8)
+    val withoutCk = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // NOTE: a checkpoint dir cannot be unset on a SparkContext, and the
+    // session is shared across suites — the dir deliberately stays set
+    // (and on disk) so every later duplicateClusters call exercises the
+    // reliable path too.
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val withCk = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withCk === withoutCk)
+    // reliable checkpoint files actually landed in the configured dir —
+    // lineage now recovers from storage, not executor-local blocks
+    val files = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(ckDir), null, true)
+    assert(!files.isEmpty, "expected reliable checkpoint files on disk")
+  }
+
+  test("duplicateClusters surfaces non-convergence instead of silent truncation") {
+    import spark.implicits._
+    // a 12-node chain has diameter 11: one propagation round past the
+    // folded init cannot reach the fixpoint
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val ex = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(chain, maxIter = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // opt-out path returns the partial labels (documented approximation)
+    val partial = Dedup.duplicateClusters(chain, maxIter = 1,
+      requireConvergence = false)
+    assert(partial.count() === 12)
+    // and enough rounds converges to a single min-labeled component
+    val full = Dedup.duplicateClusters(chain)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(full === Set(1L))
+  }
+
+  test("shared shingle index: repeated query calls do not grow the pinned-plan set") {
+    def run(): Unit = {
+      SparkEntry.queries("doc_dedup_ngram")(spark, sfDir).count()
+      SparkEntry.queries("doc_dedup_clusters")(spark, sfDir).count()
+      ()
+    }
+    run() // builds + pins the one shared index
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    run(); run()
+    val after3 = spark.sparkContext.getPersistentRDDs.size
+    assert(after3 === after1,
+      s"pinned-plan count grew across repeated calls: $after1 -> $after3")
+  }
+
+  test("withShingleIndex pins for the scope of f and releases on exit") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = Dedup.withShingleIndex(docs, "doc_id", "text", n = 3) { idx =>
+      assert(spark.sparkContext.getPersistentRDDs.size >= before)
+      Dedup.jaccardPairsFromIndex(idx, minJaccard = 0.8).collect()
+    }
+    assert(pairs.nonEmpty)
+    // unpersist is async — poll briefly for the pin to drop
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.size > before
+        && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
+
   test("k-means: deterministic fit, k centroids, objective never worsens") {
     def objective(cents: Seq[(Int, Seq[Float])]): Double = {
       // mean max-cosine to a centroid — higher is tighter clustering
