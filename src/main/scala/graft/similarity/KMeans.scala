@@ -1,23 +1,31 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.CentroidAggregator
 
-/** Distributed Lloyd's k-means over an `array<float>` embedding column —
-  * the clustering primitive a training-data pipeline runs before
+/** Distributed SPHERICAL k-means (Lloyd) over an `array<float>` embedding
+  * column — the clustering primitive a training-data pipeline runs before
   * curation/dedup (cluster-then-sample) and to build IVF routing tables
   * ([[Similarity.ivfKnn]]).
+  *
+  * Assignment is by cosine, so the matching update is the SPHERICAL one:
+  * each cluster's new centroid is the direction of the sum of its
+  * members' UNIT vectors (`c ∝ Σ x̂`), which is the exact maximizer of
+  * `Σ cos(x, c)` over unit `c` — the plain arithmetic mean of raw vectors
+  * is not (long vectors would dominate the direction), and would break
+  * the objective-never-worsens guarantee for unnormalized inputs.
   *
   * Scale shape per iteration:
   *  - ASSIGN is a pure projection ([[Similarity.assignToCentroids]]): the
   *    k-row centroid table becomes a literal, so a 100 TB corpus assigns
   *    with zero shuffle and full codegen.
   *  - UPDATE is one aggregation with the constant-size mergeable
-  *    [[CentroidAggregator]] buffer: map-side combine reduces each
-  *    partition to ≤k buffers before the k-row shuffle.
+  *    [[CentroidAggregator]] buffer over the normalized vectors: map-side
+  *    combine reduces each partition to ≤k buffers before the k-row
+  *    shuffle (normalization is a narrow codegen'd projection).
   *  - The k-row result legitimately collects to the driver between
   *    iterations (k ≪ corpus by definition — same contract as
   *    `assignToCentroids`); per-iteration state never exceeds k·dim.
@@ -29,10 +37,22 @@ import graft.functions.CentroidAggregator
   */
 object KMeans {
 
-  /** One Lloyd iteration: assign every vector to its nearest centroid
-    * (cosine), recompute each cluster's element-wise mean. `centroids`
-    * is a local (cid, vector) list; returns the updated list with empty
-    * clusters keeping their previous centroid.
+  /** `vec / ||vec||` as a narrow column expression (float in, float out);
+    * zero vectors pass through unchanged to avoid 0/0.
+    */
+  private def unitize(vec: Column): Column = {
+    val nrm = sqrt(aggregate(vec, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(nrm === 0.0d, vec)
+      .otherwise(transform(vec, x => (x.cast("double") / nrm).cast("float")))
+  }
+
+  /** One spherical Lloyd iteration: assign every vector to its
+    * max-cosine centroid, recompute each cluster's centroid as the mean
+    * of its members' unit vectors (direction = spherical optimum; the
+    * magnitude is irrelevant to cosine assignment and left as the mean's).
+    * `centroids` is a local (cid, vector) list; returns the updated list
+    * with empty clusters keeping their previous centroid.
     */
   def step(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Seq[Float])], dim: Int): Seq[(Int, Seq[Float])] = {
@@ -48,12 +68,13 @@ object KMeans {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
     val updated = assigned
       .groupBy("centroid_id")
-      .agg(mean(col(vecCol)).as("mean"))
+      .agg(mean(unitize(col(vecCol))).as("mean"))
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat))
       .toMap
     centroids.map { case (cid, old) =>
-      cid -> updated.get(cid).filter(_.nonEmpty).getOrElse(old)
+      cid -> updated.get(cid).filter(v => v.nonEmpty && v.exists(_ != 0.0f))
+        .getOrElse(old)
     }
   }
 

@@ -133,4 +133,31 @@ object Similarity {
       assigned.join(broadcast(probeCentroids), "centroid_id"),
       idCol, vecCol, probeVec, k)
   }
+
+  /** IVF search against a corpus that was WRITTEN
+    * `partitionBy("centroid_id")` (the output of [[assignToCentroids]],
+    * typically with [[KMeans.fit]]-learned centroids, materialized once).
+    * The probe routes on the k-row centroid table — a legitimate
+    * driver-side step, same contract as `assignToCentroids` — and the
+    * corpus is filtered with a LITERAL `centroid_id IN (…)` predicate, so
+    * the parquet scan prunes STATICALLY at planning time:
+    * `.explain` shows the predicate under `PartitionFilters` and only
+    * `nprobe` of the k partition directories are listed/read. This is the
+    * physical realization of the "at 100 TB, IVF = partition pruning"
+    * claim: a probe touches `nprobe/k` of the data before a single row
+    * is deserialized.
+    */
+  def ivfKnnPruned(partitionedCorpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      probeVec: Column, k: Int, nprobe: Int = 1): DataFrame = {
+    val cids: Seq[Int] = centroids
+      .withColumn("__psim", cosine_similarity(col(cvecCol), probeVec))
+      .orderBy(col("__psim").desc, col(cidCol))
+      .limit(nprobe)
+      .select(col(cidCol).cast("int"))
+      .collect().toSeq.map(_.getInt(0))
+    bruteForceKnn(
+      partitionedCorpus.filter(col("centroid_id").isin(cids: _*)),
+      idCol, vecCol, probeVec, k)
+  }
 }

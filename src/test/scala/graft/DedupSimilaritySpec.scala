@@ -336,6 +336,54 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(objective(fit1) >= objective(fit0) - 1e-9)
   }
 
+  test("learned-centroid IVF over a partitionBy(centroid_id) corpus prunes statically") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = java.nio.file.Files.createTempDirectory("ivf_corpus").toString
+    try {
+      // learn real centroids, label the corpus, write it partitioned —
+      // the one-time IVF "index build" at 100 TB
+      val cents = similarity.KMeans.fit(embs, "vec_id", "embedding",
+        k = 8, iters = 3, dim = 64)
+      Similarity.assignToCentroids(embs, "vec_id", "embedding",
+          cents, "cid", "cvec")
+        .write.partitionBy("centroid_id").mode("overwrite").parquet(dir)
+      val corpus = spark.read.parquet(dir)
+      val probe = embs.filter(col("vec_id") === 42)
+        .select("embedding").head().getSeq[Float](0)
+
+      val res = Similarity.ivfKnnPruned(corpus, "vec_id", "embedding",
+        cents, "cid", "cvec", typedLit(probe), 5, nprobe = 2)
+      val rows = res.collect()
+      assert(rows.length === 5)
+
+      // the scan itself must carry the centroid predicate as a partition
+      // filter and list only nprobe of the k partition directories
+      val executed = res.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scans = executed.collectLeaves().collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty, executed.toString)
+      val scan = scans.head
+      assert(scan.toString.contains("PartitionFilters: [centroid_id"), scan.toString)
+      assert(scan.selectedPartitions.partitionCount === 2,
+        s"expected 2 pruned partitions, scanned ${scan.selectedPartitions.partitionCount}")
+
+      // parity: probing every centroid reads the whole corpus and must
+      // reproduce brute force exactly
+      val full = Similarity.ivfKnnPruned(corpus, "vec_id", "embedding",
+          cents, "cid", "cvec", typedLit(probe), 10, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val exact = Similarity.bruteForceKnn(embs, "vec_id", "embedding",
+          typedLit(probe), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(full === exact)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("approx_count_distinct stays within its 2% error bound on events") {
     val events = Tables.table(spark, sfDir, "events")
     val exact = events.select(countDistinct("user_id")).head().getLong(0)
