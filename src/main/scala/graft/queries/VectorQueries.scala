@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.functions.VectorFunctions.cosine_similarity
 import graft.similarity.Similarity
 
 /** Similarity search over the `embeddings` fixture (dim-64 float vectors):
@@ -16,6 +17,9 @@ object VectorQueries extends QueryPack {
 
   /** The probe used by the kNN queries (any fixed corpus row works). */
   private val ProbeId = 42
+
+  /** The probe batch for `vec_knn_batch` (any fixed corpus rows work). */
+  private val BatchProbeIds = Seq(7L, 42L, 99L)
 
   private def probeSql(alias: String): String =
     s"(SELECT embedding AS pv FROM embeddings WHERE vec_id = $ProbeId) $alias"
@@ -140,6 +144,43 @@ object VectorQueries extends QueryPack {
                         / (sqrt(list_dot_product(a.embedding, a.embedding))
                            * sqrt(list_dot_product(pv, pv))) DESC, a.vec_id
                LIMIT 5""")),
+
+    // Batch-probe kNN: N probes as a BROADCAST table against ONE corpus
+    // pass (vs. one driver .head() + full scan per probe), with per-probe
+    // top-k as a mergeable bounded aggregation (TopKAggregator) — the
+    // shuffle carries ≤ partitions × probes × k rows, never the corpus.
+    Q("vec_knn_batch",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val probes = embs.filter(col("vec_id").isin(BatchProbeIds: _*))
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+        val topk = udaf(new graft.functions.TopKAggregator(5),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.ScoredId]())
+        embs.crossJoin(broadcast(probes))
+          .groupBy("probe_id")
+          .agg(topk(cosine_similarity(col("embedding"), col("pvec")),
+            col("vec_id")).as("tk"))
+          .select(col("probe_id"), posexplode(col("tk")))
+          .select(col("probe_id"), (col("pos") + 1).cast("long").as("rk"),
+            col("col.id").as("vec_id"), round(col("col.sim"), 6).as("sim"))
+          .orderBy("probe_id", "rk")
+      },
+      Some(s"""WITH probes AS (
+                 SELECT vec_id AS probe_id, embedding AS pvec
+                 FROM embeddings WHERE vec_id IN (${BatchProbeIds.mkString(", ")})),
+               scored AS (
+                 SELECT p.probe_id, e.vec_id,
+                        list_dot_product(e.embedding, p.pvec)
+                          / (sqrt(list_dot_product(e.embedding, e.embedding))
+                             * sqrt(list_dot_product(p.pvec, p.pvec))) AS s
+                 FROM embeddings e, probes p)
+               SELECT probe_id, rk, vec_id, round(s, 6) AS sim
+               FROM (SELECT probe_id, vec_id, s,
+                            row_number() OVER (PARTITION BY probe_id
+                              ORDER BY s DESC, vec_id) AS rk
+                     FROM scored)
+               WHERE rk <= 5
+               ORDER BY probe_id, rk""")),
 
     // Multi-table SRP-LSH candidate generation (the sub-linear ANN
     // candidate path; exact verify happens on the candidates only).

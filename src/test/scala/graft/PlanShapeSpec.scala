@@ -54,6 +54,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("batch-probe kNN: broadcast probes, partial top-k before the shuffle") {
+    val p = plan("vec_knn_batch")
+    // the probe table broadcasts against one corpus pass
+    assert(p.contains("BroadcastExchange"), p)
+    // bounded top-k aggregation runs partial (map-side, pre-shuffle) then
+    // final — the shuffle carries ≤ partitions × probes × k rows
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    // no per-probe window: the only exchange after the corpus scan is the
+    // tiny post-partial-agg one on probe_id (plus the broadcast)
+    assert(!p.contains("Window"), p)
+  }
+
   test("simhash pair generation equi-joins on bands, never doc×doc") {
     val p = plan("doc_dedup_simhash_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
