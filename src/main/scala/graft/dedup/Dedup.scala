@@ -241,6 +241,27 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** The per-band (band, chunk) keys of each doc's 32-bit SimHash — the
+    * pigeonhole banding behind [[simHashPairs]], exposed so skew can be
+    * inspected/tested without re-deriving the chunk arithmetic.
+    */
+  private[graft] def simHashBands(docs: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "need 0 <= maxHamming < 32 for 32-bit bands")
+    val nBands = maxHamming + 1
+    val bandKeys = (0 until nBands).map { b =>
+      val lo = b * 32 / nBands
+      val width = (b + 1) * 32 / nBands - lo
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)).as("chunk"))
+    }
+    simHash(docs, idCol, textCol)
+      .select(col("doc_id"), col("simhash"),
+        explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, via
     * pigeonhole banding — NOT an all-pairs join.
     *
@@ -253,23 +274,30 @@ object Dedup {
     * Hamming-verified with one XOR+popcount, and multi-band collisions
     * dedup on the pair key. At 100 TB the shuffle carries
     * (maxHamming+1) × one long per doc.
+    *
+    * Skew: an ~11-bit chunk shared by d docs concentrates d²/2 candidate
+    * comparisons on one reducer (boilerplate/templated corpora make hot
+    * chunks real). AQE's skew-join split is the first line of defense;
+    * `saltBuckets = S > 1` is the guaranteed bound: the left side salts
+    * each row into one of S sub-keys by doc-id hash, the right side
+    * replicates each row to all S sub-keys, so every unordered pair still
+    * meets exactly once (at the left doc's salt) while each reducer does
+    * ~1/S of the hot chunk's comparisons. Cost: S× replication of the
+    * (doc_id, simhash) band rows — cheap, they are three longs wide.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32, "need 0 <= maxHamming < 32 for 32-bit bands")
-    val nBands = maxHamming + 1
-    val sh = simHash(docs, idCol, textCol)
-    val bandKeys = (0 until nBands).map { b =>
-      val lo = b * 32 / nBands
-      val width = (b + 1) * 32 / nBands - lo
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)).as("chunk"))
-    }
-    val banded = sh.select(col("doc_id"), col("simhash"),
-        explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
-    banded.as("a").join(banded.as("b"), Seq("band", "chunk"))
+      maxHamming: Int, saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val banded = simHashBands(docs, idCol, textCol, maxHamming)
+    val (aSide, bSide, keys) =
+      if (saltBuckets == 1) (banded, banded, Seq("band", "chunk"))
+      else (
+        banded.withColumn("salt",
+          pmod(xxhash64(col("doc_id")), lit(saltBuckets)).cast("int")),
+        banded.withColumn("salt",
+          explode(sequence(lit(0), lit(saltBuckets - 1)))),
+        Seq("band", "chunk", "salt"))
+    aSide.as("a").join(bSide.as("b"), keys)
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(expr("a.simhash ^ b.simhash")).as("hamming"))

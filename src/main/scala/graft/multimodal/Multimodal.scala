@@ -1,18 +1,26 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) columns as opaque `binary` + typed
   * metadata — the Spark-side plumbing for a training-data pipeline.
   *
-  * The actual codec work (JPEG decode, audio resample, video frame
-  * extraction) is STUBBED with a deterministic fake — the image/audio
-  * libraries are not in this container — but everything Spark-level is
-  * real and tested: the schema contract, the `mapPartitions` batch shape
-  * (decoder initialized once per partition, amortized across rows — the
-  * same pattern a JNI/FFmpeg binding needs), partitioning hints for
-  * byte-heavy rows, and the explode shape for frame sampling.
+  * The IMAGE path runs a real codec end-to-end: fixture payloads are
+  * genuine PNGs (encoded with `javax.imageio`, the JDK's production PNG
+  * writer) and metadata decode parses them back with `ImageIO.read` — an
+  * honest encode→decode round trip, no arithmetic stand-in. The AUDIO /
+  * VIDEO paths remain STUBBED with deterministic byte arithmetic (no
+  * audio/video codec exists in this container — loudly marked below);
+  * everything Spark-level is real and tested either way: the schema
+  * contract, the `mapPartitions` batch shape (decoder initialized once
+  * per partition, amortized across rows — the same pattern a JNI/FFmpeg
+  * binding needs), and the explode shape for frame sampling.
   *
   * Scale notes: media rows are orders of magnitude wider than their
   * metadata. The operators here keep bytes out of shuffles — metadata is
@@ -24,46 +32,96 @@ object Multimodal {
   /** Typed media row: payload + source metadata. */
   case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
 
-  /** Decoded (stub) metadata — what a real codec would report. */
+  /** Decoded metadata — real for images, stub-derived for audio/video. */
   case class MediaMeta(media_id: Long, kind: String, n_bytes: Int,
       width: Int, height: Int, n_frames: Int)
 
-  /** Deterministic fake media derived from the documents fixture (UTF-8
-    * payload bytes) — stands in for real blobs in tests/fixtures.
+  /** The deterministic dimensions fixture images are encoded with (and
+    * the only thing the DuckDB oracle needs to predict — the PNG byte
+    * stream itself round-trips through the real codec).
+    */
+  def imageDims(mediaId: Long): (Int, Int) =
+    (16 + (mediaId % 48).toInt, 16 + ((mediaId * 7) % 48).toInt)
+
+  /** Encode a real PNG for `mediaId` at its [[imageDims]], with a
+    * deterministic pixel pattern. Every byte of the payload is produced
+    * by the JDK's PNG encoder — downstream decode is a genuine parse.
+    */
+  def encodePng(mediaId: Long): Array[Byte] = {
+    val (w, h) = imageDims(mediaId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((mediaId * 2654435761L + x * 31 + y * 17) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val encodePngUdf = udf(encodePng _)
+
+  /** Real PNG header decode: `ImageIO.read` parses the payload and
+    * reports its pixel dimensions. Returns (0, 0) for undecodable bytes.
+    */
+  def decodePngDims(bytes: Array[Byte]): (Int, Int) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) (0, 0) else (img.getWidth, img.getHeight)
+  }
+
+  private val decodePngDimsUdf = udf(decodePngDims _)
+
+  private def kindOf(idCol: Column): Column =
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(idCol, lit(3)) + 1).cast("int"))
+
+  /** Deterministic fake media derived from the documents fixture: image
+    * rows carry REAL PNG payloads (encoded per doc id), audio/video rows
+    * carry the doc's UTF-8 bytes (stand-ins for real blobs).
     */
   def fakeMediaFromDocs(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      col("text").cast("binary").as("bytes"))
+      kindOf(col("doc_id")).as("kind"),
+      when(kindOf(col("doc_id")) === "image", encodePngUdf(col("doc_id")))
+        .otherwise(col("text").cast("binary")).as("bytes"))
 
-  /** STUB decoder: a real implementation would parse the codec header
-    * here (and is the only line that changes when a codec lib exists).
-    * Deterministic pure function of the payload so tests/oracles can
-    * reproduce it.
+  /** STUB decoder for audio/video: a real implementation would parse the
+    * codec header here (and is the only code that changes when an
+    * audio/video lib exists). Deterministic pure function of the payload
+    * so tests/oracles can reproduce it.
     */
-  private def decodeHeaderStub(kind: String, bytes: Array[Byte]): (Int, Int, Int) = {
+  private def decodeHeaderStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
-    val width = 64 + n % 577
-    val height = 64 + (n * 31) % 433
-    val frames = kind match {
-      case "video" => 1 + n % 24
-      case _ => 1
-    }
-    (width, height, frames)
+    (64 + n % 577, 64 + (n * 31) % 433, 1 + n % 24)
   }
 
   /** Decode media metadata with the per-partition-init `mapPartitions`
     * batch shape (decoder/codec context constructed once per partition,
-    * not per row).
+    * not per row). Images decode through the real PNG codec; audio/video
+    * through the stub arithmetic.
     */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition decoder init would go here (e.g. load codec lib)
+      // per-partition decoder init would go here (e.g. load codec lib);
+      // ImageIO registers its reader SPI once per JVM
       rows.map { r =>
-        val (w, h, f) = decodeHeaderStub(r.kind, r.bytes)
+        val (w, h, f) = r.kind match {
+          case "image" =>
+            val (w0, h0) = decodePngDims(r.bytes)
+            (w0, h0, 1)
+          case "video" =>
+            decodeHeaderStub(r.bytes)
+          case _ =>
+            val (w0, h0, _) = decodeHeaderStub(r.bytes)
+            (w0, h0, 1)
+        }
         MediaMeta(r.media_id, r.kind, r.bytes.length, w, h, f)
       }
     }
@@ -81,14 +139,22 @@ object Multimodal {
       .withColumn("byte_offset", col("frame_idx") * col("n_bytes") / col("n_frames"))
       .select("media_id", "frame_idx", "byte_offset")
 
-  /** DataFrame-level metadata decode (same stub arithmetic, pure column
-    * expressions) — used by the oracled query so DuckDB can mirror it.
+  /** DataFrame-level metadata decode — used by the oracled query. Image
+    * dimensions come from the REAL PNG parse (`ImageIO.read` in a UDF,
+    * evaluated only on image rows); audio/video from the stub column
+    * arithmetic DuckDB mirrors directly.
     */
   def decodeMetaColumns(media: DataFrame): DataFrame =
     media
       .withColumn("n_bytes", length(col("bytes")).cast("long"))
-      .withColumn("width", (lit(64) + pmod(col("n_bytes"), lit(577))).cast("long"))
-      .withColumn("height", (lit(64) + pmod(col("n_bytes") * 31, lit(433))).cast("long"))
+      .withColumn("png",
+        when(col("kind") === "image", decodePngDimsUdf(col("bytes"))))
+      .withColumn("width",
+        when(col("kind") === "image", col("png._1").cast("long"))
+          .otherwise((lit(64) + pmod(col("n_bytes"), lit(577))).cast("long")))
+      .withColumn("height",
+        when(col("kind") === "image", col("png._2").cast("long"))
+          .otherwise((lit(64) + pmod(col("n_bytes") * 31, lit(433))).cast("long")))
       .withColumn("n_frames",
         when(col("kind") === "video", lit(1) + pmod(col("n_bytes"), lit(24)))
           .otherwise(lit(1)).cast("long"))

@@ -14,17 +14,26 @@ object MultimodalQueries extends QueryPack {
 
   override val queries: Seq[Q] = Seq(
 
-    // Metadata decode over binary media columns (stubbed codec header
-    // parse — deterministic arithmetic on payload length).
+    // Metadata decode over binary media columns. Image rows are REAL
+    // PNGs: Spark encodes them with javax.imageio and decodes the
+    // dimensions back by parsing the payload (genuine codec round trip);
+    // the oracle predicts those dimensions from the deterministic encode
+    // parameters — if the decode were fake, the parse would not
+    // reproduce them. Audio/video remain stub arithmetic on payload
+    // length (no codec libs in this container). n_bytes is projected
+    // away: a compressed PNG's byte count is a codec artifact no
+    // independent engine can predict.
     Q("mm_decode_meta",
       (s, dir) => Multimodal.decodeMetaColumns(
           Multimodal.fakeMediaFromDocs(t(s, dir, "documents")))
+        .select("media_id", "kind", "width", "height", "n_frames")
         .orderBy("media_id"),
       Some("""SELECT doc_id AS media_id,
                      ['image','audio','video'][(doc_id % 3) + 1] AS kind,
-                     octet_length(encode(text)) AS n_bytes,
-                     64 + octet_length(encode(text)) % 577 AS width,
-                     64 + (octet_length(encode(text)) * 31) % 433 AS height,
+                     CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 48
+                          ELSE 64 + octet_length(encode(text)) % 577 END AS width,
+                     CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 48
+                          ELSE 64 + (octet_length(encode(text)) * 31) % 433 END AS height,
                      CASE WHEN ['image','audio','video'][(doc_id % 3) + 1] = 'video'
                           THEN 1 + octet_length(encode(text)) % 24 ELSE 1 END AS n_frames
               FROM documents ORDER BY media_id""")),

@@ -130,6 +130,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === ref)
   }
 
+  test("simhash salt splits hot chunks without changing the pair set") {
+    import spark.implicits._
+    // worst-case skew: 60 identical docs — ONE simhash value, so every
+    // (band, chunk) key holds all 60 rows and one reducer would generate
+    // all 60·59/2 candidate pairs
+    val hotDocs = (1L to 60L)
+      .map(i => (i, "the same boilerplate template text on every page"))
+      .toDF("doc_id", "text")
+    val unsalted = Dedup.simHashPairs(hotDocs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(unsalted.size === 60 * 59 / 2)
+    val salted = Dedup.simHashPairs(hotDocs, "doc_id", "text", maxHamming = 3,
+        saltBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(salted === unsalted, "salting must not change the result")
+    // the salt splits the hot key's LEFT side (the pair-generation
+    // driver): max per-key group drops from n to ~n/S
+    val banded = Dedup.simHashBands(hotDocs, "doc_id", "text", maxHamming = 3)
+    val hotMax = banded.groupBy("band", "chunk").count()
+      .agg(max("count")).head().getLong(0)
+    assert(hotMax === 60L)
+    val saltedMax = banded
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(8)))
+      .groupBy("band", "chunk", "salt").count()
+      .agg(max("count")).head().getLong(0)
+    assert(saltedMax <= 20L,
+      s"hot chunk not split by salt: max group $saltedMax of 60")
+  }
+
   test("jaccard stop-shingle cap: identity above max df, one-sided below") {
     val off = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

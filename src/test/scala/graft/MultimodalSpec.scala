@@ -27,6 +27,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("image payloads are real PNGs and decode round-trips the encoded dims") {
+    import spark.implicits._
+    val media = Multimodal.fakeMediaFromDocs(Tables.table(spark, sfDir, "documents"))
+      .filter(col("kind") === "image")
+    val rows = media.as[Multimodal.MediaRow].collect()
+    assert(rows.nonEmpty)
+    rows.take(20).foreach { r =>
+      // PNG magic: the payload is a genuine PNG stream, not arithmetic
+      assert((r.bytes(0) & 0xff) === 0x89 && r.bytes(1) === 'P'.toByte
+        && r.bytes(2) === 'N'.toByte && r.bytes(3) === 'G'.toByte)
+    }
+    // the real decoder reproduces the dimensions each image was encoded at
+    val decoded = Multimodal.decodeMeta(media.as[Multimodal.MediaRow])
+      .collect()
+    decoded.foreach { m =>
+      val (w, h) = Multimodal.imageDims(m.media_id)
+      assert((m.width, m.height) === ((w, h)),
+        s"media ${m.media_id}: decoded ${(m.width, m.height)} != encoded ${(w, h)}")
+    }
+  }
+
   test("frame sampling explodes only narrow columns, one row per stride") {
     import spark.implicits._
     val media = Multimodal.fakeMediaFromDocs(Tables.table(spark, sfDir, "documents"))
