@@ -99,13 +99,23 @@ object ChangeEvents {
     * escaping; null payload fields are ABSENT (a delete has no
     * `fullDocument`), matching MarshalExtJSON of the reference's `bson.M`.
     */
-  def eventValue(): Column = {
+  def eventValue(idIsExtJson: Boolean = false): Column = {
     import graft.functions.ExtJson.ext_json_canonical
     def raw(name: String): Column =
       when(col(name).isNotNull,
         concat(lit(",\"" + name + "\":"), col(name))).otherwise(lit(""))
+    // `_id` fidelity note: a REAL change stream's `_id` is the resume
+    // token, a nested document `{"_data":…}` which MarshalExtJSON emits
+    // as an OBJECT — pass `idIsExtJson = true` when the envelope carries
+    // it as canonical-ExtJSON text (the connector path,
+    // [[normalizeConnectorEnvelope]]) and it splices raw. The default
+    // renders it as a JSON string, matching FIXTURES.md's opaque-string
+    // `_id` — the one deliberate divergence from wire-byte parity when
+    // fixtures use simple ids.
+    val idPart =
+      if (idIsExtJson) col("_id") else ext_json_canonical(col("_id"))
     concat(
-      lit("{\"_id\":"), ext_json_canonical(col("_id")),
+      lit("{\"_id\":"), idPart,
       lit(",\"operationType\":"), ext_json_canonical(col("operationType")),
       raw("clusterTime"),
       lit(",\"ns\":"), ext_json_canonical(col("ns")),
@@ -115,17 +125,62 @@ object ChangeEvents {
       lit("}"))
   }
 
+  /** Normalize the mongo-spark connector's TYPED change-stream columns to
+    * this engine's envelope contract (every dynamic payload = VALID
+    * canonical-ExtJSON text, ready for [[eventValue]]'s raw splicing):
+    *
+    *  - `_id` (resume token, a struct like `{"_data":…}`) → `to_json`,
+    *    NOT `CAST(… AS STRING)` (Spark struct text is not JSON);
+    *  - `clusterTime` (surfaced as a timestamp) → canonical
+    *    `{"$timestamp":{"t":<seconds>,"i":0}}` via
+    *    [[graft.functions.ExtJson.bson_timestamp]] — a bare
+    *    `CAST(… AS STRING)` would splice unquoted `2024-01-01 …` text
+    *    into the Kafka value and corrupt it. The ordinal is not exposed
+    *    through the connector's typed surface, so `i` pins to 0
+    *    (documented divergence from the wire value);
+    *  - document payloads (structs) → `to_json` (plain JSON — the
+    *    connector's typed surface has already widened the BSON scalar
+    *    types, so `$numberLong`-style tags are not recoverable here).
+    *
+    * String-typed columns pass through untouched (already-rendered
+    * envelopes stay intact). Pair with `relay(df, idIsExtJson = true)`.
+    */
+  def normalizeConnectorEnvelope(df: DataFrame): DataFrame = {
+    import graft.functions.ExtJson.{bson_timestamp, ext_json_canonical}
+    def jsonify(name: String): Column = df.schema(name).dataType match {
+      case StringType => col(name)
+      case _ => to_json(col(name))
+    }
+    val ct = df.schema("clusterTime").dataType match {
+      case StringType => col("clusterTime")
+      case TimestampType | TimestampNTZType | LongType | IntegerType =>
+        ext_json_canonical(
+          bson_timestamp(col("clusterTime").cast("long"), lit(0)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported clusterTime type $other: expected timestamp/long/string")
+    }
+    df.select(
+      jsonify("_id").as("_id"),
+      col("operationType"),
+      ct.as("clusterTime"),
+      col("ns"),
+      jsonify("documentKey").as("documentKey"),
+      jsonify("fullDocument").as("fullDocument"),
+      jsonify("updateDescription").as("updateDescription"))
+  }
+
   /** The full relay hot path (main.go:103-155) as one narrow transform:
     * envelope in → `(topic, key, value)` out, ready for a Kafka sink
     * (`topic`/`key`/`value` are exactly the column names the Spark Kafka
-    * sink routes by).
+    * sink routes by). `idIsExtJson` — see [[eventValue]].
     */
-  def relay(envelope: DataFrame): DataFrame =
+  def relay(envelope: DataFrame, idIsExtJson: Boolean = false): DataFrame =
     opFilter(envelope)
       .select(
         topicColumn(col("ns.db"), col("ns.coll")).as("topic"),
         connectKeyEnvelope(col("documentKey")).as("key"),
-        eventValue().as("value"))
+        eventValue(idIsExtJson).as("value"))
 
   /** Replay/at-least-once compensation: drop duplicate deliveries by key.
     * Batch flavor — deterministic "first by `orderCols`" rather than

@@ -257,6 +257,28 @@ object ExtJson {
     struct(struct(pattern.as("pattern"), options.as("options"))
       .as("$regularExpression"))
 
+  /** Full-fidelity Decimal128 convention: carries the canonical
+    * significand/exponent TEXT (`"NaN"`, `"Infinity"`, `"-Infinity"`,
+    * `"1E-6143"`, …) so the values Spark's `DecimalType` cannot represent
+    * — IEEE 754-2008 decimal128 specials and the full ±6144 exponent
+    * range the Go driver's `primitive.Decimal128` round-trips
+    * (main.go:117) — still render as `{"$numberDecimal":"…"}`. A Spark
+    * decimal column renders its plain string; for in-range values prefer
+    * the typed column (ext_json_canonical tags it identically).
+    */
+  def bson_decimal128(text: Column): Column =
+    struct(text.cast("string").as("$numberDecimal"))
+
+  /** BSON Binary with an explicit subtype: renders as
+    * `{"$binary":{"base64":"…","subType":"xx"}}`. `ext_json_canonical`
+    * on a raw `binary` column defaults to subtype "00" (generic); this
+    * convention carries the declared subtype — "04" UUID, "05" MD5,
+    * "80"+ user-defined — which the canonical spec preserves.
+    */
+  def bson_binary(bytes: Column, subType: Column): Column =
+    struct(struct(org.apache.spark.sql.functions.base64(bytes).as("base64"),
+      subType.as("subType")).as("$binary"))
+
   /** Read a value back out of canonical ExtJSON, unwrapping the scalar
     * type tags (`{"$numberLong":"42"}` → `"42"`, `$date` → epoch millis,
     * plain strings pass through). `path` is a JSON path like `$._id`.

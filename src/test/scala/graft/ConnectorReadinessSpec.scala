@@ -44,26 +44,48 @@ class ConnectorReadinessSpec extends SparkSpec {
       "Spark's Kafka sink only forwards options prefixed with 'kafka.' to the producer")
   }
 
+  test("connector envelope normalization emits valid JSON relay values") {
+    import org.apache.spark.sql.functions._
+    import graft.cdc.ChangeEvents
+    // a batch frame with the TYPES the mongodb connector surfaces: _id =
+    // resume-token struct, clusterTime = timestamp, payloads = structs
+    val typed = spark.range(1).select(
+      struct(lit("82648A7B").as("_data")).as("_id"),
+      lit("insert").as("operationType"),
+      lit("2024-01-01 00:00:00").cast("timestamp").as("clusterTime"),
+      struct(lit("app").as("db"), lit("users").as("coll")).as("ns"),
+      struct(lit(12L).as("_id")).as("documentKey"),
+      struct(lit(12L).as("_id"), lit("ada").as("name")).as("fullDocument"),
+      lit(null).cast("string").as("updateDescription"))
+    val value = ChangeEvents.relay(
+        ChangeEvents.normalizeConnectorEnvelope(typed), idIsExtJson = true)
+      .head().getAs[String]("value")
+    // the whole value must be REAL JSON — the r2 recipe's CAST AS STRING
+    // spliced unquoted timestamp text here and corrupted it
+    val parsed = spark.range(1).select(
+        get_json_object(lit(value), "$.clusterTime.$timestamp.t").as("t"),
+        get_json_object(lit(value), "$._id._data").as("rt"),
+        get_json_object(lit(value), "$.fullDocument.name").as("nm"))
+      .head()
+    assert(parsed.getString(0) === "1704067200")
+    assert(parsed.getString(1) === "82648A7B",
+      "resume token must ride as a nested document, not struct text")
+    assert(parsed.getString(2) === "ada")
+    assert(value.contains(""""clusterTime":{"$timestamp":{"t":1704067200,"i":0}}"""),
+      value)
+  }
+
   // The real end-to-end wiring: requires mongo-spark-connector +
   // spark-sql-kafka jars and live endpoints. Kept compiling so the claim
   // stays honest; enable by flipping `ignore` -> `test`.
   ignore("relay runs against live Mongo change stream and Kafka (jars + services required)") {
     import graft.cdc.ChangeEvents
-    val envelope = spark.readStream
-      .format("mongodb")
-      .options(cfg.sourceOptions)
-      .load()
-      // the connector surfaces the raw change-stream document; normalize
-      // to the engine's envelope columns (ExtJSON strings for payloads)
-      .selectExpr(
-        "CAST(_id AS STRING) AS _id",
-        "operationType",
-        "CAST(clusterTime AS STRING) AS clusterTime",
-        "ns",
-        "to_json(documentKey) AS documentKey",
-        "to_json(fullDocument) AS fullDocument",
-        "to_json(updateDescription) AS updateDescription")
-    val q = ChangeEvents.relay(envelope)
+    val envelope = ChangeEvents.normalizeConnectorEnvelope(
+      spark.readStream
+        .format("mongodb")
+        .options(cfg.sourceOptions)
+        .load())
+    val q = ChangeEvents.relay(envelope, idIsExtJson = true)
       .writeStream
       .format("kafka")
       .options(cfg.kafkaSinkOptions)

@@ -70,6 +70,65 @@ class ExtJsonSpec extends SparkSpec {
       === """{"$regularExpression":{"pattern":"^a.*b$","options":"i"}}""")
   }
 
+  test("double specials render the canonical NaN/Infinity forms") {
+    assert(renderOne(ext_json_canonical(lit(Double.NaN)))
+      === """{"$numberDouble":"NaN"}""")
+    assert(renderOne(ext_json_canonical(lit(Double.PositiveInfinity)))
+      === """{"$numberDouble":"Infinity"}""")
+    assert(renderOne(ext_json_canonical(lit(Double.NegativeInfinity)))
+      === """{"$numberDouble":"-Infinity"}""")
+    assert(renderOne(ext_json_canonical(lit(-0.0)))
+      === """{"$numberDouble":"-0.0"}""")
+  }
+
+  test("decimal scale and precision are preserved exactly in $numberDecimal") {
+    assert(renderOne(ext_json_canonical(
+        lit(BigDecimal("0.0000")).cast("decimal(20,4)")))
+      === """{"$numberDecimal":"0.0000"}""")
+    assert(renderOne(ext_json_canonical(
+        lit(BigDecimal("-12345678901234567890123456789012345678")).cast("decimal(38,0)")))
+      === """{"$numberDecimal":"-12345678901234567890123456789012345678"}""")
+    assert(renderOne(ext_json_canonical(
+        lit(BigDecimal("0.000000000000000001")).cast("decimal(38,18)")))
+      === """{"$numberDecimal":"0.000000000000000001"}""")
+  }
+
+  test("bson_decimal128 carries Decimal128 specials Spark decimals cannot hold") {
+    import graft.functions.ExtJson.bson_decimal128
+    for (txt <- Seq("NaN", "Infinity", "-Infinity",
+        "9.999999999999999999999999999999999E+6144", "1E-6143", "-0.00")) {
+      assert(renderOne(ext_json_canonical(bson_decimal128(lit(txt))))
+        === s"""{"$$numberDecimal":"$txt"}""", s"for $txt")
+    }
+  }
+
+  test("binary renders base64 with subtype: default 00, declared subtypes preserved") {
+    import graft.functions.ExtJson.bson_binary
+    val bytes = Array[Byte](1, 2, 3, 4, 5)
+    val b64 = java.util.Base64.getEncoder.encodeToString(bytes)
+    // a raw binary column defaults to the generic subtype
+    assert(renderOne(ext_json_canonical(lit(bytes)))
+      === s"""{"$$binary":{"base64":"$b64","subType":"00"}}""")
+    // declared subtypes (04 = UUID, 80 = user-defined) survive
+    for (st <- Seq("04", "05", "80")) {
+      assert(renderOne(ext_json_canonical(bson_binary(lit(bytes), lit(st))))
+        === s"""{"$$binary":{"base64":"$b64","subType":"$st"}}""", s"subtype $st")
+    }
+    // empty payload
+    assert(renderOne(ext_json_canonical(bson_binary(lit(Array.empty[Byte]), lit("00"))))
+      === """{"$binary":{"base64":"","subType":"00"}}""")
+  }
+
+  test("nested arrays of tagged scalars and binaries render recursively") {
+    val c = ext_json_canonical(struct(
+      array(array(lit(1L), lit(2L)), array(lit(3L))).as("m"),
+      array(lit(Array[Byte](7))).as("bs")))
+    val b64 = java.util.Base64.getEncoder.encodeToString(Array[Byte](7))
+    assert(renderOne(c) ===
+      s"""{"m":[[{"$$numberLong":"1"},{"$$numberLong":"2"}],[{"$$numberLong":"3"}]],""" +
+      s""""bs":[{"$$binary":{"base64":"$b64","subType":"00"}}]}""")
+  }
+
   test("relay value splices payloads as nested objects, absent when null (main.go:138)") {
     val mkEnv = (id: String, op: String, ct: String, dk: String,
         fd: Option[String], ud: Option[String]) =>
