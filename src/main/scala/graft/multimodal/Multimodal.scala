@@ -50,15 +50,13 @@ object Multimodal {
   def encodePng(mediaId: Long): Array[Byte] = {
     val (w, h) = imageDims(mediaId)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        img.setRGB(x, y, ((mediaId * 2654435761L + x * 31 + y * 17) & 0xffffff).toInt)
-        x += 1
-      }
-      y += 1
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < px.length) {
+      px(i) = ((mediaId * 2654435761L + (i % w) * 31 + (i / w) * 17) & 0xffffff).toInt
+      i += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
