@@ -128,6 +128,22 @@ object RelationalQueries extends QueryPack {
         .orderBy("event_type"),
       None),
 
+    // Approx percentiles (t-digest-style mergeable sketch,
+    // `approx_percentile`): constant state per group regardless of group
+    // size — the 100 TB percentile path where exact interpolation
+    // (`agg_median`) would shuffle every value. Not SQL-oracle-able
+    // bit-for-bit → rows-only check + a ScalaTest pinning the estimates
+    // within rank error of the exact percentiles.
+    Q("agg_approx_quantile",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("approx_percentile(value, array(0.5, 0.9), 1000)").as("pcts"))
+        .select(col("event_type"),
+          col("pcts").getItem(0).as("p50_approx"),
+          col("pcts").getItem(1).as("p90_approx"))
+        .orderBy("event_type"),
+      None),
+
     // Grouping sets via ROLLUP; group keys coalesced so the oracle's sort
     // order is NULL-free and total.
     Q("agg_rollup",

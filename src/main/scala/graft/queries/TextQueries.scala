@@ -281,6 +281,67 @@ object TextQueries extends QueryPack {
               SELECT s AS doc_id, least(s, min(d)) AS cluster_id
               FROM reach GROUP BY s ORDER BY doc_id""")),
 
+    // The curation END PRODUCT: the deduplicated corpus — every doc that
+    // is either untouched by near-dup pairs or its cluster's
+    // representative (minimum id). Engine: docs LEFT JOIN the (small)
+    // cluster-label table — at scale the labels side holds only docs that
+    // appear in a pair, so AQE broadcasts it and the corpus never
+    // shuffles. Oracle: the same recursive-CTE closure, anti-filtered.
+    Q("doc_dedup_keep",
+      (s, dir) => {
+        val labels = Dedup.duplicateClusters(SharedJaccardPairs(s, dir, 3, 0.8))
+        t(s, dir, "documents")
+          .join(labels, Seq("doc_id"), "left")
+          .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      for i in range(1, len(t) - 1)]) AS s
+                FROM (SELECT doc_id,
+                             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+                      FROM documents)),
+              cand AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       len(list_intersect(a.s, b.s)) AS c,
+                       len(a.s) AS na, len(b.s) AS nb
+                FROM sh a, sh b WHERE a.doc_id < b.doc_id),
+              pairs AS (
+                SELECT a_id, b_id FROM cand
+                WHERE c::DOUBLE / (na + nb - c) >= 0.8),
+              edges(s, d) AS (
+                SELECT a_id, b_id FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+              reach(s, d) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+              labels AS (
+                SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+                FROM reach GROUP BY s)
+              SELECT d.doc_id, d.n_chars
+              FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+              WHERE l.doc_id IS NULL OR l.cluster_id = d.doc_id
+              ORDER BY d.doc_id""")),
+
+    // Per-language corpus profile — the stratification stats a curation
+    // pipeline reads before sampling (doc counts, length distribution).
+    // One partial+final hash aggregation on `lang`.
+    Q("text_lang_stats",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+                     round(avg(n_chars), 2) AS avg_chars,
+                     min(n_chars) AS min_chars, max(n_chars) AS max_chars
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
     // MinHash(16) + LSH(4 bands × 4 rows) candidate pairs.
     Q("doc_dedup_minhash",
       (s, dir) => Dedup.minHashCandidates(t(s, dir, "documents"), "doc_id", "text",

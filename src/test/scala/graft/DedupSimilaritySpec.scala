@@ -413,6 +413,28 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile estimates stay within rank error of exact percentiles") {
+    val events = Tables.table(spark, sfDir, "events")
+    val approx = SparkEntry.queries("agg_approx_quantile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = events.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.5, 0.9))").as("p"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getSeq[Double](1)(0), r.getSeq[Double](1)(1))).toMap
+    assert(approx.keySet === exact.keySet && approx.nonEmpty)
+    // accuracy=1000 bounds RANK error at 1/1000; translate to a value
+    // tolerance via each group's value spread (loose but principled)
+    exact.foreach { case (et, (e50, e90)) =>
+      val (a50, a90) = approx(et)
+      val spread = events.filter(col("event_type") === et)
+        .agg(max("value").cast("double") - min("value").cast("double"))
+        .head().getDouble(0)
+      assert(math.abs(a50 - e50) <= spread * 0.05, s"$et p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) <= spread * 0.05, s"$et p90: $a90 vs $e90")
+    }
+  }
+
   test("approx_count_distinct stays within its 2% error bound on events") {
     val events = Tables.table(spark, sfDir, "events")
     val exact = events.select(countDistinct("user_id")).head().getLong(0)
