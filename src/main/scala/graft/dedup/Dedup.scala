@@ -183,16 +183,23 @@ object Dedup {
     * signatures bit-for-bit.
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int): DataFrame = {
+      n: Int, k: Int): DataFrame =
+    minHashSignaturesFromIndex(shingleIndex(docs, idCol, textCol, n), k)
+
+  /** [[minHashSignatures]] over a prebuilt (doc_id, shingle) index —
+    * composes with a cached/materialized [[shingleIndex]] so several
+    * sketch consumers share one index build.
+    */
+  def minHashSignaturesFromIndex(idx: DataFrame, k: Int): DataFrame = {
     require(k <= Perms.length, s"at most ${Perms.length} permutations wired")
-    val idx = shingleIndex(docs, idCol, textCol, n)
+    val hashed = idx
       .select(col("doc_id"),
         conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h"))
     def perm(i: Int): Column = {
       val (a, b) = Perms(i)
       (col("h") * a + b) % 4294967296L
     }
-    idx.groupBy("doc_id")
+    hashed.groupBy("doc_id")
       .agg(min(perm(0)).as("mh0"),
         (1 until k).map(i => min(perm(i)).as(s"mh$i")): _*)
   }
@@ -201,10 +208,17 @@ object Dedup {
     * `k` signatures split into `bands` bands of `k/bands` rows each.
     */
   def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int): DataFrame = {
+      n: Int, k: Int, bands: Int): DataFrame =
+    minHashCandidatesFromSignatures(
+      minHashSignatures(docs, idCol, textCol, n, k), k, bands)
+
+  /** The banding half of [[minHashCandidates]], on a prebuilt signature
+    * table (doc_id, mh0..mh{k-1}).
+    */
+  def minHashCandidatesFromSignatures(sigs: DataFrame, k: Int,
+      bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val rows = k / bands
-    val sigs = minHashSignatures(docs, idCol, textCol, n, k)
     val bandKey = (b: Int) =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as("bkey"))
@@ -214,6 +228,27 @@ object Dedup {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+  }
+
+  /** Sketch-based Jaccard ESTIMATION for LSH candidate pairs: the
+    * fraction of agreeing MinHash lanes is an unbiased estimator of the
+    * true Jaccard (each lane agrees with probability J), with stderr
+    * √(J(1−J)/k). At 100 TB this replaces the exact intersect/union
+    * verify — per-pair work is O(k) on two k-long signatures that
+    * already exist, no posting lists touched. Returns
+    * (a_id, b_id, jaccard_est ∈ {0, 1/k, …, 1}).
+    */
+  def minHashJaccardEstimate(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val cands = minHashCandidatesFromSignatures(sigs, k, bands)
+    def side(p: String): DataFrame =
+      sigs.toDF(sigs.columns.map(c =>
+        if (c == "doc_id") s"${p}_id" else s"${p}_$c"): _*)
+    val agree = (0 until k)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands.join(side("a"), "a_id").join(side("b"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (agree.cast("double") / k).as("jaccard_est"))
   }
 
   /** 32-bit frequency-weighted SimHash per document.

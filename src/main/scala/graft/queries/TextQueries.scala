@@ -377,6 +377,56 @@ object TextQueries extends QueryPack {
                 ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
               ORDER BY a_id, b_id""")),
 
+    // Sketch-based Jaccard ESTIMATION on the LSH candidates: fraction of
+    // agreeing MinHash lanes (unbiased, stderr √(J(1−J)/16)) — the O(k)
+    // per-pair verify that replaces exact intersect/union counting at
+    // 100 TB. Signatures are pure integer arithmetic on md5, so both
+    // engines produce identical lanes and identical estimates.
+    Q("doc_minhash_est",
+      (s, dir) => {
+        val sigs = Dedup.minHashSignaturesFromIndex(
+          SharedShingleIndex(s, dir, 3), k = 16)
+        Dedup.minHashJaccardEstimate(sigs, k = 16, bands = 4)
+          .select(col("a_id"), col("b_id"),
+            round(col("jaccard_est"), 4).as("jaccard_est"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH sh AS (
+                SELECT doc_id, unnest(
+                  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 for i in range(1, len(t) - 1)])) AS shingle
+                FROM (SELECT doc_id,
+                             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+                      FROM documents)),
+              lane AS (
+                SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+                FROM sh),
+              sig AS (
+                SELECT doc_id,
+                       ${minHashSigSql(k = 16)}
+                FROM lane GROUP BY doc_id),
+              buckets AS (
+                SELECT doc_id, band,
+                       CASE band
+                         WHEN 0 THEN md5(concat_ws('|', mh0, mh1, mh2, mh3))
+                         WHEN 1 THEN md5(concat_ws('|', mh4, mh5, mh6, mh7))
+                         WHEN 2 THEN md5(concat_ws('|', mh8, mh9, mh10, mh11))
+                         ELSE md5(concat_ws('|', mh12, mh13, mh14, mh15))
+                       END AS bkey
+                FROM sig, (SELECT unnest([0,1,2,3]) AS band)),
+              cand AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM buckets a JOIN buckets b
+                  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+              SELECT c.a_id, c.b_id,
+                     round((${(0 until 16).map(i =>
+                       s"(sa.mh$i = sb.mh$i)::INT").mkString(" + ")}) / 16.0, 4)
+                       AS jaccard_est
+              FROM cand c
+              JOIN sig sa ON c.a_id = sa.doc_id
+              JOIN sig sb ON c.b_id = sb.doc_id
+              ORDER BY a_id, b_id""")),
+
     // Fuzzy-dedup verify: exact Levenshtein edit distance computed ONLY on
     // the MinHash-LSH candidate pairs — the candidates→verify composition
     // with the O(len²) DP confined to pairs the cheap index already

@@ -130,6 +130,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === ref)
   }
 
+  test("minhash lane agreement estimates Jaccard within sketch error on candidates") {
+    val idx = Dedup.shingleIndex(docs, "doc_id", "text", n = 3)
+    val sigs = Dedup.minHashSignaturesFromIndex(idx, k = 16)
+    val est = Dedup.minHashJaccardEstimate(sigs, k = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est.nonEmpty)
+    // candidates share ≥1 band (4 consecutive lanes) by construction
+    assert(est.values.forall(e => e >= 0.25 - 1e-9 && e <= 1.0 + 1e-9))
+    val exact = Dedup.jaccardPairsFromIndex(idx, minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // k=16 lanes: stderr ≤ 1/8; mean |error| across candidates stays small
+    val errs = est.toSeq.map { case (pair, e) =>
+      math.abs(e - exact.getOrElse(pair, 0.0)) }
+    assert(errs.sum / errs.size < 0.2,
+      f"mean |est - exact| = ${errs.sum / errs.size}%.3f")
+    // true near-dups estimate high
+    exact.filter(_._2 >= 0.95).keys.filter(est.contains).foreach { pair =>
+      assert(est(pair) >= 0.6, s"$pair: est ${est(pair)} for exact >=0.95")
+    }
+  }
+
   test("simhash salt splits hot chunks without changing the pair set") {
     import spark.implicits._
     // worst-case skew: 60 identical docs — ONE simhash value, so every
