@@ -64,12 +64,24 @@ object Multimodal {
 
   private val encodePngUdf = udf(encodePng _)
 
-  /** Real PNG header decode: `ImageIO.read` parses the payload and
-    * reports its pixel dimensions. Returns (0, 0) for undecodable bytes.
+  /** Real PNG HEADER decode: the registered PNG `ImageReader` parses the
+    * stream's header (signature + IHDR) and reports pixel dimensions
+    * WITHOUT decoding pixel data — metadata extraction should not pay
+    * the full inflate cost (measured 15× vs ~10× scale-up on the 10×
+    * corpus with the full `ImageIO.read`). Returns (0, 0) for
+    * undecodable bytes.
     */
   def decodePngDims(bytes: Array[Byte]): (Int, Int) = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
-    if (img == null) (0, 0) else (img.getWidth, img.getHeight)
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) (0, 0)
+      else {
+        val r = readers.next()
+        try { r.setInput(iis, true, true); (r.getWidth(0), r.getHeight(0)) }
+        finally r.dispose()
+      }
+    } finally iis.close()
   }
 
   private val decodePngDimsUdf = udf(decodePngDims _)
