@@ -86,6 +86,134 @@ object Multimodal {
 
   private val decodePngDimsUdf = udf(decodePngDims _)
 
+  /** 64-bit perceptual difference hash (dHash) of an image payload:
+    * real decode → grayscale box-average onto a 9×8 grid → one bit per
+    * horizontal gradient sign (cell > right neighbor). Re-encodes,
+    * brightness shifts, and small edits preserve most gradient signs, so
+    * near-duplicate images land within a few bits of each other while
+    * unrelated images differ in ~32. Integer-only arithmetic (sums
+    * cross-multiplied instead of divided) → bit-identical across
+    * JVMs/platforms. None for undecodable payloads.
+    */
+  def dHash(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w < 9 || h < 8) return None
+    // 9×8 box-average grayscale grid: per cell keep (sum, count) so the
+    // bit test below can cross-multiply — no division rounding anywhere
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 9 / w
+        val rgb = img.getRGB(x, y)
+        val gray = ((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+          (rgb & 0xff) * 114L
+        sums(gy)(gx) += gray
+        cnts(gy)(gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        // avg(gx) > avg(gx+1)  ⇔  sumL·cntR > sumR·cntL (exact integers)
+        if (sums(gy)(gx) * cnts(gy)(gx + 1) > sums(gy)(gx + 1) * cnts(gy)(gx))
+          hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    Some(hash)
+  }
+
+  private val dHashUdf = udf(dHash _)
+
+  /** Perceptual hashes of the image rows: (media_id, phash). Decode is
+    * the whole cost — a narrow projection, zero shuffle, linear scan.
+    */
+  def imagePhashes(media: DataFrame): DataFrame =
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), dHashUdf(col("bytes")).as("phash"))
+      .filter(col("phash").isNotNull)
+
+  /** Near-duplicate image pairs by perceptual hash: all (a, b) with
+    * hamming(phash_a, phash_b) ≤ `maxHamming`, found by pigeonhole
+    * banding — the 64-bit hash splits into `maxHamming + 1` chunks, and
+    * any pair within the bound must agree exactly on ≥ 1 chunk, so an
+    * equi-join on (band, chunk) has guaranteed recall; `bit_count(xor)`
+    * verifies the exact distance on candidates only. Same scale shape as
+    * the SimHash text path: ONE shuffle keyed on (band, chunk-value),
+    * never image × image.
+    */
+  def phashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16, "maxHamming in [0, 16)")
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val banded = hashes.select(col("media_id"), col("phash"),
+      posexplode(array((0 until bands).map(i =>
+        shiftrightunsigned(col("phash"), i * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "chunk")))
+    val a = banded.select(col("media_id").as("a_id"), col("phash").as("a_ph"),
+      col("band"), col("chunk"))
+    val b = banded.select(col("media_id").as("b_id"), col("phash").as("b_ph"),
+      col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_ph").bitwiseXOR(col("b_ph"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Re-encode `mediaId`'s fixture image with every channel brightened by
+    * `delta` (clamped) — the planted near-duplicate used to demonstrate
+    * [[phashPairs]]: a global brightness shift preserves every gradient
+    * sign except where channels saturate, so the twin lands a few bits
+    * from the original.
+    */
+  def encodePngBrightened(mediaId: Long, delta: Int): Array[Byte] = {
+    val (w, h) = imageDims(mediaId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < px.length) {
+      val rgb = ((mediaId * 2654435761L + (i % w) * 31 + (i / w) * 17) & 0xffffff).toInt
+      val r = math.min(((rgb >> 16) & 0xff) + delta, 255)
+      val g = math.min(((rgb >> 8) & 0xff) + delta, 255)
+      val bb = math.min((rgb & 0xff) + delta, 255)
+      px(i) = (r << 16) | (g << 8) | bb
+      i += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val encodePngBrightenedUdf = udf(encodePngBrightened _)
+
+  /** The fixture media plus a brightness-shifted re-encode of every image
+    * (twin ids offset by `twinOffset`) — input for the near-dup pair
+    * demo/test: each image should pair with exactly its twin.
+    */
+  def withBrightenedTwins(media: DataFrame, delta: Int,
+      twinOffset: Long): DataFrame =
+    media.union(
+      media.filter(col("kind") === "image")
+        .select((col("media_id") + twinOffset).as("media_id"), col("kind"),
+          encodePngBrightenedUdf(col("media_id"), lit(delta)).as("bytes")))
+
   private def kindOf(idCol: Column): Column =
     element_at(array(lit("image"), lit("audio"), lit("video")),
       (pmod(idCol, lit(3)) + 1).cast("int"))

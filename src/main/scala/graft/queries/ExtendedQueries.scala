@@ -306,5 +306,50 @@ object ExtendedQueries extends QueryPack {
                      round(abs(o_totalprice - 1000.0), 2) AS abs_dev,
                      CAST(floor(o_totalprice / 100.0) AS BIGINT) AS price_bucket,
                      o_orderstatus || '-' || o_orderpriority AS status_prio
-              FROM orders ORDER BY o_orderkey""")))
+              FROM orders ORDER BY o_orderkey""")),
+
+    // Distribution windows: quartile bucketing + relative rank in one
+    // pass. One shuffle on the partition key; the (c_acctbal, c_custkey)
+    // order key is unique per partition, so every engine agrees on the
+    // frame and ntile boundaries.
+    Q("win_ntile",
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+                     ntile(4) OVER w AS quartile,
+                     round(percent_rank() OVER w, 6) AS pct_rank,
+                     round(cume_dist() OVER w, 6) AS cd
+              FROM customer
+              WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+              ORDER BY c_custkey""")),
+
+    // Per-group mode (most frequent value, smallest-first tie-break) —
+    // count aggregation + a rank window over the (small) per-group count
+    // table, never the raw rows. Explicit tie-break because engines'
+    // native mode() leaves ties unspecified.
+    Q("agg_mode",
+      (s, dir) => {
+        val counts = t(s, dir, "events")
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("n").desc, col("event_type"))
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("mode_event"), col("n"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_type AS mode_event, n FROM (
+                SELECT user_id, event_type, count(*) AS n,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY count(*) DESC, event_type) AS rn
+                FROM events GROUP BY user_id, event_type)
+              WHERE rn = 1 ORDER BY user_id""")))
 }

@@ -70,4 +70,29 @@ object MultimodalQueries extends QueryPack {
               SELECT media_id, unnest(range(0, n_frames, 4)) AS frame_idx,
                      unnest(range(0, n_frames, 4)) * n_bytes / n_frames AS byte_offset
               FROM meta ORDER BY media_id, frame_idx""")))
+
+    // Perceptual hash of every image payload: real PNG decode →
+    // grayscale 9×8 box grid → 64-bit gradient-sign dHash. No SQL engine
+    // can decode PNG, so the driver records rows-only; determinism and
+    // the near-dup property are pinned by MultimodalSpec (same bytes →
+    // same hash; brightness-shifted re-encode lands within 6 bits;
+    // unrelated images ~32 bits apart).
+    .appended(Q("mm_phash",
+      (s, dir) => Multimodal.imagePhashes(SharedMedia(s, dir))
+        .orderBy("media_id"),
+      None))
+
+    // Near-duplicate image detection end-to-end: the fixture corpus plus
+    // a brightness-shifted RE-ENCODE of every image (twin ids offset by
+    // 1e6) → per-image dHash → banded hamming join (7 chunks, guaranteed
+    // recall at ≤ 6 bits) → exact bit_count verify. Every emitted pair
+    // is original × its planted twin — the image analog of the SimHash
+    // text path, one shuffle keyed on (band, chunk), never image×image.
+    .appended(Q("mm_phash_pairs",
+      (s, dir) => Multimodal.phashPairs(
+          Multimodal.imagePhashes(Multimodal.withBrightenedTwins(
+            SharedMedia(s, dir), delta = 8, twinOffset = 1000000L)),
+          maxHamming = 6)
+        .orderBy("a_id", "b_id"),
+      None))
 }

@@ -342,6 +342,70 @@ object TextQueries extends QueryPack {
                      min(n_chars) AS min_chars, max(n_chars) AS max_chars
               FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // Repetition scoring (the Gopher-style "repeated n-gram fraction"
+    // quality signal): per doc, the share of bigram occurrences taken by
+    // the single most-frequent bigram, plus the distinct-bigram ratio.
+    // ALL bigrams (duplicates kept) explode narrowly; the only shuffle
+    // carries (doc_id, bigram) partial counts with map-side combine.
+    Q("text_repetition",
+      (s, dir) => t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(TextFunctions.allShingles(
+          TextFunctions.tokens(TextFunctions.normalize(col("text"))), 2)).as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_bigrams"),
+          count(lit(1)).as("n_uniq_bigrams"),
+          max("cnt").as("top_cnt"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("top_cnt").cast("double") / col("n_bigrams"), 4).as("top_bigram_frac"),
+          round(col("n_uniq_bigrams").cast("double") / col("n_bigrams"), 4).as("uniq_bigram_ratio"))
+        .orderBy("doc_id"),
+      Some("""WITH bg AS (
+                SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                       for i in range(1, len(t))]) AS bigram
+                FROM (SELECT doc_id,
+                             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+                      FROM documents)),
+              c AS (SELECT doc_id, bigram, count(*) AS cnt
+                    FROM bg GROUP BY doc_id, bigram)
+              SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                     round(max(cnt)::DOUBLE / sum(cnt), 4) AS top_bigram_frac,
+                     round(count(*)::DOUBLE / sum(cnt), 4) AS uniq_bigram_ratio
+              FROM c GROUP BY doc_id ORDER BY doc_id""")),
+
+    // PII redaction (emails + phone numbers → typed placeholders). The
+    // word-salad fixture has no natural PII, so the query splices a
+    // deterministic contact line (derived from doc_id, mirrored verbatim
+    // by the oracle) into each doc before masking — the masked-text md5
+    // then certifies byte-exact span replacement, not just row counts.
+    // The operator itself ([[TextFunctions.maskPii]]) is a narrow
+    // codegen'd double regexp_replace: zero shuffle, linear in bytes.
+    Q("text_pii_mask",
+      (s, dir) => {
+        val contact = concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_count(contact, lit(TextFunctions.EmailRe)).cast("long").as("n_emails"),
+            regexp_count(contact, lit(TextFunctions.PhoneRe)).cast("long").as("n_phones"),
+            md5(TextFunctions.maskPii(contact)).as("masked_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH injected AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id || '@example.com or +1-555-'
+                            || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS c
+                FROM documents)
+              SELECT doc_id,
+                     len(regexp_extract_all(c, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+                     len(regexp_extract_all(c, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+                     md5(regexp_replace(
+                           regexp_replace(c, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+                           '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS masked_md5
+              FROM injected ORDER BY doc_id""")),
+
     // MinHash(16) + LSH(4 bands × 4 rows) candidate pairs.
     Q("doc_dedup_minhash",
       (s, dir) => Dedup.minHashCandidates(t(s, dir, "documents"), "doc_id", "text",

@@ -235,5 +235,33 @@ object VectorQueries extends QueryPack {
                 AND list_dot_product(a.embedding, b.embedding)
                     / (sqrt(list_dot_product(a.embedding, a.embedding))
                        * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.45
-              ORDER BY a_id, b_id""")))
+              ORDER BY a_id, b_id""")),
+
+    // Embedding near-dup CLUSTERS: the packed triangle join's pair table
+    // fed through the same min-label-propagation connected components the
+    // text dedup uses — the full "semantic dedup" composition (pairs →
+    // components → pick representatives) on vectors. Pair generation
+    // dominates; the label rounds shuffle only rows that appear in a pair.
+    Q("vec_embed_clusters",
+      (s, dir) => Dedup.duplicateClusters(
+          Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+            minCos = 0.45))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id"),
+      Some("""WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < b.vec_id
+                  AND list_dot_product(a.embedding, b.embedding)
+                      / (sqrt(list_dot_product(a.embedding, a.embedding))
+                         * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.45),
+              edges(s, d) AS (
+                SELECT a_id, b_id FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+              reach(s, d) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+              SELECT s AS vec_id, least(s, min(d)) AS cluster_id
+              FROM reach GROUP BY s ORDER BY vec_id""")))
 }

@@ -21,15 +21,22 @@ object TextFunctions {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** ALL word n-grams of a token array, in order, duplicates kept — the
+    * unit of repetition scoring (a doc that repeats itself has few
+    * distinct n-grams relative to total).
+    */
+  def allShingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+
   /** Distinct word n-grams ("shingles") of a token array — the unit of
     * Jaccard/MinHash near-dedup.
     */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+      .otherwise(array_distinct(allShingles(toks, n)))
 
   /** Exact content fingerprint over the normalized text. */
   def fingerprint(text: Column): Column = md5(normalize(text))
@@ -58,6 +65,22 @@ object TextFunctions {
   def avgTokenLength(text: Column, toks: Column): Column =
     length(regexp_replace(text, " ", "")).cast("double") /
       greatest(size(toks), lit(1)).cast("double")
+
+  /** PII-redaction regexes. Kept to character classes + bounded repeats so
+    * the same pattern string is valid in both Java regex and RE2-family
+    * engines (the DuckDB oracle runs them verbatim).
+    */
+  val EmailRe: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe: String = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails then phone numbers with typed placeholders — the
+    * standard pre-training scrub pass. Pure codegen'd regexp_replace,
+    * zero shuffle, linear scan.
+    */
+  def maskPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "[EMAIL]"),
+      PhoneRe, "[PHONE]")
 
   /** Marker-stopword + script-range language-ID heuristic. Deterministic
     * and cheap (no model); the CASE order is part of the contract.

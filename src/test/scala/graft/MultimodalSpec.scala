@@ -61,4 +61,42 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
     assert(got === perVideo)
   }
+
+  test("dHash is deterministic and separates unrelated images") {
+    val h1 = Multimodal.dHash(Multimodal.encodePng(3L))
+    val h2 = Multimodal.dHash(Multimodal.encodePng(3L))
+    assert(h1.isDefined && h1 === h2)
+    // unrelated fixture images: gradient signs are ~coin flips relative
+    // to each other → expect roughly half the 64 bits to differ
+    val others = Seq(6L, 9L, 12L, 15L).map(id =>
+      java.lang.Long.bitCount(h1.get ^ Multimodal.dHash(Multimodal.encodePng(id)).get))
+    others.foreach(d => assert(d > 10, s"unrelated images only $d bits apart"))
+    // garbage bytes are rejected, not mis-hashed
+    assert(Multimodal.dHash("not a png".getBytes).isEmpty)
+  }
+
+  test("brightness-shifted re-encode lands within the phash near-dup bound") {
+    Seq(3L, 6L, 9L, 21L).foreach { id =>
+      val orig = Multimodal.dHash(Multimodal.encodePng(id)).get
+      val twin = Multimodal.dHash(Multimodal.encodePngBrightened(id, 8)).get
+      val d = java.lang.Long.bitCount(orig ^ twin)
+      assert(d <= 6, s"image $id: brightened twin $d bits away")
+    }
+  }
+
+  test("phashPairs finds exactly the planted twins via banded hamming join") {
+    val media = Multimodal.fakeMediaFromDocs(
+      Tables.table(spark, sfDir, "documents").limit(90))
+    val withTwins = Multimodal.withBrightenedTwins(media, delta = 8,
+      twinOffset = 1000000L)
+    val nImages = media.filter(col("kind") === "image").count()
+    val pairs = Multimodal.phashPairs(
+      Multimodal.imagePhashes(withTwins), maxHamming = 6).collect()
+    // every original pairs with its planted twin…
+    val twinPairs = pairs.filter(r => r.getLong(1) === r.getLong(0) + 1000000L)
+    assert(twinPairs.length === nImages,
+      s"${twinPairs.length} of $nImages planted twins recovered")
+    // …and the hamming verify is exact on every emitted pair
+    pairs.foreach(r => assert(r.getLong(2) <= 6))
+  }
 }
