@@ -104,6 +104,74 @@ object TextQueries extends QueryPack {
               WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 8 = 0
               ORDER BY doc_id""")),
 
+    // Stratified deterministic sampling: per-language KEEP RATES (the
+    // rebalancing step after text_lang_stats profiles the corpus —
+    // downsample the dominant language, keep the rest). Same md5-bucket
+    // convention as doc_sample_hash, so membership is stable across
+    // engines/scales; narrow, zero-shuffle, no RNG state.
+    Q("doc_sample_stratified",
+      (s, dir) => {
+        val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(100))
+        val rate = when(col("lang") === "en", 30)
+          .when(col("lang") === "zh", 100).otherwise(60)
+        t(s, dir, "documents")
+          .withColumn("bucket", bucket)
+          .filter(col("bucket") < rate)
+          .select("doc_id", "lang", "bucket")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+              FROM documents
+              WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+                    < CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 100 ELSE 60 END
+              ORDER BY doc_id""")),
+
+    // The quality-filter DECISION pass: compose the scoring signals
+    // (length, vocabulary diversity, stopword density) into keep/drop
+    // with a first-failing-rule reason column — the exact filter a
+    // pre-training pipeline runs before tokenization. One narrow
+    // projection; every signal is integer-exact before its single double
+    // division, so the threshold comparisons agree across engines.
+    Q("doc_quality_filter",
+      (s, dir) => {
+        val toks = TextFunctions.tokens(col("text"))
+        val nTokens = size(toks).cast("long")
+        val uniqRatio = size(array_distinct(toks)).cast("double") /
+          nTokens.cast("double")
+        val stopRatio = TextFunctions.stopwordRatio(toks)
+        t(s, dir, "documents")
+          .select(col("doc_id"), nTokens.as("n_tokens"),
+            round(uniqRatio, 4).as("uniq_ratio"),
+            round(stopRatio, 4).as("stop_ratio"),
+            (nTokens >= 25 && uniqRatio >= 0.35 && stopRatio <= 0.15).as("keep"),
+            when(nTokens < 25, "too_short")
+              .when(uniqRatio < 0.35, "repetitive")
+              .when(stopRatio > 0.15, "stopword_heavy")
+              .otherwise("ok").as("reason"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     len(t) AS n_tokens,
+                     round(len(list_distinct(t))::DOUBLE / len(t), 4) AS uniq_ratio,
+                     round(len(list_filter(t,
+                             x -> x IN ('the','a','an','of','and','to','in','is','it','for')))::DOUBLE
+                           / len(t), 4) AS stop_ratio,
+                     len(t) >= 25
+                       AND len(list_distinct(t))::DOUBLE / len(t) >= 0.35
+                       AND len(list_filter(t,
+                             x -> x IN ('the','a','an','of','and','to','in','is','it','for')))::DOUBLE
+                           / len(t) <= 0.15 AS keep,
+                     CASE WHEN len(t) < 25 THEN 'too_short'
+                          WHEN len(list_distinct(t))::DOUBLE / len(t) < 0.35 THEN 'repetitive'
+                          WHEN len(list_filter(t,
+                                 x -> x IN ('the','a','an','of','and','to','in','is','it','for')))::DOUBLE
+                               / len(t) > 0.15 THEN 'stopword_heavy'
+                          ELSE 'ok' END AS reason
+              FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+              ORDER BY doc_id""")),
+
     // Corpus-wide bigram DOCUMENT frequency (top 50) — shingles() dedups
     // per doc, so the count is "how many docs contain this bigram": the
     // n-gram contamination-check / stop-shingle-discovery primitive (its
