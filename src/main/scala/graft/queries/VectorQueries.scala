@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.functions.VectorFunctions.cosine_similarity
-import graft.similarity.Similarity
+import graft.similarity.{ProductQuantizer, Similarity}
 
 /** Similarity search over the `embeddings` fixture (dim-64 float vectors):
   * brute-force cosine kNN (the exact baseline), IVF-routed kNN (the scale
@@ -23,6 +23,20 @@ object VectorQueries extends QueryPack {
 
   private def probeSql(alias: String): String =
     s"(SELECT embedding AS pv FROM embeddings WHERE vec_id = $ProbeId) $alias"
+
+  /** PQ codebook per fixture, memoized: the codebook is a tiny plain
+    * value (m·ksub·dsub floats), so the memo pins no Spark state — it
+    * just avoids re-running the Lloyd rounds on every query invocation.
+    */
+  private object SharedPqCodebook {
+    private val memo = scala.collection.concurrent.TrieMap[(Int, String),
+      ProductQuantizer.Codebook]()
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String)
+        : ProductQuantizer.Codebook =
+      memo.getOrElseUpdate((System.identityHashCode(s), dir),
+        ProductQuantizer.fit(graft.Tables.table(s, dir, "embeddings"),
+          "vec_id", "embedding", m = 8, ksub = 16, iters = 4, dim = 64))
+  }
 
   override val queries: Seq[Q] = Seq(
 
@@ -263,5 +277,23 @@ object VectorQueries extends QueryPack {
                 UNION
                 SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
               SELECT s AS vec_id, least(s, min(d)) AS cluster_id
-              FROM reach GROUP BY s ORDER BY vec_id""")))
+              FROM reach GROUP BY s ORDER BY vec_id""")),
+
+    // Product-quantized ANN, full two-stage search: learned m=8 ×
+    // ksub=16 codebook (4-bit codes, 64× smaller scan than raw
+    // float32), asymmetric-distance SHORTLIST over the codes, exact
+    // rerank of the 50 survivors. Learned codebooks are not
+    // SQL-mirrorable → rows-only; ProductQuantizerSpec pins determinism,
+    // code ranges, and shortlist recall vs exact brute force.
+    Q("vec_pq_adc",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val probe = embs.filter(col("vec_id") === ProbeId)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        val cb = SharedPqCodebook(s, dir)
+        ProductQuantizer.adcRerank(
+          ProductQuantizer.encode(embs, "vec_id", "embedding", cb),
+          embs, "vec_id", "embedding", cb, probe, shortlist = 50, k = 10)
+      },
+      None))
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.ProductQuantizer
+
+/** Product quantization: deterministic fit/encode, valid code ranges,
+  * and ADC ranking that actually tracks exact L2 (recall vs brute force
+  * on the fixture corpus).
+  */
+class ProductQuantizerSpec extends SparkSpec {
+
+  private val M = 8
+  private val Ksub = 16
+  private val Dim = 64
+
+  private lazy val embs = Tables.table(spark, sfDir, "embeddings")
+  private lazy val cb =
+    ProductQuantizer.fit(embs, "vec_id", "embedding", M, Ksub, iters = 4, Dim)
+
+  test("fit is deterministic and shapes the codebook correctly") {
+    assert(cb.m === M && cb.ksub === Ksub && cb.dsub === Dim / M)
+    assert(cb.centroids.length === M)
+    cb.centroids.foreach { sub =>
+      assert(sub.length === Ksub)
+      sub.foreach(c => assert(c.length === Dim / M))
+    }
+    val cb2 =
+      ProductQuantizer.fit(embs, "vec_id", "embedding", M, Ksub, iters = 4, Dim)
+    assert(cb.centroids.map(_.map(_.toSeq).toSeq).toSeq ===
+      cb2.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("encode emits one in-range code per subspace, deterministically") {
+    val codes = ProductQuantizer.encode(embs, "vec_id", "embedding", cb)
+    val rows = codes.collect()
+    assert(rows.length === embs.count())
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length === M)
+      cs.foreach(c => assert(c >= 0 && c < Ksub))
+    }
+    // every subspace uses more than one cell (the codebook is not
+    // degenerate on this corpus)
+    val used = rows.flatMap(_.getSeq[Int](1).zipWithIndex)
+      .groupBy(_._2).map { case (s, xs) => s -> xs.map(_._1).distinct.size }
+    used.values.foreach(n => assert(n > 1))
+  }
+
+  test("ADC shortlist + exact rerank tracks exact L2 (recall@10)") {
+    val probe = embs.filter(col("vec_id") === 42)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val codes = ProductQuantizer.encode(embs, "vec_id", "embedding", cb)
+    val reranked = ProductQuantizer.adcRerank(codes, embs, "vec_id",
+        "embedding", cb, probe, shortlist = 50, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // exact L2 top-10, same deterministic tie-break (dist, id)
+    val pv = typedLit(probe.toSeq)
+    val exact = embs.select(col("vec_id"),
+        aggregate(zip_with(col("embedding"), pv,
+            (x, c) => (x.cast("double") - c.cast("double")) *
+              (x.cast("double") - c.cast("double"))),
+          lit(0.0d), (a, x) => a + x).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (reranked & exact).size / 10.0
+    // Context for the bound: this synthetic corpus is nearly
+    // distance-concentrated (10th-NN distance ≈ 0.74× the median pair
+    // distance), the adversarial regime for ANY quantizer — a reference
+    // numpy PQ (15 full Lloyd rounds) reaches 0.5@10 / 0.6@50 here. The
+    // pinned floor certifies the estimate carries real signal (a random
+    // 50-shortlist scores E[recall] = 0.1), not production recall.
+    assert(recall >= 0.4,
+      s"PQ rerank recall@10 = $recall — shortlist carries no signal")
+    // the probe itself (distance 0) must always survive both stages
+    assert(reranked.contains(42L))
+  }
+}
