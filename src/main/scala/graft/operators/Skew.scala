@@ -44,4 +44,26 @@ object Skew {
       .groupBy(keyCols.map(col): _*)
       .agg(finals.head, finals.tail: _*)
   }
+
+  /** Skew-mitigated equi-join: fact rows salt into `buckets` sub-keys
+    * (derived from `saltSource`, a column unique-ish per row), the dim
+    * side REPLICATES once per salt value, and the join runs on
+    * (key, salt) — a hot fact key spreads over `buckets` reducers
+    * instead of melting one. Semantically identical to
+    * `fact.join(dim, factKey === dimKey)` (proven by the oracled query);
+    * cost = `buckets`× replication of the dim side, so reserve it for
+    * genuinely hot keys — or use AQE's runtime skew split when sizes are
+    * only discovered at execution. Both input key columns survive in the
+    * output, like the plain join they replace.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, saltSource: Column, buckets: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", salt(saltSource, buckets))
+    val repDim = dim.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    saltedFact
+      .join(repDim, saltedFact(factKey) === repDim(dimKey)
+        && saltedFact("__salt") === repDim("__salt"))
+      .drop("__salt")
+  }
 }

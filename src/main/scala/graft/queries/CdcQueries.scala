@@ -125,5 +125,26 @@ object CdcQueries extends QueryPack {
         .orderBy("event_id"),
       Some("""SELECT event_id, event_type, round(value, 2) AS value
               FROM events WHERE value > 10 AND event_type <> 'error'
+              ORDER BY event_id""")),
+
+    // Stream-static enrichment (batch analog of joining the change
+    // stream against a dimension table before producing): every event
+    // picks up its customer's segment/nation via a BROADCAST of the dim
+    // side — the event stream itself never shuffles, which is the only
+    // shape that works when the left side is unbounded.
+    Q("cdc_enrich",
+      (s, dir) => t(s, dir, "events")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))),
+          col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_mktsegment").as("segment"),
+          col("c_nationkey").as("nation"),
+          round(col("value"), 2).as("value"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, event_type,
+                     c_mktsegment AS segment, c_nationkey AS nation,
+                     round(value, 2) AS value
+              FROM events JOIN customer ON user_id = c_custkey
               ORDER BY event_id""")))
 }

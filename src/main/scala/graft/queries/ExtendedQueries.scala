@@ -351,5 +351,56 @@ object ExtendedQueries extends QueryPack {
                        row_number() OVER (PARTITION BY user_id
                          ORDER BY count(*) DESC, event_type) AS rn
                 FROM events GROUP BY user_id, event_type)
-              WHERE rn = 1 ORDER BY user_id""")))
+              WHERE rn = 1 ORDER BY user_id""")),
+
+    // Skew-mitigated equi-join ([[Skew.saltedJoin]]): the fact side
+    // salts on event_id, the dim side replicates once per salt, and the
+    // join key becomes (key, salt) — a hot fact key spreads over 8
+    // reducers. The oracle is the PLAIN join: salting must be invisible
+    // in the result, only in the shuffle layout.
+    Q("join_salted",
+      (s, dir) => Skew.saltedJoin(
+          t(s, dir, "events"),
+          t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+          "user_id", "c_custkey", saltSource = col("event_id"), buckets = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n,
+                     round(sum(value), 2) AS sum_value
+              FROM events JOIN customer ON user_id = c_custkey
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // OHLC downsampling (the time-series resample a metrics/feature
+    // pipeline runs): 6-hour buckets per event type; open/close are
+    // picked by min_by/max_by on the total (ts, event_id) order — one
+    // aggregation pass, no window, partials merge map-side.
+    Q("ts_downsample",
+      (s, dir) => {
+        val ord = struct(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("bucket",
+            concat(date_format(col("ts"), "yyyy-MM-dd"), lit(" +"),
+              (hour(col("ts")) - pmod(hour(col("ts")), lit(6))).cast("string"),
+              lit("h")))
+          .groupBy("event_type", "bucket")
+          .agg(
+            round(min_by(col("value"), ord), 2).as("open"),
+            round(max_by(col("value"), ord), 2).as("close"),
+            round(min("value"), 2).as("low"),
+            round(max("value"), 2).as("high"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""SELECT event_type,
+                     strftime(ts, '%Y-%m-%d')
+                       || ' +' || (hour(ts) - hour(ts) % 6) || 'h' AS bucket,
+                     round(first(value ORDER BY ts, event_id), 2) AS open,
+                     round(last(value ORDER BY ts, event_id), 2) AS close,
+                     round(min(value), 2) AS low,
+                     round(max(value), 2) AS high,
+                     count(*) AS n
+              FROM events GROUP BY event_type, bucket
+              ORDER BY event_type, bucket""")))
 }
