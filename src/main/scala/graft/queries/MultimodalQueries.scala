@@ -27,6 +27,22 @@ object MultimodalQueries extends QueryPack {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** The twin-augmented media frame for the near-dup pair demo,
+    * memoized for the same reason as [[SharedMedia]]: encoding the
+    * planted twins is fixture-building, not the operator under
+    * measurement (the DECODE + hash + band join still run per query).
+    */
+  private object SharedMediaWithTwins {
+    private val memo = scala.collection.concurrent.TrieMap[(Int, String),
+      org.apache.spark.sql.DataFrame]()
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame =
+      memo.getOrElseUpdate((System.identityHashCode(s), dir),
+        Multimodal.withBrightenedTwins(SharedMedia(s, dir), delta = 8,
+            twinOffset = 1000000L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   override val queries: Seq[Q] = Seq(
 
     // Metadata decode over binary media columns. Image rows are REAL
@@ -90,8 +106,7 @@ object MultimodalQueries extends QueryPack {
     // text path, one shuffle keyed on (band, chunk), never image×image.
     .appended(Q("mm_phash_pairs",
       (s, dir) => Multimodal.phashPairs(
-          Multimodal.imagePhashes(Multimodal.withBrightenedTwins(
-            SharedMedia(s, dir), delta = 8, twinOffset = 1000000L)),
+          Multimodal.imagePhashes(SharedMediaWithTwins(s, dir)),
           maxHamming = 6)
         .orderBy("a_id", "b_id"),
       None))
