@@ -83,4 +83,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("stream-static enrichment broadcasts the dim; events never shuffle pre-join") {
+    val p = plan("cdc_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the one allowed exchange is the final presentation sort; the join
+    // input must not hash-shuffle the event side
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("PQ encode is a narrow zero-shuffle projection over the corpus") {
+    val cb = graft.similarity.ProductQuantizer.fit(
+      Tables.table(spark, sfDir, "embeddings"), "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 1, dim = 64)
+    val p = graft.similarity.ProductQuantizer.encode(
+        Tables.table(spark, sfDir, "embeddings"), "vec_id", "embedding", cb)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("phash pair generation equi-joins on (band, chunk), never image×image") {
+    val p = plan("mm_phash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("salted join spreads the fact side without degenerating the plan") {
+    val p = plan("join_salted")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // final aggregation still combines map-side
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("repetition scoring aggregates with map-side combine") {
+    val p = plan("text_repetition")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
