@@ -172,6 +172,70 @@ object TextQueries extends QueryPack {
               FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
               ORDER BY doc_id""")),
 
+    // Benchmark DECONTAMINATION: find corpus docs sharing ≥ 3 distinct
+    // 5-gram shingles with any doc of the "eval set" (stand-in: doc_id
+    // < 20) — the overlap check a training pipeline runs so eval data
+    // does not leak into the corpus. Scale shape = the inverted-index
+    // join: the EVAL side's shingles broadcast (an eval set is tiny by
+    // definition), the corpus side explodes narrowly, one aggregation
+    // counts matched shingles per (corpus, eval) pair — never corpus ×
+    // eval, never corpus × corpus.
+    Q("doc_contamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+        def sh(df: org.apache.spark.sql.DataFrame, idAs: String) =
+          df.select(col("doc_id").as(idAs), explode(TextFunctions.shingles(
+            TextFunctions.tokens(TextFunctions.normalize(col("text"))), 5)).as("shingle"))
+        val evalSh = sh(docs.filter(col("doc_id") < 20), "eval_id")
+        val corpusSh = sh(docs.filter(col("doc_id") >= 20), "corpus_id")
+        corpusSh.join(broadcast(evalSh), "shingle")
+          .groupBy("corpus_id", "eval_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .orderBy("corpus_id", "eval_id")
+      },
+      Some("""WITH sh AS (
+                SELECT doc_id, unnest(
+                  list_distinct([array_to_string(t[i:i+4], ' ')
+                                 for i in range(1, len(t) - 3)])) AS shingle
+                FROM (SELECT doc_id,
+                             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+                      FROM documents))
+              SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id,
+                     count(*) AS n_shared
+              FROM sh c JOIN sh e ON c.shingle = e.shingle
+              WHERE c.doc_id >= 20 AND e.doc_id < 20
+              GROUP BY corpus_id, eval_id
+              HAVING count(*) >= 3
+              ORDER BY corpus_id, eval_id""")),
+
+    // Sequence PACKING: assign docs to fixed-token-budget training bins
+    // (greedy in-order packing per source shard) — the step that turns a
+    // curated corpus into model-ready sequences. Running token cumsum
+    // per source via a window, bin = floor((cumsum-1)/budget); one
+    // shuffle on the shard key, each shard packs independently at scale.
+    Q("doc_pack",
+      (s, dir) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "documents")
+          .withColumn("n_tok", size(TextFunctions.tokens(col("text"))).cast("long"))
+          .withColumn("cum", sum("n_tok").over(w))
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            ((col("cum") - 1) / 512).cast("long").as("bin"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, n_tok,
+                     CAST(floor((cum - 1) / 512) AS BIGINT) AS bin
+              FROM (SELECT doc_id, source,
+                           len(string_split(text, ' ')) AS n_tok,
+                           sum(len(string_split(text, ' '))) OVER
+                             (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM documents)
+              ORDER BY doc_id""")),
+
     // Corpus-wide bigram DOCUMENT frequency (top 50) — shingles() dedups
     // per doc, so the count is "how many docs contain this bigram": the
     // n-gram contamination-check / stop-shingle-discovery primitive (its
