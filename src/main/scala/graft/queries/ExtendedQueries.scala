@@ -402,5 +402,59 @@ object ExtendedQueries extends QueryPack {
                      round(max(value), 2) AS high,
                      count(*) AS n
               FROM events GROUP BY event_type, bucket
-              ORDER BY event_type, bucket""")))
+              ORDER BY event_type, bucket""")),
+
+    // Gap filling: densify the hourly series (every type × every hour of
+    // the corpus span, via an in-plan min/max + sequence explode — no
+    // driver round trip) and forward-fill missing buckets from the last
+    // observed value. The spine is |types|×|hours| rows — tiny next to
+    // the events — and the fill is one window over it, so the event scan
+    // aggregates first and only the compact series shuffles.
+    Q("ts_gap_fill",
+      (s, dir) => {
+        val events = t(s, dir, "events")
+        val hourly = events
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          // fixture values carry 2 decimals, so a bucket mean has ≤ a few
+          // more: round at 4 — rounding at 2 would sit exactly on .xx5
+          // half-way points where engines' double→decimal paths diverge
+          .agg(round(avg("value"), 4).as("v"), count(lit(1)).as("n"))
+        val span = events.agg(
+          date_trunc("hour", min("ts")).as("mn"),
+          date_trunc("hour", max("ts")).as("mx"))
+        val spine = events.select("event_type").distinct()
+          .crossJoin(broadcast(span))
+          .select(col("event_type"),
+            explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("h"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(hourly, Seq("event_type", "h"), "left")
+          .select(col("event_type"),
+            date_format(col("h"), "yyyy-MM-dd HH:00").as("bucket"),
+            col("v").isNull.as("filled"),
+            last(col("v"), ignoreNulls = true).over(w).as("value"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS h,
+                       round(avg(value), 4) AS v, count(*) AS n
+                FROM events GROUP BY event_type, h),
+              span AS (
+                SELECT min(date_trunc('hour', ts)) AS mn,
+                       max(date_trunc('hour', ts)) AS mx
+                FROM events),
+              spine AS (
+                SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+                FROM (SELECT DISTINCT event_type FROM events), span)
+              SELECT s.event_type,
+                     strftime(s.h, '%Y-%m-%d %H:00') AS bucket,
+                     hourly.v IS NULL AS filled,
+                     last_value(hourly.v IGNORE NULLS) OVER
+                       (PARTITION BY s.event_type ORDER BY s.h
+                        ROWS UNBOUNDED PRECEDING) AS value,
+                     coalesce(hourly.n, 0) AS n
+              FROM spine s LEFT JOIN hourly
+                ON s.event_type = hourly.event_type AND s.h = hourly.h
+              ORDER BY s.event_type, bucket""")))
 }

@@ -211,27 +211,31 @@ object TextQueries extends QueryPack {
               ORDER BY corpus_id, eval_id""")),
 
     // Sequence PACKING: assign docs to fixed-token-budget training bins
-    // (greedy in-order packing per source shard) — the step that turns a
-    // curated corpus into model-ready sequences. Running token cumsum
-    // per source via a window, bin = floor((cumsum-1)/budget); one
-    // shuffle on the shard key, each shard packs independently at scale.
+    // (greedy in-order packing per shard) — the step that turns a
+    // curated corpus into model-ready sequences. The shard key is
+    // (source, doc_id div 1000), NOT source alone: a window partition
+    // must fit one reducer, and a composite shard bounds it at ≤1000
+    // docs by construction no matter how large one source grows (real
+    // pipelines pack within file shards for exactly this reason). One
+    // shuffle on the shard key; bin = floor((cumsum-1)/budget).
     Q("doc_pack",
       (s, dir) => {
-        val w = Window.partitionBy("source").orderBy("doc_id")
+        val shard = floor(col("doc_id") / 1000).cast("long")
+        val w = Window.partitionBy(col("source"), shard).orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "documents")
           .withColumn("n_tok", size(TextFunctions.tokens(col("text"))).cast("long"))
           .withColumn("cum", sum("n_tok").over(w))
-          .select(col("doc_id"), col("source"), col("n_tok"),
+          .select(col("doc_id"), col("source"), shard.as("shard"), col("n_tok"),
             ((col("cum") - 1) / 512).cast("long").as("bin"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, source, n_tok,
+      Some("""SELECT doc_id, source, doc_id // 1000 AS shard, n_tok,
                      CAST(floor((cum - 1) / 512) AS BIGINT) AS bin
               FROM (SELECT doc_id, source,
                            len(string_split(text, ' ')) AS n_tok,
                            sum(len(string_split(text, ' '))) OVER
-                             (PARTITION BY source ORDER BY doc_id
+                             (PARTITION BY source, doc_id // 1000 ORDER BY doc_id
                               ROWS UNBOUNDED PRECEDING) AS cum
                     FROM documents)
               ORDER BY doc_id""")),
