@@ -120,4 +120,11 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("text_repetition")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("decontamination broadcasts the eval index, never corpus×corpus") {
+    val p = plan("doc_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }

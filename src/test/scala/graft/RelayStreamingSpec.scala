@@ -196,6 +196,31 @@ class RelayStreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq("{\"_id\":\"a\"}"))
   }
 
+  test("stream-static enrichment: events pick up broadcast dim attributes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val envelope = ChangeEvents.parseEnvelope(input.toDF(), "value")
+    // static dimension keyed by collection — the batch side of the join
+    // is planned once and broadcast into every micro-batch (cdc_enrich's
+    // streaming twin: the unbounded side never shuffles)
+    val dim = Seq(("c", "tier-1"), ("d", "tier-2")).toDF("coll", "tier")
+    val enriched = envelope
+      .select(col("ns.coll").as("coll"), col("documentKey"))
+      .join(broadcast(dim), Seq("coll"), "left")
+
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    input.addData(
+      ev(1, "insert", key = "a", ts = "2024-01-01T00:00:00.000Z"),
+      ev(2, "insert", key = "b", ts = "2024-01-01T00:00:00.000Z"))
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("enrich_out").select("coll", "tier").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length === 2 && rows.forall(_ === ("c", "tier-1")))
+  }
+
   test("streaming tumbling topic counts with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
