@@ -343,5 +343,20 @@ object RelationalQueries extends QueryPack {
                                         OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
                                       THEN 1 ELSE 0 END AS new_sess
                           FROM events))
-              GROUP BY user_id ORDER BY user_id""")))
+              GROUP BY user_id ORDER BY user_id""")),
+
+    // Fixed-width histogram of the value distribution (8 buckets of 25,
+    // top bucket open-ended): one partial+final aggregation over a
+    // narrow integer projection — the profile pass before choosing
+    // sampling/clipping thresholds.
+    Q("agg_hist",
+      (s, dir) => t(s, dir, "events")
+        .select(least(floor(col("value") / 25).cast("long"), lit(7L)).as("bucket"),
+          col("value"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("bucket"),
+      Some("""SELECT least(CAST(floor(value / 25) AS BIGINT), 7) AS bucket,
+                     count(*) AS n, round(sum(value), 2) AS sum_value
+              FROM events GROUP BY bucket ORDER BY bucket""")))
 }

@@ -696,6 +696,77 @@ object TextQueries extends QueryPack {
               JOIN documents db ON db.doc_id = c.b_id
               ORDER BY a_id, b_id""")),
 
+    // The FULL fuzzy-dedup pipeline in one declared op: MinHash-LSH
+    // candidates → edit-distance VERIFY (≤ 6, the O(len²) DP confined
+    // to flagged pairs) → connected components → representative-only
+    // corpus. This is the composition a real curation run executes; each
+    // stage reuses the shared signature table and the same label
+    // propagation as doc_dedup_clusters, so the marginal cost over its
+    // pieces is just the verify filter. Oracle = the same candidate SQL
+    // + levenshtein threshold + recursive closure + anti-filter.
+    Q("doc_dedup_fuzzy_keep",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val verified = Dedup.minHashCandidatesFromSignatures(
+            SharedMinHashSigs(s, dir, 3, 16), k = 16, bands = 4)
+          .join(docs.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
+          .join(docs.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
+          .filter(when(col("ta") === col("tb"), lit(0L))
+            .otherwise(levenshtein(col("ta"), col("tb")).cast("long")) <= 6)
+          .select("a_id", "b_id")
+        val labels = Dedup.duplicateClusters(verified)
+        docs.join(labels, Seq("doc_id"), "left")
+          .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+                SELECT doc_id, unnest(
+                  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 for i in range(1, len(t) - 1)])) AS shingle
+                FROM (SELECT doc_id,
+                             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+                      FROM documents)),
+              lane AS (
+                SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+                FROM sh),
+              sig AS (
+                SELECT doc_id,
+                       ${minHashSigSql(k = 16)}
+                FROM lane GROUP BY doc_id),
+              buckets AS (
+                SELECT doc_id, band,
+                       CASE band
+                         WHEN 0 THEN md5(concat_ws('|', mh0, mh1, mh2, mh3))
+                         WHEN 1 THEN md5(concat_ws('|', mh4, mh5, mh6, mh7))
+                         WHEN 2 THEN md5(concat_ws('|', mh8, mh9, mh10, mh11))
+                         ELSE md5(concat_ws('|', mh12, mh13, mh14, mh15))
+                       END AS bkey
+                FROM sig, (SELECT unnest([0,1,2,3]) AS band)),
+              cand AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM buckets a JOIN buckets b
+                  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              pairs AS (
+                SELECT a_id, b_id FROM cand
+                JOIN documents da ON da.doc_id = a_id
+                JOIN documents db ON db.doc_id = b_id
+                WHERE levenshtein(da.text, db.text) <= 6),
+              edges(s, d) AS (
+                SELECT a_id, b_id FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+              reach(s, d) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+              labels AS (
+                SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+                FROM reach GROUP BY s)
+              SELECT d.doc_id, d.lang
+              FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+              WHERE l.doc_id IS NULL OR l.cluster_id = d.doc_id
+              ORDER BY d.doc_id""")),
+
     // 32-bit SimHash per document (frequency-weighted bit votes).
     Q("doc_dedup_simhash",
       (s, dir) => Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
