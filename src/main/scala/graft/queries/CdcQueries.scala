@@ -117,6 +117,29 @@ object CdcQueries extends QueryPack {
                     FROM events)
               WHERE rn = 1 ORDER BY user_id""")),
 
+    // Aggregate over the CDC-materialized view: the latest-state table
+    // (what a downstream keeps current from the relay) queried like any
+    // other table — current-state counts and balances per last event
+    // type. Window to materialize + one partial+final agg; at scale the
+    // view is incrementally maintained by the streaming latest-state
+    // operators and only this small aggregation runs per refresh.
+    Q("cdc_latest_agg",
+      (s, dir) => ChangeEvents.latestState(
+          t(s, dir, "events"),
+          keyCols = Seq("user_id"),
+          orderDesc = Seq(col("ts"), col("event_id")))
+        .groupBy(col("event_type").as("last_type"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum("value"), 2).as("sum_last_value"))
+        .orderBy("last_type"),
+      Some("""SELECT event_type AS last_type, count(*) AS n_users,
+                     round(sum(value), 2) AS sum_last_value
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events)
+              WHERE rn = 1
+              GROUP BY last_type ORDER BY last_type""")),
+
     // R2/R4: projection + predicate, pushed into the parquet scan.
     Q("proj_filter",
       (s, dir) => t(s, dir, "events")
