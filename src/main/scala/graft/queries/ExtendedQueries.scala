@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.CentroidAggregator
-import graft.operators.Skew
+import graft.operators.{BloomPrune, Skew}
 
 /** Breadth beyond the core matrix: theta/range join, as-of join, lag/lead
   * windows, GROUPING SETS via the SQL surface, a typed Aggregator (UDAF),
@@ -403,6 +403,27 @@ object ExtendedQueries extends QueryPack {
                      count(*) AS n
               FROM events GROUP BY event_type, bucket
               ORDER BY event_type, bucket""")),
+
+    // Bloom-pruned join ([[BloomPrune.prunedJoin]]): a SELECTIVE dim
+    // (1 in 4 customers) builds a Bloom filter that drops non-matching
+    // fact rows BEFORE the join shuffle — no false negatives, so the
+    // oracle is the PLAIN join and must match exactly; false positives
+    // only shuffle rows the join discards.
+    Q("join_bloom",
+      (s, dir) => BloomPrune.prunedJoin(
+          t(s, dir, "events"),
+          t(s, dir, "customer")
+            .filter(col("c_custkey") % 4 === 1)
+            .select(col("c_custkey"), col("c_mktsegment")),
+          "user_id", "c_custkey", expectedItems = 10000L, fpp = 0.01)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n,
+                     round(sum(value), 2) AS sum_value
+              FROM events JOIN customer ON user_id = c_custkey
+              WHERE c_custkey % 4 = 1
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // Gap filling: densify the hourly series (every type × every hour of
     // the corpus span, via an in-plan min/max + sequence explode — no

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Bucketing
+import graft.operators.{BloomPrune, Bucketing}
 
 /** Bucketed co-located joins: after a one-time bucketed write, equi-joins
   * on the bucket key must plan with no Exchange on either side — the
@@ -43,5 +43,28 @@ class BucketingSpec extends SparkSpec {
       val expected = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
       assert(joined.count() === expected)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("bloom pruning drops most non-matching fact rows, result unchanged") {
+    val events = Tables.table(spark, sfDir, "events")
+    val dim = Tables.table(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 15 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    // the filter alone (what actually survives to the shuffle)
+    val bloom = dim.stat.bloomFilter("c_custkey", 10000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val might = udf((k: Long) => bc.value.mightContainLong(k))
+    val surviving = events.filter(might(col("user_id"))).count()
+    val total = events.count()
+    val matching = events.join(dim, col("user_id") === col("c_custkey")).count()
+    // no false negatives: everything that joins survives the filter;
+    // fpp=1% ⇒ the filter sheds nearly all true non-matches pre-shuffle
+    assert(surviving >= matching)
+    assert(surviving - matching <= math.max(10L, (total * 0.05).toLong),
+      s"bloom let ${surviving - matching} of ${total - matching} non-matching rows through")
+    // and the pruned join is exactly the plain join
+    val pruned = BloomPrune.prunedJoin(events, dim, "user_id", "c_custkey",
+      10000L, 0.01).count()
+    assert(pruned === matching)
   }
 }
