@@ -436,10 +436,13 @@ object ExtendedQueries extends QueryPack {
         val events = t(s, dir, "events")
         val hourly = events
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-          // fixture values carry 2 decimals, so a bucket mean has ≤ a few
-          // more: round at 4 — rounding at 2 would sit exactly on .xx5
-          // half-way points where engines' double→decimal paths diverge
-          .agg(round(avg("value"), 4).as("v"), count(lit(1)).as("n"))
+          // the filled metric is the hourly SUM, not the mean: fixture
+          // values carry 2 decimals, so the sum is a 2-decimal-exact
+          // quantity and round(·, 2) is the identity on both engines —
+          // a mean divides by the bucket count and systematically lands
+          // on .···5 half-way points (1403.37/24 = 58.47375) where the
+          // engines' double→decimal rounding paths diverge
+          .agg(round(sum("value"), 2).as("v"), count(lit(1)).as("n"))
         val span = events.agg(
           date_trunc("hour", min("ts")).as("mn"),
           date_trunc("hour", max("ts")).as("mx"))
@@ -459,7 +462,7 @@ object ExtendedQueries extends QueryPack {
       },
       Some("""WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS h,
-                       round(avg(value), 4) AS v, count(*) AS n
+                       round(sum(value), 2) AS v, count(*) AS n
                 FROM events GROUP BY event_type, h),
               span AS (
                 SELECT min(date_trunc('hour', ts)) AS mn,
