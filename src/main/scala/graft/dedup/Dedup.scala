@@ -156,6 +156,36 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** CONTAINMENT near-dup on a prebuilt shingle index: pairs where the
+    * smaller doc's shingle set sits ≥ `minContainment` inside the
+    * other's — catches doc-inside-doc duplication (boilerplate wrapping,
+    * partial scrapes, quote farms) that symmetric Jaccard structurally
+    * misses: a 100-shingle doc embedded in a 10 000-shingle doc has
+    * Jaccard ≈ 0.01 but containment 1.0. Identical scale shape to
+    * [[jaccardPairsFromIndex]] (one postings-list shuffle, broadcast
+    * size enrichment); only the final ratio differs.
+    */
+  def containmentPairsFromIndex(idx: DataFrame, minContainment: Double,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = idx.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxShingleDf)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+          |    named_struct('a_id', x, 'b_id', y))))""".stripMargin)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+    val common = pairs.groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na")), "a_id")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb")), "b_id")
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select("a_id", "b_id", "containment")
+  }
+
   /** Fixed coefficients for the MinHash linear permutations: arbitrary odd
     * multipliers < 2³⁰ and offsets < 2³², so `a·h + b` with a 32-bit `h`
     * stays under 2⁶³ — no overflow in Java longs OR in engines whose

@@ -172,6 +172,55 @@ object TextQueries extends QueryPack {
               FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
               ORDER BY doc_id""")),
 
+    // CONTAINMENT near-dup: the smaller doc's shingles ≥90% inside the
+    // other's — doc-inside-doc duplication (boilerplate wrapping,
+    // partial scrapes) that symmetric Jaccard structurally misses.
+    // Reuses the shared shingle index; same one-shuffle postings shape.
+    Q("doc_dedup_contain",
+      (s, dir) => Dedup.containmentPairsFromIndex(
+          SharedShingleIndex(s, dir, 3), minContainment = 0.9)
+        .select(col("a_id"), col("b_id"), round(col("containment"), 4).as("containment"))
+        .orderBy("a_id", "b_id"),
+      Some("""WITH sh AS (
+                SELECT doc_id,
+                       list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      for i in range(1, len(t) - 1)]) AS s
+                FROM (SELECT doc_id,
+                             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+                      FROM documents)),
+              cand AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       len(list_intersect(a.s, b.s)) AS c,
+                       least(len(a.s), len(b.s)) AS mn
+                FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+              SELECT a_id, b_id, round(c::DOUBLE / mn, 4) AS containment
+              FROM cand
+              WHERE c::DOUBLE / mn >= 0.9
+              ORDER BY a_id, b_id""")),
+
+    // Balanced per-stratum sampling: exactly k=5 docs per language,
+    // picked by smallest md5 — fixed-SIZE strata (vs
+    // doc_sample_stratified's fixed RATES). Rank over the (tiny)
+    // per-language hash order; deterministic on any engine.
+    Q("doc_sample_balanced",
+      (s, dir) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long")
+        val w = Window.partitionBy("lang").orderBy(h, col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT doc_id, lang, rk FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+                                  doc_id) AS rk
+                FROM documents)
+              WHERE rk <= 5 ORDER BY lang, rk""")),
+
     // Benchmark DECONTAMINATION: find corpus docs sharing ≥ 3 distinct
     // 5-gram shingles with any doc of the "eval set" (stand-in: doc_id
     // < 20) — the overlap check a training pipeline runs so eval data
