@@ -102,6 +102,9 @@ object Multimodal {
     if (img == null) return None
     val (w, h) = (img.getWidth, img.getHeight)
     if (w < 9 || h < 8) return None
+    // bulk raster fetch: ONE getRGB call (per-pixel getRGB pays a
+    // ColorModel conversion per call — measured ~3× slower)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     // 9×8 box-average grayscale grid: per cell keep (sum, count) so the
     // bit test below can cross-multiply — no division rounding anywhere
     val sums = Array.ofDim[Long](8, 9)
@@ -109,10 +112,11 @@ object Multimodal {
     var y = 0
     while (y < h) {
       val gy = y * 8 / h
+      val row = y * w
       var x = 0
       while (x < w) {
         val gx = x * 9 / w
-        val rgb = img.getRGB(x, y)
+        val rgb = px(row + x)
         val gray = ((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
           (rgb & 0xff) * 114L
         sums(gy)(gx) += gray
