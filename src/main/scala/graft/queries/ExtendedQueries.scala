@@ -404,6 +404,29 @@ object ExtendedQueries extends QueryPack {
               FROM events GROUP BY event_type, bucket
               ORDER BY event_type, bucket""")),
 
+    // UNPIVOT (melt) — the inverse of agg_pivot: wide per-segment stats
+    // → long (segment, metric, val) triples via the native unpivot
+    // operator (an Expand node: no shuffle beyond the aggregation's).
+    Q("agg_unpivot",
+      (s, dir) => t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(round(sum("c_acctbal"), 2).as("sum_bal"),
+          round(min("c_acctbal"), 2).as("min_bal"),
+          round(max("c_acctbal"), 2).as("max_bal"))
+        .unpivot(Array(col("c_mktsegment")),
+          Array(col("sum_bal"), col("min_bal"), col("max_bal")),
+          "metric", "val")
+        .orderBy("c_mktsegment", "metric"),
+      Some("""WITH agg AS (
+                SELECT c_mktsegment,
+                       round(sum(c_acctbal), 2) AS sum_bal,
+                       round(min(c_acctbal), 2) AS min_bal,
+                       round(max(c_acctbal), 2) AS max_bal
+                FROM customer GROUP BY c_mktsegment)
+              SELECT c_mktsegment, metric, val
+              FROM agg UNPIVOT (val FOR metric IN (sum_bal, min_bal, max_bal))
+              ORDER BY c_mktsegment, metric""")),
+
     // Bloom-pruned join ([[BloomPrune.prunedJoin]]): a SELECTIVE dim
     // (1 in 4 customers) builds a Bloom filter that drops non-matching
     // fact rows BEFORE the join shuffle — no false negatives, so the
