@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation walkthrough — the LLM-data counterpart of
+  * [[Demo]]: drive the declared operators as one pipeline over the
+  * documents fixture and print what each stage decides.
+  *
+  *   profile → quality filter → fuzzy dedup → stratified sample → pack
+  *
+  * Every stage is the SAME registered query the driver verifies against
+  * DuckDB (`SparkEntry.queries`), so what this demo prints is what the
+  * correctness gate certifies.
+  */
+object CurationDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[*]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+    println("== 1. corpus profile (text_lang_stats) ==")
+    q("text_lang_stats").show(10, truncate = false)
+
+    println("== 2. quality filter (doc_quality_filter) — drop reasons ==")
+    q("doc_quality_filter").groupBy("reason").count().orderBy("reason")
+      .show(10, truncate = false)
+
+    println("== 3. fuzzy dedup (doc_dedup_fuzzy_keep) ==")
+    val total = Tables.table(spark, dir, "documents").count()
+    val kept = q("doc_dedup_fuzzy_keep").count()
+    println(s"   corpus $total docs -> $kept representatives " +
+      f"(${100.0 * (total - kept) / total}%.1f%% removed as near-dups)\n")
+
+    println("== 4. stratified sample (doc_sample_stratified) — kept per lang ==")
+    q("doc_sample_stratified").groupBy("lang").count().orderBy("lang")
+      .show(10, truncate = false)
+
+    println("== 5. sequence packing (doc_pack) — bin fill ==")
+    q("doc_pack").groupBy("source", "shard", "bin")
+      .agg(sum("n_tok").as("bin_tokens"), count(lit(1)).as("docs"))
+      .agg(count(lit(1)).as("n_bins"),
+        round(avg("bin_tokens"), 1).as("avg_tokens_per_bin"),
+        round(avg("docs"), 1).as("avg_docs_per_bin"))
+      .show(truncate = false)
+
+    spark.stop()
+  }
+}

@@ -127,4 +127,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("sequence packing shuffles once on the shard key (plus output sort)") {
+    val p = plan("doc_pack")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("OHLC downsample is one aggregation pass — no window operator") {
+    val p = plan("ts_downsample")
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).nonEmpty, p)
+  }
 }
