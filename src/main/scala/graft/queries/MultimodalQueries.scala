@@ -18,11 +18,11 @@ object MultimodalQueries extends QueryPack {
     * still run per query. Bounded: one pin per fixture dir ever touched.
     */
   private object SharedMedia {
-    private val memo = scala.collection.concurrent.TrieMap[(Int, String),
-      org.apache.spark.sql.DataFrame]()
+    private val memo = new SessionMemo[String, org.apache.spark.sql.DataFrame](
+      SessionMemo.unpersistDf)
     def apply(s: org.apache.spark.sql.SparkSession, dir: String)
         : org.apache.spark.sql.DataFrame =
-      memo.getOrElseUpdate((System.identityHashCode(s), dir),
+      memo(s, dir)(
         Multimodal.fakeMediaFromDocs(graft.Tables.table(s, dir, "documents"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
@@ -33,11 +33,11 @@ object MultimodalQueries extends QueryPack {
     * measurement (the DECODE + hash + band join still run per query).
     */
   private object SharedMediaWithTwins {
-    private val memo = scala.collection.concurrent.TrieMap[(Int, String),
-      org.apache.spark.sql.DataFrame]()
+    private val memo = new SessionMemo[String, org.apache.spark.sql.DataFrame](
+      SessionMemo.unpersistDf)
     def apply(s: org.apache.spark.sql.SparkSession, dir: String)
         : org.apache.spark.sql.DataFrame =
-      memo.getOrElseUpdate((System.identityHashCode(s), dir),
+      memo(s, dir)(
         Multimodal.withBrightenedTwins(SharedMedia(s, dir), delta = 8,
             twinOffset = 1000000L)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

@@ -33,11 +33,12 @@ object TextQueries extends QueryPack {
     * call count (the leak `Dedup.jaccardPairs(cacheIndex=true)` had).
     */
   private object SharedShingleIndex {
-    private val memo = scala.collection.concurrent.TrieMap[(Int, String, Int),
-      org.apache.spark.sql.DataFrame]()
+    private val memo =
+      new SessionMemo[(String, Int), org.apache.spark.sql.DataFrame](
+        SessionMemo.unpersistDf)
     def apply(s: org.apache.spark.sql.SparkSession, dir: String, n: Int)
         : org.apache.spark.sql.DataFrame =
-      memo.getOrElseUpdate((System.identityHashCode(s), dir, n),
+      memo(s, (dir, n))(
         Dedup.shingleIndex(graft.Tables.table(s, dir, "documents"), "doc_id", "text", n)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
@@ -48,11 +49,12 @@ object TextQueries extends QueryPack {
     * own label-propagation rounds, not a repeat of the pair pipeline.
     */
   private object SharedJaccardPairs {
-    private val memo = scala.collection.concurrent.TrieMap[(Int, String, Int, Double),
-      org.apache.spark.sql.DataFrame]()
+    private val memo =
+      new SessionMemo[(String, Int, Double), org.apache.spark.sql.DataFrame](
+        SessionMemo.unpersistDf)
     def apply(s: org.apache.spark.sql.SparkSession, dir: String, n: Int,
         minJaccard: Double): org.apache.spark.sql.DataFrame =
-      memo.getOrElseUpdate((System.identityHashCode(s), dir, n, minJaccard),
+      memo(s, (dir, n, minJaccard))(
         Dedup.jaccardPairsFromIndex(SharedShingleIndex(s, dir, n), minJaccard)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
@@ -65,11 +67,12 @@ object TextQueries extends QueryPack {
     * doc-count, so the pin is small; bounded by distinct fixtures.
     */
   private object SharedMinHashSigs {
-    private val memo = scala.collection.concurrent.TrieMap[(Int, String, Int, Int),
-      org.apache.spark.sql.DataFrame]()
+    private val memo =
+      new SessionMemo[(String, Int, Int), org.apache.spark.sql.DataFrame](
+        SessionMemo.unpersistDf)
     def apply(s: org.apache.spark.sql.SparkSession, dir: String, n: Int, k: Int)
         : org.apache.spark.sql.DataFrame =
-      memo.getOrElseUpdate((System.identityHashCode(s), dir, n, k),
+      memo(s, (dir, n, k))(
         Dedup.minHashSignaturesFromIndex(SharedShingleIndex(s, dir, n), k)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }

@@ -29,13 +29,72 @@ object VectorQueries extends QueryPack {
     * just avoids re-running the Lloyd rounds on every query invocation.
     */
   private object SharedPqCodebook {
-    private val memo = scala.collection.concurrent.TrieMap[(Int, String),
-      ProductQuantizer.Codebook]()
+    private val memo = new SessionMemo[String, ProductQuantizer.Codebook]()
     def apply(s: org.apache.spark.sql.SparkSession, dir: String)
         : ProductQuantizer.Codebook =
-      memo.getOrElseUpdate((System.identityHashCode(s), dir),
+      memo(s, dir)(
         ProductQuantizer.fit(graft.Tables.table(s, dir, "embeddings"),
           "vec_id", "embedding", m = 8, ksub = 16, iters = 4, dim = 64))
+  }
+
+  /** Probe vectors per (fixture, id), memoized: fetching a probe is one
+    * driver-side `.head()` job against the corpus; four queries used to
+    * fire it independently per invocation. One fetch per fixture row now
+    * serves them all (tiny plain value — dim floats — no Spark state).
+    */
+  private object SharedProbe {
+    private val memo = new SessionMemo[(String, Long), Seq[Float]]()
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String, id: Long)
+        : Seq[Float] =
+      memo(s, (dir, id))(
+        graft.Tables.table(s, dir, "embeddings")
+          .filter(col("vec_id") === id).select(col("embedding"))
+          .head().getSeq[Float](0))
+  }
+
+  /** The learned IVF index per fixture: spherical-KMeans centroids plus
+    * the corpus labeled and WRITTEN `partitionBy(centroid_id)` — the
+    * one-time "index build" a 100 TB deployment runs once and amortizes
+    * over every probe. Memoized so Verify/bench pay the build a single
+    * time per fixture; evicting deletes the materialized directory.
+    */
+  private[graft] object SharedIvfIndex {
+    final case class Index(centroids: Seq[(Int, Seq[Float])], path: String)
+    private def delete(ix: Index): Unit =
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ix.path))
+    private val memo = new SessionMemo[String, Index](delete)
+    val K = 8
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String): Index =
+      memo(s, dir) {
+        val embs = graft.Tables.table(s, dir, "embeddings")
+        val cents = graft.similarity.KMeans.fit(
+          embs, "vec_id", "embedding", k = K, iters = 3, dim = 64)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_ivf_index").toString
+        Similarity.assignToCentroids(embs, "vec_id", "embedding",
+            cents, "cid", "cvec")
+          .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+        Index(
+          cents.collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq,
+          path)
+      }
+  }
+
+  /** kNN through the learned-centroid IVF index ([[SharedIvfIndex]]):
+    * route the probe on the k-row centroid table, then scan only the
+    * `nprobe` matching partition directories of the materialized corpus —
+    * the filter is a literal `centroid_id IN (…)`, so pruning is STATIC
+    * (shows under `PartitionFilters`, asserted in PlanShapeSpec). Shared
+    * by the oracled query (nprobe = K ⇒ provably brute force) and the
+    * pruning plan assert (nprobe = 2).
+    */
+  private[graft] def ivfLearnedKnn(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
+    val ix = SharedIvfIndex(s, dir)
+    val centroids = s.createDataFrame(ix.centroids).toDF("cid", "cvec")
+    Similarity.ivfKnnPruned(s.read.parquet(ix.path), "vec_id", "embedding",
+      centroids, "cid", "cvec", typedLit(SharedProbe(s, dir, ProbeId)),
+      k, nprobe)
   }
 
   override val queries: Seq[Q] = Seq(
@@ -45,9 +104,7 @@ object VectorQueries extends QueryPack {
     Q("vec_knn",
       (s, dir) => {
         val embs = t(s, dir, "embeddings")
-        val probe = embs.filter(col("vec_id") === ProbeId)
-          .select(col("embedding")).head().getSeq[Float](0)
-        val probeCol = typedLit(probe)
+        val probeCol = typedLit(SharedProbe(s, dir, ProbeId))
         Similarity.bruteForceKnn(embs, "vec_id", "embedding", probeCol, 10)
           .select(col("vec_id"), round(col("sim"), 6).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
@@ -71,9 +128,7 @@ object VectorQueries extends QueryPack {
         val embs = t(s, dir, "embeddings")
         val centroids = embs.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        val probe = embs.filter(col("vec_id") === ProbeId)
-          .select(col("embedding")).head().getSeq[Float](0)
-        val probeCol = typedLit(probe)
+        val probeCol = typedLit(SharedProbe(s, dir, ProbeId))
         val assigned = Similarity.assignToCentroids(
           embs, "vec_id", "embedding", centroids, "cid", "cvec")
         Similarity.ivfKnn(assigned, "vec_id", "embedding",
@@ -119,9 +174,7 @@ object VectorQueries extends QueryPack {
         val embs = t(s, dir, "embeddings")
         val centroids = embs.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        val probe = embs.filter(col("vec_id") === ProbeId)
-          .select(col("embedding")).head().getSeq[Float](0)
-        val probeCol = typedLit(probe)
+        val probeCol = typedLit(SharedProbe(s, dir, ProbeId))
         val assigned = Similarity.assignToCentroids(
           embs, "vec_id", "embedding", centroids, "cid", "cvec")
         Similarity.ivfKnn(assigned, "vec_id", "embedding",
@@ -158,6 +211,29 @@ object VectorQueries extends QueryPack {
                         / (sqrt(list_dot_product(a.embedding, a.embedding))
                            * sqrt(list_dot_product(pv, pv))) DESC, a.vec_id
                LIMIT 5""")),
+
+    // The flagship IVF shape: LEARNED spherical-KMeans centroids, corpus
+    // materialized partitionBy(centroid_id) once, probes routed with a
+    // literal centroid_id IN (…) predicate ⇒ STATIC parquet partition
+    // pruning (PartitionFilters, asserted in PlanShapeSpec at nprobe=2) —
+    // at 100 TB a probe lists and reads nprobe/k of the data before a
+    // single row deserializes. Oracled at nprobe = k, where IVF reads
+    // every partition and is PROVABLY identical to brute force — so the
+    // exact-kNN SQL is the oracle for the whole learned pipeline
+    // (fit → label → partition → route → scan).
+    Q("vec_knn_ivf_learned",
+      (s, dir) => ivfLearnedKnn(s, dir, k = 10, nprobe = SharedIvfIndex.K)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")),
+      Some(s"""SELECT vec_id,
+                      round(list_dot_product(embedding, pv)
+                            / (sqrt(list_dot_product(embedding, embedding))
+                               * sqrt(list_dot_product(pv, pv))), 6) AS sim
+               FROM embeddings, ${probeSql("p")}
+               ORDER BY list_dot_product(embedding, pv)
+                        / (sqrt(list_dot_product(embedding, embedding))
+                           * sqrt(list_dot_product(pv, pv))) DESC, vec_id
+               LIMIT 10""")),
 
     // Batch-probe kNN: N probes as a BROADCAST table against ONE corpus
     // pass (vs. one driver .head() + full scan per probe), with per-probe
@@ -288,8 +364,7 @@ object VectorQueries extends QueryPack {
     Q("vec_pq_adc",
       (s, dir) => {
         val embs = t(s, dir, "embeddings")
-        val probe = embs.filter(col("vec_id") === ProbeId)
-          .select(col("embedding")).head().getSeq[Float](0).toArray
+        val probe = SharedProbe(s, dir, ProbeId).toArray
         val cb = SharedPqCodebook(s, dir)
         ProductQuantizer.adcRerank(
           ProductQuantizer.encode(embs, "vec_id", "embedding", cb),

@@ -139,4 +139,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).nonEmpty, p)
   }
+
+  test("learned-IVF kNN prunes the partitioned corpus statically (nprobe=2)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // the declared query's own index (memo-shared with vec_knn_ivf_learned),
+    // probed at nprobe=2: the scan must carry centroid_id under
+    // PartitionFilters and list only 2 of the 8 partition directories —
+    // the "IVF = partition pruning at 100 TB" claim, as a plan property
+    val res = graft.queries.VectorQueries.ivfLearnedKnn(
+      spark, sfDir, k = 5, nprobe = 2)
+    res.collect()
+    val executed = res.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = executed.collectLeaves().collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, executed.toString)
+    assert(scans.head.toString.contains("PartitionFilters: [centroid_id"),
+      scans.head.toString)
+    assert(scans.head.selectedPartitions.partitionCount === 2,
+      s"expected 2 pruned partitions, scanned ${scans.head.selectedPartitions.partitionCount}")
+  }
 }
