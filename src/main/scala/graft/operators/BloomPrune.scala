@@ -1,7 +1,12 @@
 package graft.operators
 
+import java.io.ByteArrayOutputStream
+
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.glue
+import org.apache.spark.sql.types.BinaryType
 
 /** Bloom-filter join pruning — the standard shuffle-reduction for a
   * selective dim⋈fact join at scale: build a Bloom filter over the dim
@@ -21,16 +26,24 @@ object BloomPrune {
 
   /** `fact ⋈ dim` with the fact side pre-filtered through a Bloom filter
     * of `dim`'s join keys. Integer-keyed (the common surrogate-key
-    * case); the UDF probe is off the codegen path but runs BEFORE the
-    * shuffle, which is the trade that wins at scale.
+    * case). The probe is Spark's own native
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * — the codegen'd expression runtime row-level filtering injects — fed
+    * the serialized filter as a foldable binary literal, so the hot
+    * pre-shuffle filter fuses into whole-stage codegen with NO Scala-UDF
+    * SerDe boundary (the round-3 UDF probe cost one boxing round trip
+    * per fact row). Semantics are identical: `stat.bloomFilter` puts the
+    * raw long keys, `mightContainLong` probes them.
     */
   def prunedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedItems: Long, fpp: Double): DataFrame = {
     val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    val bytes = { val bos = new ByteArrayOutputStream(); bloom.writeTo(bos); bos.toByteArray }
+    val mightContain = glue.toColumn(new BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      glue.toExpression(col(factKey).cast("long"))))
     fact
-      .filter(col(factKey).isNotNull && mightContain(col(factKey)))
+      .filter(col(factKey).isNotNull && mightContain)
       .join(dim, col(factKey) === col(dimKey))
   }
 }

@@ -448,6 +448,47 @@ object ExtendedQueries extends QueryPack {
               WHERE c_custkey % 4 = 1
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // Multi-way join TREE (TPC-H Q5 shape): lineitem ⋈ orders ⋈ customer
+    // ⋈ supplier (with the "local supplier" c_nationkey = s_nationkey
+    // condition) ⋈ nation ⋈ region — the join-ORDER workload the 2-table
+    // queries don't exercise. Declared joins are all equi-joins, so
+    // Catalyst is free to reorder and AQE to pick build sides; the two
+    // genuinely small dims broadcast (plan-asserted) and the r_name
+    // predicate pushes into the region scan, shrinking the broadcast
+    // before it happens. At 100 TB the three fact-side joins shuffle each
+    // input ONCE on its join key; nation/region never shuffle at all.
+    Q("join_multiway",
+      (s, dir) => t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("2000-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name,
+                     round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                     count(*) AS n_items
+              FROM customer, orders, lineitem, supplier, nation, region
+              WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                AND r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+              GROUP BY n_name ORDER BY n_name""")),
+
     // Gap filling: densify the hourly series (every type × every hour of
     // the corpus span, via an in-plan min/max + sequence explode — no
     // driver round trip) and forward-fill missing buckets from the last

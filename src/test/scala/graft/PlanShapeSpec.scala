@@ -140,6 +140,25 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("multi-way join: dims broadcast, date filter pushes into the orders scan") {
+    val p = plan("join_multiway")
+    // nation and region ride as broadcasts — they never shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the o_orderdate range reaches the parquet scan as a pushed filter
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+    // no join input is exchanged twice on the same key: with every join an
+    // equi-join, each fact input shuffles at most once per join step —
+    // 6 hash exchanges (3 shuffle joins × 2 inputs) + 1 for the final agg
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 7, p)
+  }
+
+  test("bloom-pruned join probes with the native codegen expression, not a UDF") {
+    val p = plan("join_bloom")
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("UDF"), p)
+  }
+
   test("learned-IVF kNN prunes the partitioned corpus statically (nprobe=2)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
