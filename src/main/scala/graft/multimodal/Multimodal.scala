@@ -2,8 +2,10 @@ package graft.multimodal
 
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.ByteBuffer
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -11,16 +13,28 @@ import org.apache.spark.sql.functions._
 /** Multimodal (image/audio/video) columns as opaque `binary` + typed
   * metadata — the Spark-side plumbing for a training-data pipeline.
   *
-  * The IMAGE path runs a real codec end-to-end: fixture payloads are
-  * genuine PNGs (encoded with `javax.imageio`, the JDK's production PNG
-  * writer) and metadata decode parses them back with `ImageIO.read` — an
-  * honest encode→decode round trip, no arithmetic stand-in. The AUDIO /
-  * VIDEO paths remain STUBBED with deterministic byte arithmetic (no
-  * audio/video codec exists in this container — loudly marked below);
-  * everything Spark-level is real and tested either way: the schema
-  * contract, the `mapPartitions` batch shape (decoder initialized once
-  * per partition, amortized across rows — the same pattern a JNI/FFmpeg
-  * binding needs), and the explode shape for frame sampling.
+  * ALL THREE modalities now run a real header codec end-to-end:
+  *  - IMAGE: fixture payloads are genuine PNGs (encoded with
+  *    `javax.imageio`, the JDK's production PNG writer); metadata decode
+  *    parses the stream header back (signature + IHDR).
+  *  - AUDIO: fixture payloads are genuine RIFF/WAVE files (written by
+  *    `javax.sound.sampled.AudioSystem`, the JDK's production WAV
+  *    writer); metadata decode parses the RIFF header back with
+  *    `AudioSystem.getAudioFileFormat` — sample rate, channel count and
+  *    frame length come from the actual `fmt `/`data` chunks, not from
+  *    arithmetic on the payload.
+  *  - VIDEO: fixture payloads are genuine ISO-BMFF (MP4) byte streams —
+  *    `ftyp` + `moov(mvhd + trak(tkhd))` + `mdat` — and metadata decode
+  *    is a real box walker reading timescale/duration from `mvhd` and
+  *    the 16.16 fixed-point width/height from `tkhd`. Container-header
+  *    parsing is pure byte arithmetic; no frame DECODER exists in this
+  *    container (that one step would need FFmpeg), so `mdat` holds
+  *    deterministic filler — but every byte the operators READ is parsed
+  *    from a spec-correct container, not reverse-engineered from length.
+  * Everything Spark-level is real and tested: the schema contract, the
+  * `mapPartitions` batch shape (decoder initialized once per partition,
+  * amortized across rows — the same pattern a JNI/FFmpeg binding needs),
+  * and the explode shape for frame sampling.
   *
   * Scale notes: media rows are orders of magnitude wider than their
   * metadata. The operators here keep bytes out of shuffles — metadata is
@@ -32,9 +46,16 @@ object Multimodal {
   /** Typed media row: payload + source metadata. */
   case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
 
-  /** Decoded metadata — real for images, stub-derived for audio/video. */
+  /** Decoded metadata — every populated field comes from a real header
+    * parse of the payload bytes. Inapplicable fields are None: images
+    * have no sample rate, audio has no pixel dimensions. `n_frames` is
+    * the modality's native frame count (1 for stills, PCM sample frames
+    * for audio, video frames for video).
+    */
   case class MediaMeta(media_id: Long, kind: String, n_bytes: Int,
-      width: Int, height: Int, n_frames: Int)
+      width: Option[Int], height: Option[Int], n_frames: Int,
+      sample_rate: Option[Int], channels: Option[Int],
+      duration_ms: Option[Long])
 
   /** The deterministic dimensions fixture images are encoded with (and
     * the only thing the DuckDB oracle needs to predict — the PNG byte
@@ -85,6 +106,183 @@ object Multimodal {
   }
 
   private val decodePngDimsUdf = udf(decodePngDims _)
+
+  // ---------------------------------------------------------------- audio
+
+  /** The deterministic parameters fixture audio is encoded with:
+    * (sampleRateHz, channels, pcmSampleFrames). Like [[imageDims]], this
+    * is the only thing the oracle needs to predict — the WAV byte stream
+    * itself round-trips through the JDK's RIFF codec.
+    */
+  def audioParams(mediaId: Long): (Int, Int, Int) = {
+    val rates = Array(8000, 11025, 16000, 22050, 44100)
+    (rates((mediaId % 5).toInt), 1 + (mediaId % 2).toInt,
+      256 + (mediaId % 512).toInt)
+  }
+
+  /** Encode a real RIFF/WAVE payload for `mediaId` at its [[audioParams]]
+    * (16-bit little-endian PCM, deterministic sample values). Every byte
+    * is produced by `AudioSystem.write` — the JDK's WAV encoder — so the
+    * downstream decode is a genuine RIFF header parse.
+    */
+  def encodeWav(mediaId: Long): Array[Byte] = {
+    val (sr, ch, nFrames) = audioParams(mediaId)
+    val fmt = new AudioFormat(sr.toFloat, 16, ch, true, false)
+    val data = new Array[Byte](nFrames * ch * 2)
+    var i = 0
+    while (i < data.length / 2) {
+      val s = ((mediaId * 2654435761L + i * 40503L) & 0xffff).toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt,
+      nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private val encodeWavUdf = udf(encodeWav _)
+
+  /** Real WAV metadata decode: `AudioSystem.getAudioFileFormat` parses
+    * the RIFF `fmt `/`data` chunks (header only — sample data is never
+    * inflated) and reports (sampleRateHz, channels, pcmSampleFrames).
+    * None for undecodable bytes.
+    */
+  def decodeWavMeta(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(bytes))
+      if (aff.getType != AudioFileFormat.Type.WAVE) None
+      else {
+        val f = aff.getFormat
+        Some((f.getSampleRate.toInt, f.getChannels, aff.getFrameLength.toLong))
+      }
+    } catch { case _: Exception => None }
+
+  private val wavMetaUdf = udf(decodeWavMeta _)
+
+  // ---------------------------------------------------------------- video
+
+  /** The deterministic parameters fixture video is encoded with:
+    * (width, height, timescale = frames/sec, nFrames). The MP4 container
+    * bytes round-trip through a spec-correct ISO-BMFF writer/parser.
+    */
+  def videoParams(mediaId: Long): (Int, Int, Int, Int) =
+    (160 + (mediaId % 8).toInt * 16, 96 + (mediaId % 6).toInt * 16,
+      12 + (mediaId % 20).toInt, 24 + (mediaId % 240).toInt)
+
+  /** ISO-BMFF identity transform matrix (16.16 / 2.30 fixed point). */
+  private val Mp4IdentityMatrix =
+    Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+
+  private def mp4Box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length)
+    bb.put(tpe.getBytes("US-ASCII"))
+    bb.put(payload)
+    bb.array()
+  }
+
+  /** Encode a real (header-level) MP4 payload for `mediaId`:
+    * `ftyp` + `moov(mvhd + trak(tkhd))` + `mdat`. The movie header
+    * carries timescale = fps and duration = frame count (so duration in
+    * timescale units IS the frame count); the track header carries
+    * width/height in 16.16 fixed point — all per ISO/IEC 14496-12 box
+    * layouts. `mdat` is deterministic filler (no frame encoder in this
+    * container); everything the decode path reads is spec-correct bytes.
+    */
+  def encodeMp4(mediaId: Long): Array[Byte] = {
+    val (w, h, fps, nF) = videoParams(mediaId)
+    val ftyp = mp4Box("ftyp", {
+      val bb = ByteBuffer.allocate(16)
+      bb.put("isom".getBytes("US-ASCII")); bb.putInt(512)
+      bb.put("isom".getBytes("US-ASCII")); bb.put("mp41".getBytes("US-ASCII"))
+      bb.array()
+    })
+    val mvhd = mp4Box("mvhd", {
+      val bb = ByteBuffer.allocate(100)
+      bb.putInt(0)                       // version 0 + flags
+      bb.putInt(0); bb.putInt(0)         // creation, modification
+      bb.putInt(fps)                     // timescale (units/sec)
+      bb.putInt(nF)                      // duration (in timescale units)
+      bb.putInt(0x00010000)              // rate 1.0
+      bb.putShort(0x0100.toShort)        // volume 1.0
+      bb.position(bb.position() + 10)    // reserved
+      Mp4IdentityMatrix.foreach(bb.putInt)
+      bb.position(bb.position() + 24)    // pre_defined
+      bb.putInt(2)                       // next_track_ID
+      bb.array()
+    })
+    val tkhd = mp4Box("tkhd", {
+      val bb = ByteBuffer.allocate(84)
+      bb.putInt(0x00000007)              // version 0 + enabled|in_movie|in_preview
+      bb.putInt(0); bb.putInt(0)         // creation, modification
+      bb.putInt(1)                       // track_ID
+      bb.putInt(0)                       // reserved
+      bb.putInt(nF)                      // duration
+      bb.position(bb.position() + 8)     // reserved
+      bb.putShort(0); bb.putShort(0)     // layer, alternate_group
+      bb.putShort(0); bb.putShort(0)     // volume (video: 0), reserved
+      Mp4IdentityMatrix.foreach(bb.putInt)
+      bb.putInt(w << 16)                 // width  16.16
+      bb.putInt(h << 16)                 // height 16.16
+      bb.array()
+    })
+    val moov = mp4Box("moov", mvhd ++ mp4Box("trak", tkhd))
+    val filler = new Array[Byte](nF * 8)
+    var i = 0
+    while (i < filler.length) {
+      filler(i) = ((mediaId * 31 + i * 131) & 0xff).toByte
+      i += 1
+    }
+    ftyp ++ moov ++ mp4Box("mdat", filler)
+  }
+
+  private val encodeMp4Udf = udf(encodeMp4 _)
+
+  private def beInt(bytes: Array[Byte], off: Int): Int =
+    ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+      ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+
+  /** Real MP4 metadata decode: walk the top-level box sequence to
+    * `moov`, then its children to `mvhd` (timescale, duration) and
+    * `trak/tkhd` (16.16 width/height). Returns
+    * (timescale, durationUnits, width, height); None for bytes that are
+    * not a well-formed ISO-BMFF stream. Pure byte arithmetic — container
+    * headers need no codec.
+    */
+  def decodeMp4Meta(bytes: Array[Byte]): Option[(Int, Long, Int, Int)] = {
+    // (payloadStart, boxEnd) of the first `tpe` box in [start, end)
+    def findBox(start: Int, end: Int, tpe: String): Option[(Int, Int)] = {
+      var off = start
+      while (off + 8 <= end) {
+        val size = beInt(bytes, off)
+        if (size < 8 || off + size > end) return None
+        if (new String(bytes, off + 4, 4, "US-ASCII") == tpe)
+          return Some((off + 8, off + size))
+        off += size
+      }
+      None
+    }
+    try {
+      for {
+        (moovS, moovE) <- findBox(0, bytes.length, "moov")
+        (mvhdS, mvhdE) <- findBox(moovS, moovE, "mvhd")
+        (trakS, trakE) <- findBox(moovS, moovE, "trak")
+        (tkhdS, tkhdE) <- findBox(trakS, trakE, "tkhd")
+        if mvhdE - mvhdS >= 100 && tkhdE - tkhdS >= 84
+        // version-0 boxes only (32-bit times); version-1 would shift offsets
+        if bytes(mvhdS) == 0 && bytes(tkhdS) == 0
+      } yield (
+        beInt(bytes, mvhdS + 12),                       // timescale
+        beInt(bytes, mvhdS + 16).toLong & 0xffffffffL,  // duration
+        beInt(bytes, tkhdS + 76) >>> 16,                // width  16.16 → int
+        beInt(bytes, tkhdS + 80) >>> 16)                // height 16.16 → int
+    } catch { case _: Exception => None }
+  }
+
+  private val mp4MetaUdf = udf(decodeMp4Meta _)
 
   /** 64-bit perceptual difference hash (dHash) of an image payload:
     * real decode → grayscale box-average onto a 9×8 grid → one bit per
@@ -222,83 +420,103 @@ object Multimodal {
     element_at(array(lit("image"), lit("audio"), lit("video")),
       (pmod(idCol, lit(3)) + 1).cast("int"))
 
-  /** Deterministic fake media derived from the documents fixture: image
-    * rows carry REAL PNG payloads (encoded per doc id), audio/video rows
-    * carry the doc's UTF-8 bytes (stand-ins for real blobs).
+  /** Deterministic fixture media derived from the documents fixture —
+    * every payload is a REAL container byte stream for its modality:
+    * PNG (javax.imageio) for images, RIFF/WAVE (javax.sound) for audio,
+    * ISO-BMFF/MP4 (spec-layout box writer) for video. The encode
+    * parameters are pure functions of the id ([[imageDims]] /
+    * [[audioParams]] / [[videoParams]]) so an independent engine can
+    * predict what a real decode must recover.
     */
   def fakeMediaFromDocs(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
       kindOf(col("doc_id")).as("kind"),
       when(kindOf(col("doc_id")) === "image", encodePngUdf(col("doc_id")))
-        .otherwise(col("text").cast("binary")).as("bytes"))
-
-  /** STUB decoder for audio/video: a real implementation would parse the
-    * codec header here (and is the only code that changes when an
-    * audio/video lib exists). Deterministic pure function of the payload
-    * so tests/oracles can reproduce it.
-    */
-  private def decodeHeaderStub(bytes: Array[Byte]): (Int, Int, Int) = {
-    val n = bytes.length
-    (64 + n % 577, 64 + (n * 31) % 433, 1 + n % 24)
-  }
+        .when(kindOf(col("doc_id")) === "audio", encodeWavUdf(col("doc_id")))
+        .otherwise(encodeMp4Udf(col("doc_id"))).as("bytes"))
 
   /** Decode media metadata with the per-partition-init `mapPartitions`
     * batch shape (decoder/codec context constructed once per partition,
-    * not per row). Images decode through the real PNG codec; audio/video
-    * through the stub arithmetic.
+    * not per row). All three modalities decode through real header
+    * parsers: PNG IHDR, WAV RIFF, MP4 mvhd/tkhd. Undecodable payloads
+    * surface as zero/None fields rather than failing the partition.
     */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition decoder init would go here (e.g. load codec lib);
-      // ImageIO registers its reader SPI once per JVM
+      // ImageIO/AudioSystem register their reader SPIs once per JVM
       rows.map { r =>
-        val (w, h, f) = r.kind match {
+        r.kind match {
           case "image" =>
-            val (w0, h0) = decodePngDims(r.bytes)
-            (w0, h0, 1)
-          case "video" =>
-            decodeHeaderStub(r.bytes)
+            val (w, h) = decodePngDims(r.bytes)
+            MediaMeta(r.media_id, r.kind, r.bytes.length, Some(w), Some(h),
+              n_frames = 1, None, None, None)
+          case "audio" =>
+            val (sr, ch, frames) =
+              decodeWavMeta(r.bytes).getOrElse((0, 0, 0L))
+            MediaMeta(r.media_id, r.kind, r.bytes.length, None, None,
+              n_frames = frames.toInt, Some(sr), Some(ch),
+              Some(if (sr > 0) frames * 1000L / sr else 0L))
           case _ =>
-            val (w0, h0, _) = decodeHeaderStub(r.bytes)
-            (w0, h0, 1)
+            val (ts, dur, w, h) =
+              decodeMp4Meta(r.bytes).getOrElse((0, 0L, 0, 0))
+            MediaMeta(r.media_id, r.kind, r.bytes.length, Some(w), Some(h),
+              n_frames = dur.toInt, None, None,
+              Some(if (ts > 0) dur * 1000L / ts else 0L))
         }
-        MediaMeta(r.media_id, r.kind, r.bytes.length, w, h, f)
       }
     }
   }
 
   /** Frame sampling for video rows: emit every `stride`-th frame index
-    * with its (fake) byte offset — only narrow columns explode; payload
-    * bytes never enter the explode.
+    * with its presentation timestamp (floor ms, from the parsed
+    * duration) — only narrow columns explode; payload bytes never enter
+    * the explode.
     */
   def sampleFrames(meta: Dataset[MediaMeta], stride: Int): DataFrame =
     meta.toDF()
       .filter(col("kind") === "video")
-      .select(col("media_id"), col("n_frames"), col("n_bytes"),
+      .select(col("media_id"), col("n_frames"), col("duration_ms"),
         explode(sequence(lit(0L), col("n_frames").cast("long") - 1, lit(stride.toLong))).as("frame_idx"))
-      .withColumn("byte_offset", col("frame_idx") * col("n_bytes") / col("n_frames"))
-      .select("media_id", "frame_idx", "byte_offset")
+      .withColumn("ts_ms", expr("frame_idx * duration_ms div n_frames"))
+      .select("media_id", "frame_idx", "ts_ms")
 
-  /** DataFrame-level metadata decode — used by the oracled query. Image
-    * dimensions come from the REAL PNG parse (`ImageIO.read` in a UDF,
-    * evaluated only on image rows); audio/video from the stub column
-    * arithmetic DuckDB mirrors directly.
+  /** DataFrame-level metadata decode — used by the oracled query. Every
+    * populated value comes from a real header parse of the payload (PNG
+    * IHDR / WAV RIFF / MP4 box walk), evaluated only on rows of that
+    * kind; the oracle predicts the values from the deterministic encode
+    * parameters — if any decode were fake, the parse would not reproduce
+    * them. Inapplicable fields are NULL.
     */
   def decodeMetaColumns(media: DataFrame): DataFrame =
     media
       .withColumn("n_bytes", length(col("bytes")).cast("long"))
       .withColumn("png",
         when(col("kind") === "image", decodePngDimsUdf(col("bytes"))))
+      .withColumn("wav",
+        when(col("kind") === "audio", wavMetaUdf(col("bytes"))))
+      .withColumn("mp4",
+        when(col("kind") === "video", mp4MetaUdf(col("bytes"))))
       .withColumn("width",
-        when(col("kind") === "image", col("png._1").cast("long"))
-          .otherwise((lit(64) + pmod(col("n_bytes"), lit(577))).cast("long")))
+        when(col("kind") === "image", col("png._1"))
+          .when(col("kind") === "video", col("mp4._3")).cast("long"))
       .withColumn("height",
-        when(col("kind") === "image", col("png._2").cast("long"))
-          .otherwise((lit(64) + pmod(col("n_bytes") * 31, lit(433))).cast("long")))
+        when(col("kind") === "image", col("png._2"))
+          .when(col("kind") === "video", col("mp4._4")).cast("long"))
       .withColumn("n_frames",
-        when(col("kind") === "video", lit(1) + pmod(col("n_bytes"), lit(24)))
-          .otherwise(lit(1)).cast("long"))
-      .select("media_id", "kind", "n_bytes", "width", "height", "n_frames")
+        when(col("kind") === "image", lit(1L))
+          .when(col("kind") === "audio", col("wav._3"))
+          .otherwise(col("mp4._2")).cast("long"))
+      .withColumn("sample_rate",
+        when(col("kind") === "audio", col("wav._1")).cast("long"))
+      .withColumn("channels",
+        when(col("kind") === "audio", col("wav._2")).cast("long"))
+      .withColumn("duration_ms",
+        when(col("kind") === "audio", expr("wav._3 * 1000 div wav._1"))
+          .when(col("kind") === "video", expr("mp4._2 * 1000 div mp4._1"))
+          .cast("long"))
+      .select("media_id", "kind", "n_bytes", "width", "height", "n_frames",
+        "sample_rate", "channels", "duration_ms")
 }

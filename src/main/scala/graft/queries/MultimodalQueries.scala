@@ -45,31 +45,47 @@ object MultimodalQueries extends QueryPack {
 
   override val queries: Seq[Q] = Seq(
 
-    // Metadata decode over binary media columns. Image rows are REAL
-    // PNGs: Spark encodes them with javax.imageio and decodes the
-    // dimensions back by parsing the payload (genuine codec round trip);
-    // the oracle predicts those dimensions from the deterministic encode
-    // parameters — if the decode were fake, the parse would not
-    // reproduce them. Audio/video remain stub arithmetic on payload
-    // length (no codec libs in this container). n_bytes is projected
-    // away: a compressed PNG's byte count is a codec artifact no
+    // Metadata decode over binary media columns — ALL THREE modalities
+    // run a real header codec round trip: PNG IHDR dims (javax.imageio),
+    // WAV RIFF sample-rate/channels/frames (javax.sound), MP4 mvhd/tkhd
+    // timescale/duration/width/height (ISO-BMFF box walk). The oracle
+    // predicts the values from the deterministic ENCODE parameters — if
+    // any decode were fake, the parse would not reproduce them. n_bytes
+    // is projected away: container byte counts are codec artifacts no
     // independent engine can predict.
     Q("mm_decode_meta",
       (s, dir) => Multimodal.decodeMetaColumns(SharedMedia(s, dir))
-        .select("media_id", "kind", "width", "height", "n_frames")
+        .select("media_id", "kind", "width", "height", "n_frames",
+          "sample_rate", "channels", "duration_ms")
         .orderBy("media_id"),
       Some("""SELECT doc_id AS media_id,
                      ['image','audio','video'][(doc_id % 3) + 1] AS kind,
-                     CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 48
-                          ELSE 64 + octet_length(encode(text)) % 577 END AS width,
-                     CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 48
-                          ELSE 64 + (octet_length(encode(text)) * 31) % 433 END AS height,
-                     CASE WHEN ['image','audio','video'][(doc_id % 3) + 1] = 'video'
-                          THEN 1 + octet_length(encode(text)) % 24 ELSE 1 END AS n_frames
+                     CASE doc_id % 3
+                       WHEN 0 THEN 16 + doc_id % 48
+                       WHEN 2 THEN 160 + (doc_id % 8) * 16 END AS width,
+                     CASE doc_id % 3
+                       WHEN 0 THEN 16 + (doc_id * 7) % 48
+                       WHEN 2 THEN 96 + (doc_id % 6) * 16 END AS height,
+                     CASE doc_id % 3
+                       WHEN 0 THEN 1
+                       WHEN 1 THEN 256 + doc_id % 512
+                       WHEN 2 THEN 24 + doc_id % 240 END AS n_frames,
+                     CASE WHEN doc_id % 3 = 1
+                       THEN [8000,11025,16000,22050,44100][(doc_id % 5) + 1]
+                       END AS sample_rate,
+                     CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
+                       END AS channels,
+                     CASE doc_id % 3
+                       WHEN 1 THEN (256 + doc_id % 512) * 1000
+                                   // [8000,11025,16000,22050,44100][(doc_id % 5) + 1]
+                       WHEN 2 THEN (24 + doc_id % 240) * 1000
+                                   // (12 + doc_id % 20) END AS duration_ms
               FROM documents ORDER BY media_id""")),
 
-    // Frame sampling: explode every 4th frame index of video rows —
-    // narrow columns only, payload bytes never enter the explode.
+    // Frame sampling: explode every 4th frame index of video rows with
+    // its floor-ms presentation timestamp (from the PARSED mvhd
+    // duration/timescale) — narrow columns only, payload bytes never
+    // enter the explode.
     Q("mm_frame_sample",
       (s, dir) => {
         import s.implicits._
@@ -79,12 +95,12 @@ object MultimodalQueries extends QueryPack {
       },
       Some("""WITH meta AS (
                 SELECT doc_id AS media_id,
-                       octet_length(encode(text)) AS n_bytes,
-                       1 + octet_length(encode(text)) % 24 AS n_frames
+                       24 + doc_id % 240 AS n_frames,
+                       (24 + doc_id % 240) * 1000 // (12 + doc_id % 20) AS duration_ms
                 FROM documents
-                WHERE ['image','audio','video'][(doc_id % 3) + 1] = 'video')
+                WHERE doc_id % 3 = 2)
               SELECT media_id, unnest(range(0, n_frames, 4)) AS frame_idx,
-                     unnest(range(0, n_frames, 4)) * n_bytes / n_frames AS byte_offset
+                     unnest(range(0, n_frames, 4)) * duration_ms // n_frames AS ts_ms
               FROM meta ORDER BY media_id, frame_idx""")))
 
     // Perceptual hash of every image payload: real PNG decode →

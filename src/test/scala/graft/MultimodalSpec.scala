@@ -10,6 +10,15 @@ import graft.multimodal.Multimodal
   */
 class MultimodalSpec extends SparkSpec {
 
+  // normalize Int/Long/null across the typed (Option[Int]) and column
+  // (nullable long) decode paths for field-by-field comparison
+  private def num(v: Any): Any = v match {
+    case null => null
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => other
+  }
+
   test("typed mapPartitions decode == column-expression decode") {
     import spark.implicits._
     val media = Multimodal.fakeMediaFromDocs(Tables.table(spark, sfDir, "documents"))
@@ -18,12 +27,13 @@ class MultimodalSpec extends SparkSpec {
     val cols = Multimodal.decodeMetaColumns(media)
       .orderBy("media_id").collect()
     assert(typed.length === cols.length && typed.length > 0)
+    val fields = Seq("media_id", "n_bytes", "width", "height", "n_frames",
+      "sample_rate", "channels", "duration_ms")
     typed.zip(cols).foreach { case (t, c) =>
-      assert(t.getLong(0) === c.getLong(0))
-      assert(t.getInt(2).toLong === c.getLong(2))   // n_bytes
-      assert(t.getInt(3).toLong === c.getLong(3))   // width
-      assert(t.getInt(4).toLong === c.getLong(4))   // height
-      assert(t.getInt(5).toLong === c.getLong(5))   // n_frames
+      fields.foreach { f =>
+        assert(num(t.getAs[Any](f)) === num(c.getAs[Any](f)),
+          s"field $f of media ${t.getAs[Long]("media_id")}")
+      }
     }
   }
 
@@ -43,9 +53,44 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     decoded.foreach { m =>
       val (w, h) = Multimodal.imageDims(m.media_id)
-      assert((m.width, m.height) === ((w, h)),
+      assert((m.width, m.height) === ((Some(w), Some(h))),
         s"media ${m.media_id}: decoded ${(m.width, m.height)} != encoded ${(w, h)}")
     }
+  }
+
+  test("audio payloads are real RIFF/WAVE and decode round-trips encode params") {
+    import spark.implicits._
+    val media = Multimodal.fakeMediaFromDocs(Tables.table(spark, sfDir, "documents"))
+      .filter(col("kind") === "audio")
+    val rows = media.as[Multimodal.MediaRow].limit(40).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // RIFF....WAVE magic: the payload is a genuine WAV stream
+      assert(new String(r.bytes, 0, 4, "US-ASCII") === "RIFF")
+      assert(new String(r.bytes, 8, 4, "US-ASCII") === "WAVE")
+      // the real RIFF parse recovers exactly the encode parameters
+      val (sr, ch, nFrames) = Multimodal.audioParams(r.media_id)
+      assert(Multimodal.decodeWavMeta(r.bytes) === Some((sr, ch, nFrames.toLong)),
+        s"media ${r.media_id}")
+    }
+    // garbage bytes are rejected, not mis-parsed
+    assert(Multimodal.decodeWavMeta("not a wav".getBytes).isEmpty)
+  }
+
+  test("video payloads are real ISO-BMFF and box walk round-trips encode params") {
+    import spark.implicits._
+    val media = Multimodal.fakeMediaFromDocs(Tables.table(spark, sfDir, "documents"))
+      .filter(col("kind") === "video")
+    val rows = media.as[Multimodal.MediaRow].limit(40).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // ftyp box leads the stream: genuine MP4 container layout
+      assert(new String(r.bytes, 4, 4, "US-ASCII") === "ftyp")
+      val (w, h, fps, nF) = Multimodal.videoParams(r.media_id)
+      assert(Multimodal.decodeMp4Meta(r.bytes) === Some((fps, nF.toLong, w, h)),
+        s"media ${r.media_id}")
+    }
+    assert(Multimodal.decodeMp4Meta("not an mp4 stream".getBytes).isEmpty)
   }
 
   test("frame sampling explodes only narrow columns, one row per stride") {
@@ -53,7 +98,7 @@ class MultimodalSpec extends SparkSpec {
     val media = Multimodal.fakeMediaFromDocs(Tables.table(spark, sfDir, "documents"))
     val meta = Multimodal.decodeMeta(media.as[Multimodal.MediaRow])
     val frames = Multimodal.sampleFrames(meta, stride = 4)
-    assert(frames.columns.toSeq === Seq("media_id", "frame_idx", "byte_offset"))
+    assert(frames.columns.toSeq === Seq("media_id", "frame_idx", "ts_ms"))
     val perVideo = meta.toDF().filter(col("kind") === "video")
       .select("media_id", "n_frames").collect()
       .map(r => r.getLong(0) -> (1 + (r.getInt(1) - 1) / 4)).toMap
