@@ -1,6 +1,7 @@
 package graft.queries
 
 import java.lang.ref.WeakReference
+import java.util.concurrent.atomic.AtomicInteger
 
 import scala.collection.concurrent.TrieMap
 
@@ -13,34 +14,90 @@ import org.apache.spark.sql.SparkSession
   * The round-3 memos were plain `TrieMap`s keyed on
   * `identityHashCode(session)`: bounded per fixture, fine for bench/
   * Verify lifetimes, but a long-lived multi-tenant driver that opens and
-  * closes sessions would accumulate pinned plans forever. This class
-  * closes that hole with two mechanisms, neither on the hot path:
+  * closes sessions would accumulate pinned plans forever. Eviction
+  * mechanisms, none on the hot path:
   *
-  *  - **Weak session tracking**: the memo never holds a strong reference
-  *    to the session. Each `apply` sweeps sessions that have been GC'd or
-  *    whose SparkContext has stopped, running `onEvict` (typically
-  *    `DataFrame.unpersist`) on their cached values.
+  *  - **Explicit [[evict]]**: the API a multi-tenant driver calls when it
+  *    retires a session. This is the only mechanism that can fire for
+  *    DataFrame-valued memos on a CHILD session of a live shared
+  *    context: a cached Dataset strongly references its session (so the
+  *    weak ref below never clears while the entry lives), and
+  *    `sparkContext.isStopped` stays false until the whole application
+  *    ends — automatic detection is structurally impossible there.
+  *  - **Weak session tracking**: the memo itself never holds a strong
+  *    reference to the session. Each `apply` sweeps sessions that have
+  *    been GC'd (possible when cached values don't reference the
+  *    session, e.g. plain probe vectors) or whose SparkContext has
+  *    stopped, running `onEvict` (typically `DataFrame.unpersist`) on
+  *    their cached values.
   *  - **Application-end listener**: one `SparkListener` per distinct
   *    SparkContext drops every entry the moment the context stops — the
   *    cached plans are unusable from then on anyway.
   *
-  * Entries are keyed `(identityHashCode(session), key)`; values compute
-  * at most once per live session (TrieMap `getOrElseUpdate` semantics).
+  * Sessions are identified by a memo-assigned UNIQUE tag (monotonic
+  * counter held in a weak-keyed map), not `identityHashCode`: hash codes
+  * can be reused by a new session after GC and can collide between two
+  * live sessions — either would let one session's entries alias
+  * another's. A tag is never reused, so a stale entry can only ever be
+  * swept, never adopted.
+  *
+  * Values are held in lazily-forced cells, so a concurrent first access
+  * computes at most ONCE — `TrieMap.getOrElseUpdate` may race two cell
+  * allocations, but only the winning cell is ever forced; the loser is
+  * discarded unforced (nothing persisted, nothing to leak). `onEvict`
+  * runs only on cells that were actually forced.
   */
 final class SessionMemo[K, V](onEvict: V => Unit = (_: V) => ()) {
 
-  private val entries = TrieMap[(Int, K), V]()
-  /** One weak ref per session seen, for staleness sweeps. */
+  /** Lazily-forced value cell: at most one compute, evictable only if
+    * actually forced. (If an eviction races a thread inside `compute`,
+    * that in-flight value is skipped — best-effort, same as before.)
+    */
+  private final class Cell(f: () => V) {
+    @volatile private var forced = false
+    lazy val value: V = { val v = f(); forced = true; v }
+    def ifForced: Option[V] = if (forced) Some(value) else None
+  }
+
+  private val entries = TrieMap[(Int, K), Cell]()
+  /** One weak ref per session tag, for staleness sweeps. */
   private val sessions = TrieMap[Int, WeakReference[SparkSession]]()
+  /** session → unique tag; weak keys so the map never pins a session. */
+  private val tags = new java.util.WeakHashMap[SparkSession, Integer]()
+  private val nextTag = new AtomicInteger(0)
   /** Contexts that already carry our application-end listener. */
   private val hookedContexts = TrieMap[Int, Unit]()
 
+  private def tagOf(s: SparkSession): Int = tags.synchronized {
+    val t = tags.get(s)
+    if (t != null) t.intValue
+    else {
+      val fresh = nextTag.incrementAndGet()
+      tags.put(s, fresh)
+      fresh
+    }
+  }
+
   def apply(s: SparkSession, key: K)(compute: => V): V = {
-    val sid = System.identityHashCode(s)
-    sessions.putIfAbsent(sid, new WeakReference(s))
     hookContext(s)
     sweep()
-    entries.getOrElseUpdate((sid, key), compute)
+    // register AFTER the sweep: a tag is unique to this session object,
+    // so a sweep can never remove the registration a concurrent apply
+    // just made for a DIFFERENT live session (the identityHashCode-keyed
+    // version had exactly that race).
+    val tag = tagOf(s)
+    sessions.putIfAbsent(tag, new WeakReference(s))
+    entries.getOrElseUpdate((tag, key), new Cell(() => compute)).value
+  }
+
+  /** Drop every entry of `s`, running `onEvict` on the computed values —
+    * the call a multi-tenant driver makes when it retires a session
+    * (e.g. right before abandoning a `newSession()` child). Safe to call
+    * twice; a later `apply` on the same session simply recomputes.
+    */
+  def evict(s: SparkSession): Unit = {
+    val t = tags.synchronized(tags.get(s))
+    if (t != null) evictSession(t.intValue)
   }
 
   /** Evict entries of sessions that are gone (GC'd or context stopped).
@@ -48,17 +105,19 @@ final class SessionMemo[K, V](onEvict: V => Unit = (_: V) => ()) {
     * safe to call from anywhere.
     */
   def sweep(): Unit =
-    sessions.foreach { case (sid, ref) =>
+    sessions.foreach { case (tag, ref) =>
       val s = ref.get()
-      if (s == null || s.sparkContext.isStopped) evictSession(sid)
+      if (s == null || s.sparkContext.isStopped) evictSession(tag)
     }
 
-  private def evictSession(sid: Int): Unit = {
-    sessions.remove(sid)
-    entries.keys.filter(_._1 == sid).foreach { k =>
-      entries.remove(k).foreach { v =>
-        try onEvict(v)
-        catch { case scala.util.control.NonFatal(_) => () } // best-effort
+  private def evictSession(tag: Int): Unit = {
+    sessions.remove(tag)
+    entries.keys.filter(_._1 == tag).foreach { k =>
+      entries.remove(k).foreach { cell =>
+        cell.ifForced.foreach { v =>
+          try onEvict(v)
+          catch { case scala.util.control.NonFatal(_) => () } // best-effort
+        }
       }
     }
   }
@@ -78,8 +137,8 @@ final class SessionMemo[K, V](onEvict: V => Unit = (_: V) => ()) {
 
   /** Live entry count for one session. */
   def pinnedFor(s: SparkSession): Int = {
-    val sid = System.identityHashCode(s)
-    entries.count(_._1._1 == sid)
+    val t = tags.synchronized(tags.get(s))
+    if (t == null) 0 else entries.count(_._1._1 == t.intValue)
   }
 }
 

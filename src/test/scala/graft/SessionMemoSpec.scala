@@ -61,4 +61,59 @@ class SessionMemoSpec extends SparkSpec {
     SessionMemo.unpersistDf(df)
     assert(df.storageLevel === StorageLevel.NONE)
   }
+
+  test("explicit evict() releases DataFrame memos of an abandoned child session") {
+    // The case automatic detection can NEVER catch (round-4 advice): a
+    // cached Dataset strongly references its child session, so the weak
+    // ref never clears, and the shared context stays alive, so
+    // isStopped never fires. The driver-facing contract is evict(s).
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.storage.StorageLevel
+    val memo = new SessionMemo[String, DataFrame](SessionMemo.unpersistDf)
+    val child = spark.newSession()
+    val df = memo(child, "corpus")(
+      child.range(100).toDF("n").persist(StorageLevel.MEMORY_AND_DISK))
+    df.count()
+    assert(df.storageLevel !== StorageLevel.NONE)
+    assert(memo.pinnedFor(child) === 1)
+
+    // a sweep alone cannot evict: the session is reachable through the
+    // cached DataFrame itself and its context is still running
+    memo.sweep()
+    assert(memo.pinnedFor(child) === 1)
+
+    memo.evict(child)
+    assert(memo.pinnedFor(child) === 0 && memo.pinned === 0)
+    assert(df.storageLevel === StorageLevel.NONE,
+      "evict must run the unpersist evictor on the cached plan")
+    // the parent's other memos are untouched, and re-apply recomputes
+    var computes = 0
+    val memo2 = new SessionMemo[String, Int]()
+    memo2(spark, "x") { computes += 1; 1 }
+    memo.evict(child) // idempotent
+    memo2(spark, "x") { computes += 1; 1 }
+    assert(computes === 1)
+  }
+
+  test("concurrent first access computes at most once per (session, key)") {
+    val memo = new SessionMemo[String, Int]()
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val tasks = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            gate.await()
+            memo(spark, "k") { computes.incrementAndGet() }
+          }
+        })
+      }
+      gate.countDown()
+      val got = tasks.map(_.get()).toSet
+      assert(got === Set(1), s"all callers must observe the single computed value, got $got")
+      assert(computes.get() === 1,
+        "a racing getOrElseUpdate must not run compute twice (lazy-cell contract)")
+    } finally pool.shutdown()
+  }
 }
