@@ -185,20 +185,24 @@ object TextQueries extends QueryPack {
         .select(col("a_id"), col("b_id"), round(col("containment"), 4).as("containment"))
         .orderBy("a_id", "b_id"),
       Some("""WITH sh AS (
-                SELECT doc_id,
-                       list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                      for i in range(1, len(t) - 1)]) AS s
+                SELECT doc_id, unnest(
+                  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 for i in range(1, len(t) - 1)])) AS shingle
                 FROM (SELECT doc_id,
                              string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
                       FROM documents)),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
               cand AS (
-                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                       len(list_intersect(a.s, b.s)) AS c,
-                       least(len(a.s), len(b.s)) AS mn
-                FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-              SELECT a_id, b_id, round(c::DOUBLE / mn, 4) AS containment
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT a_id, b_id,
+                     round(c::DOUBLE / least(sa.n, sb.n), 4) AS containment
               FROM cand
-              WHERE c::DOUBLE / mn >= 0.9
+              JOIN sizes sa ON cand.a_id = sa.doc_id
+              JOIN sizes sb ON cand.b_id = sb.doc_id
+              WHERE c::DOUBLE / least(sa.n, sb.n) >= 0.9
               ORDER BY a_id, b_id""")),
 
     // Balanced per-stratum sampling: exactly k=5 docs per language,
@@ -436,21 +440,24 @@ object TextQueries extends QueryPack {
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("a_id", "b_id"),
       Some("""WITH sh AS (
-                SELECT doc_id,
-                       list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                      for i in range(1, len(t) - 1)]) AS s
+                SELECT doc_id, unnest(
+                  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 for i in range(1, len(t) - 1)])) AS shingle
                 FROM (SELECT doc_id,
                              string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
                       FROM documents)),
-              pairs AS (
-                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                       len(list_intersect(a.s, b.s)) AS c,
-                       len(a.s) AS na, len(b.s) AS nb
-                FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              cand AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
               SELECT a_id, b_id,
-                     round(c::DOUBLE / (na + nb - c), 4) AS jaccard
-              FROM pairs
-              WHERE c::DOUBLE / (na + nb - c) >= 0.8
+                     round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
+              FROM cand
+              JOIN sizes sa ON cand.a_id = sa.doc_id
+              JOIN sizes sb ON cand.b_id = sb.doc_id
+              WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
               ORDER BY a_id, b_id""")),
 
     // Duplicate-cluster formation: connected components of the 0.8-Jaccard
@@ -462,20 +469,23 @@ object TextQueries extends QueryPack {
       (s, dir) => Dedup.duplicateClusters(SharedJaccardPairs(s, dir, 3, 0.8))
         .orderBy("doc_id"),
       Some("""WITH RECURSIVE sh AS (
-                SELECT doc_id,
-                       list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                      for i in range(1, len(t) - 1)]) AS s
+                SELECT doc_id, unnest(
+                  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 for i in range(1, len(t) - 1)])) AS shingle
                 FROM (SELECT doc_id,
                              string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
                       FROM documents)),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
               cand AS (
-                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                       len(list_intersect(a.s, b.s)) AS c,
-                       len(a.s) AS na, len(b.s) AS nb
-                FROM sh a, sh b WHERE a.doc_id < b.doc_id),
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
               pairs AS (
                 SELECT a_id, b_id FROM cand
-                WHERE c::DOUBLE / (na + nb - c) >= 0.8),
+                JOIN sizes sa ON cand.a_id = sa.doc_id
+                JOIN sizes sb ON cand.b_id = sb.doc_id
+                WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8),
               edges(s, d) AS (
                 SELECT a_id, b_id FROM pairs
                 UNION SELECT b_id, a_id FROM pairs),
@@ -502,20 +512,23 @@ object TextQueries extends QueryPack {
           .orderBy("doc_id")
       },
       Some("""WITH RECURSIVE sh AS (
-                SELECT doc_id,
-                       list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                      for i in range(1, len(t) - 1)]) AS s
+                SELECT doc_id, unnest(
+                  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 for i in range(1, len(t) - 1)])) AS shingle
                 FROM (SELECT doc_id,
                              string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
                       FROM documents)),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
               cand AS (
-                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                       len(list_intersect(a.s, b.s)) AS c,
-                       len(a.s) AS na, len(b.s) AS nb
-                FROM sh a, sh b WHERE a.doc_id < b.doc_id),
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
               pairs AS (
                 SELECT a_id, b_id FROM cand
-                WHERE c::DOUBLE / (na + nb - c) >= 0.8),
+                JOIN sizes sa ON cand.a_id = sa.doc_id
+                JOIN sizes sb ON cand.b_id = sb.doc_id
+                WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8),
               edges(s, d) AS (
                 SELECT a_id, b_id FROM pairs
                 UNION SELECT b_id, a_id FROM pairs),
