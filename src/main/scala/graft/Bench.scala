@@ -32,11 +32,20 @@ object Bench {
           name -> -1.0
         }
       }
-    // one untimed warm-up pass (JIT + codegen + page cache), then the
-    // timed pass: reports steady-state engine throughput, the number that
-    // scales to a long-lived cluster, not single-JVM warm-up.
+    // one untimed warm-up pass (JIT + codegen + page cache), then TWO
+    // timed passes reporting the per-query MINIMUM: steady-state engine
+    // throughput, the number that scales to a long-lived cluster. The
+    // min-of-2 makes the report variance-proof — a transient VM
+    // contention spike during one pass (observed fabricating 3–4×
+    // "regressions" on this box) cannot survive into the recorded
+    // number, while a real plan regression shows up in every pass.
     runAll(timed = false)
-    val results = runAll(timed = true)
+    val pass1 = runAll(timed = true)
+    val pass2 = runAll(timed = true)
+    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
+      // a failure in EITHER pass poisons the query: broken never reads fast
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // any failed query poisons the total: broken must never read as fast
