@@ -2,10 +2,11 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.ChangeStreamRelay
+import graft.streaming.{ChangeStreamRelay, LatestStateProcessor}
 
 /** Relay throughput bench — the reference's native metric (it is a CDC
   * relay; the comparable number is events/second through the full
@@ -57,6 +58,30 @@ object RelayBench {
     val sec = (System.nanoTime() - t0) / 1e9
     val relayed = spark.read.parquet(out).count()
     println(s"""{"metric":"relay_events_per_sec","value":${(n / sec).round},"unit":"events/s","events":$n,"relayed":$relayed,"sec":$sec,"sf":"$sfDir"}""")
+
+    // STATEFUL leg: the same source through the transformWithState
+    // latest-state materialization (one shuffle on documentKey, RocksDB
+    // state store — the spill-to-disk provider a 100 TB keyset needs),
+    // checkpointed parquet sink per epoch. This measures the stateful
+    // path the stateless relay number cannot: keyed exchange + per-key
+    // state fold + state-store commit.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val outS = Files.createTempDirectory("relaybench_state_out").toString
+    val chkS = Files.createTempDirectory("relaybench_state_chk").toString
+    val t1 = System.nanoTime()
+    val qs = LatestStateProcessor
+      .latestState(ChangeStreamRelay.readChangeStream(spark, src)).toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", chkS)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outS/batch=$batchId")
+      }.start()
+    qs.awaitTermination()
+    val secS = (System.nanoTime() - t1) / 1e9
+    val states = spark.read.parquet(outS).count()
+    println(s"""{"metric":"relay_stateful_events_per_sec","value":${(n / secS).round},"unit":"events/s","events":$n,"state_updates":$states,"sec":$secS,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

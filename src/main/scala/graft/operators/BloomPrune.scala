@@ -34,6 +34,20 @@ object BloomPrune {
     * SerDe boundary (the round-3 UDF probe cost one boxing round trip
     * per fact row). Semantics are identical: `stat.bloomFilter` puts the
     * raw long keys, `mightContainLong` probes them.
+    *
+    * Size caveat: the serialized filter rides the plan as a foldable
+    * binary literal. At the declared `expectedItems=10000`/fpp=1% that is
+    * ~12 KB — negligible. The literal form stops being appropriate above
+    * ~1 MB (≈10⁶ keys at 1%): AQE re-plans clone the plan, so a 10⁸-key
+    * dim (~115 MB filter) would multiply driver memory by the number of
+    * re-plans and bloat the task-broadcast. Past that threshold use the
+    * form Spark's own runtime injection uses — wrap the build in a
+    * `ScalarSubquery` (plan: `bloom_filter_agg(xxhash64(dimKey))` as an
+    * uncorrelated subquery feeding `BloomFilterMightContain`'s first
+    * argument) so the bytes live once in the subquery result, not in
+    * every plan copy; or flip on
+    * `spark.sql.optimizer.runtime.bloomFilter.enabled` and let the
+    * optimizer inject it when join selectivity estimates warrant.
     */
   def prunedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedItems: Long, fpp: Double): DataFrame = {
