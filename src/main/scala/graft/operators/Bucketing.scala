@@ -13,15 +13,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed table on `key`. */
+  /** Write `df` as a bucketed+sorted table on `key` — managed (under the
+    * session warehouse) by default, or EXTERNAL at `path` so the bucketed
+    * files live next to the corpus like any other curated artifact (the
+    * bucket spec itself is catalog metadata either way; a new application
+    * re-registers the table over the same files).
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      numBuckets: Int): Unit =
-    df.write
+      numBuckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Join two tables previously bucketed on the same key with the same
     * bucket count: plans as a sort-merge join with NO exchange on either

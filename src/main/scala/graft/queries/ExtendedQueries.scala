@@ -4,13 +4,43 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.CentroidAggregator
-import graft.operators.{BloomPrune, Skew}
+import graft.operators.{BloomPrune, Bucketing, Skew}
 
 /** Breadth beyond the core matrix: theta/range join, as-of join, lag/lead
   * windows, GROUPING SETS via the SQL surface, a typed Aggregator (UDAF),
   * and scalar-function coverage (string/date/math in one query).
   */
 object ExtendedQueries extends QueryPack {
+
+  /** The bucketed lineitem/orders pair per (session, fixture), memoized:
+    * the one-time "organize the fact tables" write a pipeline runs ONCE
+    * and amortizes over every later orderkey join — exactly the
+    * [[SharedIvfIndex]] pattern, but for join locality instead of ANN.
+    * External tables under a fixture-derived tmp root (bounded: one dir
+    * per fixture, overwritten by a rebuild, never accumulating); the
+    * bucket SPEC is session-catalog metadata, so each new application
+    * re-registers over the same files.
+    */
+  private object SharedBucketedTables {
+    private val memo = new SessionMemo[String, (String, String)]()
+    val NumBuckets = 8
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String)
+        : (String, String) =
+      memo(s, dir) {
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        val root = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), s"graft_bkt_$tag")
+        val (liT, ordT) = (s"li_bkt_$tag", s"ord_bkt_$tag")
+        Bucketing.writeBucketed(graft.Tables.table(s, dir, "lineitem"),
+          liT, "l_orderkey", NumBuckets,
+          Some(root.resolve("lineitem").toString))
+        Bucketing.writeBucketed(graft.Tables.table(s, dir, "orders"),
+          ordT, "o_orderkey", NumBuckets,
+          Some(root.resolve("orders").toString))
+        (liT, ordT)
+      }
+  }
 
   override val queries: Seq[Q] = Seq(
 
@@ -488,6 +518,29 @@ object ExtendedQueries extends QueryPack {
                 AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
                 AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
               GROUP BY n_name ORDER BY n_name""")),
+
+    // Co-located join on pre-BUCKETED tables ([[SharedBucketedTables]]):
+    // lineitem and orders are written ONCE bucketed+sorted on the
+    // orderkey (8 buckets), so the join needs NO exchange on either side
+    // — at 100 TB the difference between re-shuffling the fact tables on
+    // every pipeline run and never shuffling them again (the bucketed
+    // write is the one shuffle, paid once at ingest). Zero shuffles below
+    // the join is plan-asserted in BucketingSpec; the result is the plain
+    // join's, so the oracle is the plain SQL.
+    Q("join_bucketed",
+      (s, dir) => {
+        val (liT, ordT) = SharedBucketedTables(s, dir)
+        Bucketing.bucketedJoin(s, liT, ordT, "l_orderkey", "o_orderkey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+                     round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // Gap filling: densify the hourly series (every type × every hour of
     // the corpus span, via an in-plan min/max + sequence explode — no

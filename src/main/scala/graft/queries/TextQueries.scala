@@ -423,6 +423,39 @@ object TextQueries extends QueryPack {
                     FROM scored)
               WHERE rk <= 5 ORDER BY doc_id, rk""")),
 
+    // Unigram language-model scoring — the cheap LM-based quality signal
+    // a curation pipeline runs before anything transformer-shaped: fit a
+    // unigram LM on the corpus itself (token → count, one aggregation),
+    // then score every document by its mean token log-probability (low =
+    // unusual/garbled relative to the corpus). The vocab is zipf-bounded
+    // (≪ token instances), so it broadcasts and the doc-token table never
+    // shuffles for the join; corpus total rides along as an in-plan 1-row
+    // aggregate. One shuffle total (the per-doc fold), linear in tokens.
+    Q("text_ngram_lm",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("token"))
+        val vocab = toks.groupBy("token").agg(count(lit(1)).cast("double").as("cnt"))
+        val total = toks.agg(count(lit(1)).cast("double").as("total"))
+        toks.join(broadcast(vocab), "token")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(avg(log(col("cnt") / col("total"))), 4).as("avg_logp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+                FROM documents),
+              vocab AS (SELECT token, count(*)::DOUBLE AS cnt FROM toks GROUP BY 1),
+              tot AS (SELECT count(*)::DOUBLE AS total FROM toks)
+              SELECT doc_id, count(*) AS n_tokens,
+                     round(avg(ln(cnt / total)), 4) AS avg_logp
+              FROM toks JOIN vocab USING (token), tot
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     // Exact dedup: one representative per content-hash group.
     Q("doc_dedup_exact",
       (s, dir) => Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
