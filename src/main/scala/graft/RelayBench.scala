@@ -83,5 +83,9 @@ object RelayBench {
     val states = spark.read.parquet(outS).count()
     println(s"""{"metric":"relay_stateful_events_per_sec","value":${(n / secS).round},"unit":"events/s","events":$n,"state_updates":$states,"sec":$secS,"sf":"$sfDir"}""")
     spark.stop()
+    // bounded scratch: checkpoint dirs carry RocksDB state and would
+    // otherwise accumulate per bench run
+    Seq(src, out, chk, outS, chkS).foreach(d =>
+      graft.operators.Artifacts.deleteRecursively(java.nio.file.Paths.get(d)))
   }
 }

@@ -29,6 +29,24 @@ object Bucketing {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** Register `table` over EXISTING bucketed parquet files at `path`
+    * (written earlier by [[writeBucketed]], possibly by another JVM).
+    * The bucket spec is catalog metadata only — the data files already
+    * carry their bucket id in the file name — so re-registration is a
+    * metadata-only operation: no read, no write, no shuffle. This is how
+    * a new application adopts the one-time bucketed organization instead
+    * of re-paying the write.
+    */
+  def registerBucketed(spark: SparkSession, table: String, path: String,
+      key: String, numBuckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table") // external: files survive
+    val schema = spark.read.parquet(path).schema.toDDL
+    spark.sql(
+      s"""CREATE TABLE $table ($schema) USING parquet
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $numBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+  }
+
   /** Join two tables previously bucketed on the same key with the same
     * bucket count: plans as a sort-merge join with NO exchange on either
     * side.

@@ -16,10 +16,12 @@ object ExtendedQueries extends QueryPack {
     * the one-time "organize the fact tables" write a pipeline runs ONCE
     * and amortizes over every later orderkey join — exactly the
     * [[SharedIvfIndex]] pattern, but for join locality instead of ANN.
-    * External tables under a fixture-derived tmp root (bounded: one dir
-    * per fixture, overwritten by a rebuild, never accumulating); the
-    * bucket SPEC is session-catalog metadata, so each new application
-    * re-registers over the same files.
+    * The write is gated on a content-fingerprinted `_BUILT` marker
+    * ([[graft.operators.Artifacts.ensureBuilt]]): a new JVM whose
+    * fixture is unchanged pays only a metadata-only
+    * [[Bucketing.registerBucketed]] over the existing files — "paid
+    * once at ingest" is now literal, not per-process — while a
+    * regenerated fixture (new sizes/mtimes) triggers an atomic rebuild.
     */
   private object SharedBucketedTables {
     private val memo = new SessionMemo[String, (String, String)]()
@@ -32,12 +34,25 @@ object ExtendedQueries extends QueryPack {
         val root = java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"), s"graft_bkt_$tag")
         val (liT, ordT) = (s"li_bkt_$tag", s"ord_bkt_$tag")
-        Bucketing.writeBucketed(graft.Tables.table(s, dir, "lineitem"),
-          liT, "l_orderkey", NumBuckets,
-          Some(root.resolve("lineitem").toString))
-        Bucketing.writeBucketed(graft.Tables.table(s, dir, "orders"),
-          ordT, "o_orderkey", NumBuckets,
-          Some(root.resolve("orders").toString))
+        val fp = graft.operators.Artifacts
+          .tableFingerprint(dir, "lineitem", "orders")
+        graft.operators.Artifacts.ensureBuilt(root, fp) { tmp =>
+          // bucketed writes only exist via saveAsTable: write under
+          // scratch catalog names pointed at the temp dir, then drop the
+          // catalog entries (external ⇒ the files stay for the publish)
+          Bucketing.writeBucketed(graft.Tables.table(s, dir, "lineitem"),
+            s"${liT}_build", "l_orderkey", NumBuckets,
+            Some(tmp.resolve("lineitem").toString))
+          Bucketing.writeBucketed(graft.Tables.table(s, dir, "orders"),
+            s"${ordT}_build", "o_orderkey", NumBuckets,
+            Some(tmp.resolve("orders").toString))
+          s.sql(s"DROP TABLE IF EXISTS ${liT}_build")
+          s.sql(s"DROP TABLE IF EXISTS ${ordT}_build")
+        }
+        Bucketing.registerBucketed(s, liT,
+          root.resolve("lineitem").toString, "l_orderkey", NumBuckets)
+        Bucketing.registerBucketed(s, ordT,
+          root.resolve("orders").toString, "o_orderkey", NumBuckets)
         (liT, ordT)
       }
   }

@@ -50,8 +50,9 @@ import org.apache.spark.sql.SparkSession
 final class SessionMemo[K, V](onEvict: V => Unit = (_: V) => ()) {
 
   /** Lazily-forced value cell: at most one compute, evictable only if
-    * actually forced. (If an eviction races a thread inside `compute`,
-    * that in-flight value is skipped — best-effort, same as before.)
+    * actually forced. (An eviction racing a thread inside `compute`
+    * skips the in-flight value here; `apply` re-checks after forcing and
+    * self-evicts the orphan, so nothing persisted escapes `onEvict`.)
     */
   private final class Cell(f: () => V) {
     @volatile private var forced = false
@@ -87,7 +88,21 @@ final class SessionMemo[K, V](onEvict: V => Unit = (_: V) => ()) {
     // version had exactly that race).
     val tag = tagOf(s)
     sessions.putIfAbsent(tag, new WeakReference(s))
-    entries.getOrElseUpdate((tag, key), new Cell(() => compute)).value
+    val k = (tag, key)
+    val cell = entries.getOrElseUpdate(k, new Cell(() => compute))
+    val v = cell.value
+    // An evict()/sweep() racing this thread inside `compute` removes the
+    // entry while the compute still finishes — without this re-check the
+    // value (e.g. a persisted DataFrame) would be handed out with nobody
+    // left to run onEvict on it, ever. If OUR cell is no longer the
+    // stored one (evicted, or replaced by a post-evict recompute),
+    // self-evict the value we produced; the caller still gets a correct
+    // value, just an uncached one.
+    if (!entries.get(k).exists(_ eq cell)) {
+      try onEvict(v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    v
   }
 
   /** Drop every entry of `s`, running `onEvict` on the computed values —

@@ -66,13 +66,15 @@ object VectorQueries extends QueryPack {
     /** Deterministic fixture-derived index root (was a fresh
       * `createTempDirectory` per JVM): Verify and Bench used to rebuild
       * the KMeans fit + partitioned write every process, and a crashed
-      * JVM leaked its directory. Now the build is written ONCE under a
-      * path derived from the fixture dir and reused by every later JVM
-      * (the `_BUILT` marker gates a complete build; a crash leaves a
-      * partial build at the SAME path, which the next run overwrites —
-      * bounded, never accumulating). This is the 100 TB operational
-      * shape: an IVF index is a durable artifact next to the corpus,
-      * not per-process scratch.
+      * JVM leaked its directory. The build is written ONCE under a path
+      * derived from the fixture dir and reused by every later JVM. The
+      * `_BUILT` marker now stores a CONTENT fingerprint of the
+      * embeddings table (sizes/mtimes), so a fixture regenerated at the
+      * same path rebuilds instead of silently reusing a stale index; the
+      * build itself is atomic (temp sibling + rename) and file-locked
+      * against concurrent JVMs — see [[graft.operators.Artifacts]].
+      * This is the 100 TB operational shape: an IVF index is a durable
+      * artifact next to the corpus, not per-process scratch.
       */
     private[graft] def indexRoot(dir: String): java.nio.file.Path = {
       val tag = java.security.MessageDigest.getInstance("MD5")
@@ -84,23 +86,22 @@ object VectorQueries extends QueryPack {
     def apply(s: org.apache.spark.sql.SparkSession, dir: String): Index =
       memo(s, dir) {
         val root = indexRoot(dir)
-        val corpusPath = root.resolve("corpus").toString
-        val centsPath = root.resolve("centroids").toString
-        val marker = root.resolve("_BUILT")
-        if (!java.nio.file.Files.exists(marker)) {
+        val fp = graft.operators.Artifacts.tableFingerprint(dir, "embeddings")
+        graft.operators.Artifacts.ensureBuilt(root, fp) { tmp =>
           val embs = graft.Tables.table(s, dir, "embeddings")
           val cents = graft.similarity.KMeans.fit(
             embs, "vec_id", "embedding", k = K, iters = 3, dim = 64)
-          cents.coalesce(1).write.mode("overwrite").parquet(centsPath)
+          cents.coalesce(1).write.mode("overwrite")
+            .parquet(tmp.resolve("centroids").toString)
           Similarity.assignToCentroids(embs, "vec_id", "embedding",
               cents, "cid", "cvec")
             .write.partitionBy("centroid_id").mode("overwrite")
-            .parquet(corpusPath)
-          java.nio.file.Files.write(marker, Array.emptyByteArray)
+            .parquet(tmp.resolve("corpus").toString)
         }
-        val centroids = s.read.parquet(centsPath).collect()
+        val centroids = s.read.parquet(root.resolve("centroids").toString)
+          .collect()
           .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
-        Index(centroids, corpusPath)
+        Index(centroids, root.resolve("corpus").toString)
       }
   }
 

@@ -56,10 +56,26 @@ class AqeSpec extends SparkSpec {
       // parity first: the join result is exactly the unsalted semantics
       assert(n === 300000, s"join lost/duplicated rows: $n")
       // the executed adaptive plan must mark the SMJ as a skew join —
-      // proof that the hot partition was split at runtime
-      val p = joined.queryExecution.executedPlan.toString()
-      assert(p.contains("skew=true"),
-        s"OptimizeSkewedJoin did not fire — executed plan:\n$p")
+      // proof that the hot partition was split at runtime. Structural
+      // check (collect SortMergeJoinExec, assert isSkewJoin) rather than
+      // string-matching "skew=true", which is a rendering detail free to
+      // change across Spark versions.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      // `collect` alone misses nodes nested under query stages (a
+      // QueryStageExec is a leaf that wraps its materialized plan), so
+      // descend through the AQE wrappers explicitly
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+        case q: QueryStageExec => p +: allNodes(q.plan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      val executed = joined.queryExecution.executedPlan
+      val smjs = allNodes(executed).collect { case s: SortMergeJoinExec => s }
+      assert(smjs.nonEmpty, s"no SortMergeJoin in executed plan:\n$executed")
+      assert(smjs.exists(_.isSkewJoin),
+        s"OptimizeSkewedJoin did not fire — executed plan:\n$executed")
     }
   }
 
