@@ -150,6 +150,53 @@ object CdcQueries extends QueryPack {
               FROM events WHERE value > 10 AND event_type <> 'error'
               ORDER BY event_id""")),
 
+    // CDC MERGE (apply): fold the latest change per key into a base
+    // snapshot — the canonical materialization step downstream of any
+    // change relay (Debezium→lakehouse MERGE INTO). Semantics: the last
+    // event per key wins (deterministic ts/event_id order); an
+    // `error`-typed last event is the delete/invalidate analog and
+    // REMOVES the key; any other last event UPSERTS its value; base rows
+    // without changes pass through. Shape at 100 TB: one window shuffle
+    // on the (small) change stream + one key-partitioned FULL OUTER join
+    // against the snapshot — the snapshot side needs no shuffle at all
+    // when it is bucketed/partitioned on the key (SharedBucketedTables
+    // pattern), which is how an hourly MERGE over a 100 TB table stays
+    // bounded by the delta size, not the table size.
+    Q("cdc_merge_apply",
+      (s, dir) => {
+        val changes = ChangeEvents.latestState(
+            t(s, dir, "events"),
+            keyCols = Seq("user_id"),
+            orderDesc = Seq(col("ts"), col("event_id")))
+          .select(col("user_id"), col("event_type").as("last_type"),
+            col("value").as("new_value"))
+        val base = t(s, dir, "customer")
+          .select(col("c_custkey").as("key"), col("c_acctbal").as("balance"))
+        base.join(changes, col("key") === col("user_id"), "full_outer")
+          .filter(coalesce(col("last_type"), lit("")) =!= "error")
+          .select(
+            coalesce(col("key"), col("user_id")).as("key"),
+            round(when(col("user_id").isNotNull, col("new_value"))
+              .otherwise(col("balance")), 2).as("balance"),
+            when(col("user_id").isNotNull, lit("cdc")).otherwise(lit("base"))
+              .as("src"))
+          .orderBy("key")
+      },
+      Some("""WITH latest AS (
+                SELECT user_id, event_type AS last_type, value AS new_value
+                FROM (SELECT *, row_number() OVER
+                        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM events)
+                WHERE rn = 1)
+              SELECT COALESCE(c.c_custkey, l.user_id) AS key,
+                     round(CASE WHEN l.user_id IS NOT NULL THEN l.new_value
+                                ELSE c.c_acctbal END, 2) AS balance,
+                     CASE WHEN l.user_id IS NOT NULL THEN 'cdc'
+                          ELSE 'base' END AS src
+              FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id
+              WHERE COALESCE(l.last_type, '') <> 'error'
+              ORDER BY key""")),
+
     // Stream-static enrichment (batch analog of joining the change
     // stream against a dimension table before producing): every event
     // picks up its customer's segment/nation via a BROADCAST of the dim

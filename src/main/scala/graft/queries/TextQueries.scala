@@ -228,6 +228,45 @@ object TextQueries extends QueryPack {
                 FROM documents)
               WHERE rk <= 5 ORDER BY lang, rk""")),
 
+    // Domain-mixture sampling to TARGET RATIOS: given mixture weights
+    // per language (en:de:fr:es:zh = 4:2:2:1:1 — the training-mix knob a
+    // pipeline tunes), derive each domain's keep volume FROM the
+    // corpus's own counts (one 5-row aggregation) as the largest total
+    // honoring the ratios, then keep rate-proportionally by the
+    // md5-bucket convention. All-integer arithmetic end to end
+    // (bucket·n < T·w·10⁶), so membership is bit-stable across engines.
+    // Scale shape: the counts reduce to |domains| rows and broadcast
+    // back; the corpus itself never shuffles — unlike a per-domain
+    // row_number sample, which would funnel 100 TB through |domains|
+    // window partitions (doc_sample_balanced's shape is only for small
+    // strata; this is the whole-corpus form).
+    Q("doc_mix_sample",
+      (s, dir) => {
+        import s.implicits._
+        val weights = Seq(("en", 4L), ("de", 2L), ("fr", 2L),
+          ("es", 1L), ("zh", 1L)).toDF("lang", "wt")
+        val docs = t(s, dir, "documents")
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        val rates = counts.join(weights, "lang") // 5 rows
+        val tUnits = rates.agg(min(expr("n div wt")).as("t_units")) // 1 row
+        val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(1000000L))
+        docs.join(broadcast(rates), "lang")
+          .crossJoin(broadcast(tUnits))
+          .filter(bucket * col("n") < col("t_units") * col("wt") * lit(1000000L))
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""WITH w(lang, wt) AS (VALUES ('en', 4), ('de', 2), ('fr', 2),
+                                          ('es', 1), ('zh', 1)),
+                counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+                t AS (SELECT min(n // wt) AS t_units FROM counts JOIN w USING (lang))
+              SELECT d.doc_id, d.lang
+              FROM documents d JOIN counts USING (lang) JOIN w USING (lang), t
+              WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000) * n
+                    < t_units * wt * 1000000
+              ORDER BY d.doc_id""")),
+
     // Benchmark DECONTAMINATION: find corpus docs sharing ≥ 3 distinct
     // 5-gram shingles with any doc of the "eval set" (stand-in: doc_id
     // < 20) — the overlap check a training pipeline runs so eval data

@@ -105,6 +105,36 @@ object VectorQueries extends QueryPack {
       }
   }
 
+  /** PQ codes of the IVF-partitioned corpus, materialized ONCE per
+    * fixture `partitionBy(centroid_id)` — the second half of the
+    * IVF-PQ layout every billion-vector deployment uses: routing prunes
+    * to `nprobe` partition directories, and within them the scan reads
+    * only the m-byte codes column instead of the raw vectors. Encode is
+    * a zero-shuffle literal-codebook projection over the already-built
+    * IVF corpus; the artifact is fingerprint-gated and atomic like the
+    * index itself ([[graft.operators.Artifacts]]).
+    */
+  private object SharedIvfPqCodes {
+    private val memo = new SessionMemo[String, String]()
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String): String =
+      memo(s, dir) {
+        val ix = SharedIvfIndex(s, dir)
+        val cb = SharedPqCodebook(s, dir)
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        val root = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), s"graft_ivfpq_$tag")
+        val fp = graft.operators.Artifacts.tableFingerprint(dir, "embeddings")
+        graft.operators.Artifacts.ensureBuilt(root, fp) { tmp =>
+          ProductQuantizer.encode(s.read.parquet(ix.path),
+              "vec_id", "embedding", cb, keepCols = Seq("centroid_id"))
+            .write.partitionBy("centroid_id").mode("overwrite")
+            .parquet(tmp.resolve("codes").toString)
+        }
+        root.resolve("codes").toString
+      }
+  }
+
   /** kNN through the learned-centroid IVF index ([[SharedIvfIndex]]):
     * route the probe on the k-row centroid table, then scan only the
     * `nprobe` matching partition directories of the materialized corpus —
@@ -395,5 +425,41 @@ object VectorQueries extends QueryPack {
           ProductQuantizer.encode(embs, "vec_id", "embedding", cb),
           embs, "vec_id", "embedding", cb, probe, shortlist = 50, k = 10)
       },
+      None),
+
+    // IVF-PQ: the composed billion-scale ANN shape. The probe routes on
+    // the k-row centroid table to nprobe=2 literal partition ids; the ADC
+    // shortlist scans ONLY those partitions of the materialized CODES
+    // table (m bytes/vector — at 100 TB the 64× narrower column is the
+    // whole point), and only the ~shortlist survivors touch raw vectors,
+    // via a broadcast semi-join against the SAME two partitions of the
+    // IVF corpus. Total I/O per probe: nprobe/k of the codes column +
+    // shortlist raw rows; zero shuffles (plan-asserted: PartitionFilters
+    // on both scans, broadcast join, TakeOrdered). Rows-only by design
+    // (learned centroids + codebook); IvfPqSpec pins determinism and
+    // recall against exact brute force.
+    Q("vec_knn_ivf_pq",
+      (s, dir) => ivfPqKnn(s, dir, k = 10, nprobe = 2, shortlist = 50),
       None))
+
+  /** The IVF-PQ composition behind `vec_knn_ivf_pq`, shared with the
+    * plan/recall specs so they exercise the exact production shape.
+    */
+  private[graft] def ivfPqKnn(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int, nprobe: Int, shortlist: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val ix = SharedIvfIndex(s, dir)
+    val cb = SharedPqCodebook(s, dir)
+    val probe = SharedProbe(s, dir, ProbeId).toArray
+    val codesPath = SharedIvfPqCodes(s, dir)
+    val centroids = s.createDataFrame(ix.centroids).toDF("cid", "cvec")
+    val cids = Similarity.routeProbe(centroids, "cid", "cvec",
+      typedLit(probe.toSeq), nprobe)
+    val prunedCodes = s.read.parquet(codesPath)
+      .filter(col("centroid_id").isin(cids: _*))
+    val prunedRaw = s.read.parquet(ix.path)
+      .filter(col("centroid_id").isin(cids: _*))
+    ProductQuantizer.adcRerank(prunedCodes, prunedRaw,
+      "vec_id", "embedding", cb, probe, shortlist, k)
+  }
 }

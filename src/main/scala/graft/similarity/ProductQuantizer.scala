@@ -120,11 +120,12 @@ object ProductQuantizer {
     * against the literal codebook (zero shuffle, codegen'd).
     */
   def encode(embs: DataFrame, idCol: String, vecCol: String,
-      cb: Codebook): DataFrame =
-    embs.select(col(idCol).as("id"),
+      cb: Codebook, keepCols: Seq[String] = Nil): DataFrame =
+    embs.select(col(idCol).as("id") +:
       array((0 until cb.m).map(s =>
         argminCode(slice(col(vecCol), s * cb.dsub + 1, cb.dsub),
-          cb.centroids(s)).cast("int")): _*).as("codes"))
+          cb.centroids(s)).cast("int")): _*).as("codes") +:
+      keepCols.map(col): _*)
 
   /** ADC top-`k`: estimated distance = Σ_sub lut(sub)(code(sub)) where
     * the lookup table holds exact probe-to-centroid subspace distances.

@@ -149,15 +149,25 @@ object Similarity {
     */
   def ivfKnnPruned(partitionedCorpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
-      probeVec: Column, k: Int, nprobe: Int = 1): DataFrame = {
-    val cids: Seq[Int] = centroids
+      probeVec: Column, k: Int, nprobe: Int = 1): DataFrame =
+    bruteForceKnn(
+      partitionedCorpus.filter(col("centroid_id").isin(
+        routeProbe(centroids, cidCol, cvecCol, probeVec, nprobe): _*)),
+      idCol, vecCol, probeVec, k)
+
+  /** Route a probe to its `nprobe` nearest centroids — the k-row
+    * driver-side routing step every IVF variant shares (the centroid
+    * table is k rows by construction; fetching the winners is the same
+    * documented contract as `assignToCentroids`). Returned as literal
+    * ints so a `centroid_id IN (…)` filter over a
+    * `partitionBy("centroid_id")` corpus prunes STATICALLY.
+    */
+  def routeProbe(centroids: DataFrame, cidCol: String, cvecCol: String,
+      probeVec: Column, nprobe: Int): Seq[Int] =
+    centroids
       .withColumn("__psim", cosine_similarity(col(cvecCol), probeVec))
       .orderBy(col("__psim").desc, col(cidCol))
       .limit(nprobe)
       .select(col(cidCol).cast("int"))
       .collect().toSeq.map(_.getInt(0))
-    bruteForceKnn(
-      partitionedCorpus.filter(col("centroid_id").isin(cids: _*)),
-      idCol, vecCol, probeVec, k)
-  }
 }

@@ -60,17 +60,9 @@ class AqeSpec extends SparkSpec {
       // check (collect SortMergeJoinExec, assert isSkewJoin) rather than
       // string-matching "skew=true", which is a rendering detail free to
       // change across Spark versions.
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       import org.apache.spark.sql.execution.joins.SortMergeJoinExec
-      // `collect` alone misses nodes nested under query stages (a
-      // QueryStageExec is a leaf that wraps its materialized plan), so
-      // descend through the AQE wrappers explicitly
-      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
-        case q: QueryStageExec => p +: allNodes(q.plan)
-        case _ => p +: p.children.flatMap(allNodes)
-      }
+      // allNodes (SparkSpec) descends through the AQE wrappers that
+      // plain collect treats as leaves
       val executed = joined.queryExecution.executedPlan
       val smjs = allNodes(executed).collect { case s: SortMergeJoinExec => s }
       assert(smjs.nonEmpty, s"no SortMergeJoin in executed plan:\n$executed")
