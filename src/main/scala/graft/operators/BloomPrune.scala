@@ -60,4 +60,36 @@ object BloomPrune {
       .filter(col(factKey).isNotNull && mightContain)
       .join(dim, col(factKey) === col(dimKey))
   }
+
+  /** The ≥1 MB-regime form documented on [[prunedJoin]]: the Bloom
+    * filter is built IN-PLAN — `bloom_filter_agg(xxhash64(dimKey))` as
+    * an uncorrelated scalar subquery feeding
+    * [[BloomFilterMightContain]] — exactly the shape Spark's own
+    * `InjectRuntimeFilter` emits. The filter bytes are produced by
+    * executors, live ONCE in the subquery result, and never appear as a
+    * plan literal: AQE re-plans clone a subquery REFERENCE, not the
+    * bytes, and the driver never materializes the filter at all (the
+    * `stat.bloomFilter` build in [[prunedJoin]] is a driver-side
+    * collect). Same no-false-negative contract, so the join result is
+    * again bit-identical to the plain join.
+    *
+    * `numBits` defaults to ~10 bits/key (≈1% fpp); both stages hash
+    * with `XxHash64`, matching what `BloomFilterAggregate` stores.
+    */
+  def prunedJoinSubquery(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, expectedItems: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{ScalarSubquery, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bloomAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(glue.toExpression(col(dimKey).cast("long")))),
+      Literal(expectedItems), Literal(expectedItems * 10))
+    val bloomDf = dim.select(
+      glue.toColumn(bloomAgg.toAggregateExpression()).as("bloom"))
+    val probe = new BloomFilterMightContain(
+      ScalarSubquery(bloomDf.queryExecution.analyzed),
+      new XxHash64(Seq(glue.toExpression(col(factKey).cast("long")))))
+    fact
+      .filter(col(factKey).isNotNull && glue.toColumn(probe))
+      .join(dim, col(factKey) === col(dimKey))
+  }
 }

@@ -493,6 +493,31 @@ object ExtendedQueries extends QueryPack {
               WHERE c_custkey % 4 = 1
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // The SAME pruning in the ≥1 MB-filter regime
+    // ([[BloomPrune.prunedJoinSubquery]]): the Bloom filter is built
+    // in-plan by `bloom_filter_agg` inside an uncorrelated scalar
+    // subquery — executor-built, held once in the subquery result,
+    // never a plan literal and never on the driver. This is the form
+    // that stays correct when the dim has 10⁸ keys and the filter is
+    // ~100 MB; sized here at 10⁶ items (~1.2 MB — already past the
+    // literal threshold documented on prunedJoin). Oracle = the plain
+    // join, proving no false negatives end-to-end.
+    Q("join_bloom_inplan",
+      (s, dir) => BloomPrune.prunedJoinSubquery(
+          t(s, dir, "events"),
+          t(s, dir, "customer")
+            .filter(col("c_custkey") % 4 === 1)
+            .select(col("c_custkey"), col("c_mktsegment")),
+          "user_id", "c_custkey", expectedItems = 1000000L)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n,
+                     round(sum(value), 2) AS sum_value
+              FROM events JOIN customer ON user_id = c_custkey
+              WHERE c_custkey % 4 = 1
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // Multi-way join TREE (TPC-H Q5 shape): lineitem ⋈ orders ⋈ customer
     // ⋈ supplier (with the "local supplier" c_nationkey = s_nationkey
     // condition) ⋈ nation ⋈ region — the join-ORDER workload the 2-table

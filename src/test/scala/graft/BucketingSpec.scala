@@ -67,4 +67,29 @@ class BucketingSpec extends SparkSpec {
       10000L, 0.01).count()
     assert(pruned === matching)
   }
+
+  test("in-plan bloom (scalar subquery) matches the plain join; no plan literal") {
+    val events = Tables.table(spark, sfDir, "events")
+    val dim = Tables.table(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 15 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val matching = events.join(dim, col("user_id") === col("c_custkey")).count()
+    val joined = BloomPrune.prunedJoinSubquery(events, dim,
+      "user_id", "c_custkey", expectedItems = 1000000L)
+    assert(joined.count() === matching)
+    // the filter must be an in-plan subquery probe, not an embedded
+    // literal: might_contain fed by a scalar subquery over
+    // bloom_filter_agg, with no BinaryType literal anywhere (the ~1.2 MB
+    // filter bytes never enter the plan or touch the driver)
+    val p = joined.queryExecution.executedPlan.toString()
+    assert(p.contains("might_contain"), p)
+    assert(p.toLowerCase.contains("subquery"), p)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val binaryLits = allNodes(joined.queryExecution.executedPlan)
+      .flatMap(_.expressions)
+      .flatMap(_.collect { case l @ Literal(_, BinaryType) => l })
+    assert(binaryLits.isEmpty,
+      s"bloom bytes leaked into the plan as ${binaryLits.size} binary literal(s)")
+  }
 }
