@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Synthesize the bench-only sf1 replica documented in BASELINE.md:
+each fact table from sf0.1 repeated 10x with key columns offset by
+replica*1e8 (joins stay consistent within a replica); region/nation
+kept as-is; physical parquet types preserved via pyarrow (notably
+events.ts TIMESTAMP_NANOS, which graft.Tables depends on).
+
+Usage: python3 tools/make_sf1.py [src_dir] [dst_dir]
+"""
+import sys
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+REPLICAS = 10
+OFFSET = 10**8
+
+# key columns to offset per table (join consistency within a replica)
+KEYS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "region": [],   # dims kept as-is
+    "nation": [],
+}
+
+import os
+os.makedirs(DST, exist_ok=True)
+for tbl, keys in KEYS.items():
+    t = pq.read_table(f"{SRC}/{tbl}.parquet")
+    if not keys:
+        pq.write_table(t, f"{DST}/{tbl}.parquet")
+        print(f"{tbl}: copied {t.num_rows} rows")
+        continue
+    chunks = []
+    for r in range(REPLICAS):
+        cols = []
+        for name in t.column_names:
+            col = t.column(name)
+            if name in keys and r > 0:
+                typ = col.type
+                import pyarrow.compute as pc
+                col = pc.cast(pc.add(pc.cast(col, pa.int64()), r * OFFSET), typ)
+            cols.append(col)
+        chunks.append(pa.table(cols, names=t.column_names))
+    out = pa.concat_tables(chunks)
+    # preserve the original physical schema exactly (timestamp units etc.)
+    out = out.cast(t.schema)
+    pq.write_table(out, f"{DST}/{tbl}.parquet")
+    print(f"{tbl}: {t.num_rows} -> {out.num_rows} rows")
