@@ -345,6 +345,78 @@ object RelationalQueries extends QueryPack {
                           FROM events))
               GROUP BY user_id ORDER BY user_id""")),
 
+    // Sequential conversion FUNNEL (signup → click → purchase): stage n
+    // counts users whose earliest stage-n event follows their stage-(n-1)
+    // time — the product-analytics query every event pipeline serves.
+    // Each stage is one keyed aggregation + one key-co-partitioned join
+    // (all on user_id, so at scale the exchanges line up on one
+    // partitioning); the stage tables only ever shrink, so later joins
+    // get cheaper down the funnel.
+    Q("ts_funnel",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, "user_id").filter(col("ts") >= col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("ts") >= col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        s1.agg(count(lit(1)).as("users")).withColumn("stage", lit("1_signup"))
+          .unionByName(s2.agg(count(lit(1)).as("users"))
+            .withColumn("stage", lit("2_click")))
+          .unionByName(s3.agg(count(lit(1)).as("users"))
+            .withColumn("stage", lit("3_purchase")))
+          .select("stage", "users")
+          .orderBy("stage")
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                          WHERE event_type = 'signup' GROUP BY user_id),
+                   s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                          JOIN s1 ON e.user_id = s1.user_id
+                          WHERE e.event_type = 'click' AND e.ts >= s1.t1
+                          GROUP BY e.user_id),
+                   s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                          JOIN s2 ON e.user_id = s2.user_id
+                          WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+                          GROUP BY e.user_id)
+              SELECT stage, users FROM (
+                SELECT '1_signup' AS stage, count(*) AS users FROM s1
+                UNION ALL SELECT '2_click', count(*) FROM s2
+                UNION ALL SELECT '3_purchase', count(*) FROM s3)
+              ORDER BY stage""")),
+
+    // Cohort RETENTION: users grouped by first-seen week, counted in
+    // each later week they were active — the other canonical
+    // product-analytics table. Two aggregations on user_id (cohort +
+    // distinct active weeks) and one co-partitioned join; week math is
+    // integer-exact because both sides are week-truncated.
+    Q("ts_retention",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val cohort = ev.groupBy("user_id")
+          .agg(date_trunc("week", min("ts")).as("cohort_week"))
+        val active = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).as("act_week")).distinct()
+        active.join(cohort, "user_id")
+          .groupBy(
+            date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort"),
+            (datediff(col("act_week").cast("date"), col("cohort_week").cast("date"))
+              / lit(7)).cast("long").as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""WITH cohort AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                              FROM events GROUP BY user_id),
+                   active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+                              FROM events)
+              SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort,
+                     date_diff('day', cohort_week::DATE, act_week::DATE) // 7 AS week_offset,
+                     count(*) AS n_users
+              FROM active JOIN cohort USING (user_id)
+              GROUP BY 1, 2 ORDER BY cohort, week_offset""")),
+
     // Fixed-width histogram of the value distribution (8 buckets of 25,
     // top bucket open-ended): one partial+final aggregation over a
     // narrow integer projection — the profile pass before choosing
