@@ -159,6 +159,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("UDF"), p)
   }
 
+  test("cdc_merge_apply joins on the key — no nested-loop, no cartesian") {
+    val p = plan("cdc_merge_apply")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("doc_mix_sample broadcasts the derived rates; the corpus never sort-merges") {
+    val p = plan("doc_mix_sample")
+    // the 5-row counts⋈weights table and the 1-row total broadcast back;
+    // the corpus-side membership test must NOT be a shuffled join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("funnel and retention shuffle only on the user key") {
+    Seq("ts_funnel", "ts_retention").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      // every hash exchange is keyed on user_id (the stage chain's one
+      // co-located partitioning) or on a post-join grouping of the
+      // already-reduced table — never on a raw event-level column
+      val exchanges = "Exchange hashpartitioning\\(([a-z_#0-9]+)"
+        .r.findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(exchanges.exists(_.startsWith("user_id")), s"$q: $p")
+      exchanges.foreach(k =>
+        assert(k.startsWith("user_id") || k.startsWith("_groupingexpression")
+          || k.startsWith("cohort") || k.startsWith("stage"),
+          s"$q shuffles on $k:\n$p"))
+    }
+  }
+
   test("learned-IVF kNN prunes the partitioned corpus statically (nprobe=2)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

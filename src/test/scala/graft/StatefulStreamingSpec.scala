@@ -47,6 +47,45 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(finalState("k2")._1 === "delete")
   }
 
+  test("foreachBatch MERGE sink maintains the snapshot across epochs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val snap = java.nio.file.Files.createTempDirectory("merge_snap")
+      .resolve("snapshot").toString
+    val input = MemoryStream[String]
+    val envelope = ChangeEvents.parseEnvelope(input.toDF(), "value")
+    val state = StatefulOps.latestState(envelope)
+    val q = state.toDF().writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.MergeSink.applyBatch(spark, snap, batch,
+          keyCol = "documentKey", opCol = "lastOp", deleteOp = "delete")
+      }.start()
+
+    def snapshot(): Map[String, String] =
+      spark.read.parquet(snap).select("documentKey", "fullDocument")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    input.addData(
+      ev("insert", "k1", "v1", "2024-01-01T00:00:00Z"),
+      ev("insert", "k2", "v1", "2024-01-01T00:00:01Z"))
+    q.processAllAvailable()
+    assert(snapshot() === Map("k1" -> "v1", "k2" -> "v1"))
+
+    input.addData(ev("update", "k1", "v2", "2024-01-01T00:01:00Z"))
+    q.processAllAvailable()
+    assert(snapshot() === Map("k1" -> "v2", "k2" -> "v1"))
+
+    input.addData(ev("delete", "k2", "", "2024-01-01T00:02:00Z"))
+    q.processAllAvailable()
+    q.stop()
+    // same semantics as the batch cdc_merge_apply: upsert on document
+    // ops, DELETE on tombstones, untouched rows pass through
+    assert(snapshot() === Map("k1" -> "v2"))
+    graft.operators.Artifacts.deleteRecursively(
+      java.nio.file.Paths.get(snap).getParent)
+  }
+
   test("transformWithState latest-state matches the flatMapGroupsWithState fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
