@@ -493,6 +493,31 @@ object ExtendedQueries extends QueryPack {
               WHERE c_custkey % 4 = 1
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // Z-ORDER layout key ([[graft.operators.ZOrder]]): the Morton
+    // z-value that clusters a table for 2-D min/max pruning, computed as
+    // a pure integer expression tree (shift/mask/add — codegen'd, zero
+    // shuffle). The write path and the measured locality/pruning win
+    // live in ZOrder.writeZOrdered + ZOrderSpec; this query oracles the
+    // curve arithmetic itself bit-for-bit against a textual SQL
+    // expansion of the same interleave.
+    Q("layout_zorder",
+      (s, dir) => {
+        import graft.operators.ZOrder
+        val x = col("user_id").bitwiseAND(lit(1023L))
+        val y = floor(col("value")).cast("long").bitwiseAND(lit(1023L))
+        t(s, dir, "events")
+          .select(col("event_id"), x.as("x"), y.as("y"),
+            ZOrder.zorder2(x, y, bits = 10).as("z"))
+          .orderBy("event_id")
+      },
+      Some {
+        val xs = "(user_id & 1023)"
+        val ys = "(CAST(floor(value) AS BIGINT) & 1023)"
+        s"""SELECT event_id, $xs AS x, $ys AS y,
+                   ${graft.operators.ZOrder.zorder2Sql(xs, ys, bits = 10)} AS z
+            FROM events ORDER BY event_id"""
+      }),
+
     // The SAME pruning in the ≥1 MB-filter regime
     // ([[BloomPrune.prunedJoinSubquery]]): the Bloom filter is built
     // in-plan by `bloom_filter_agg` inside an uncorrelated scalar
