@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Compaction
+
+/** Compaction must shrink a many-small-files directory to the computed
+  * target without changing a single row — including on the real shape
+  * that produces the problem: a streaming sink's per-epoch appends.
+  */
+class CompactionSpec extends SparkSpec {
+
+  test("epoch-fragmented parquet compacts to right-sized files, rows intact") {
+    val dir = java.nio.file.Files.createTempDirectory("compaction_spec")
+      .resolve("table").toString
+    // simulate 20 micro-batch appends of 500 rows each — the file
+    // pattern a Trigger.AvailableNow relay leaves behind
+    (0 until 20).foreach { epoch =>
+      spark.range(epoch * 500, (epoch + 1) * 500)
+        .select(col("id"), (col("id") % 7).as("k"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val checksumBefore = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum("id"), sum("k")).collect()(0)
+
+    val (before, after) = Compaction.compact(spark, dir, rowsPerFile = 2500L)
+    assert(before === 20, s"expected 20 epoch files, found $before")
+    assert(after === 4, s"10000 rows at 2500/file must compact to 4, got $after")
+
+    val checksumAfter = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum("id"), sum("k")).collect()(0)
+    assert(checksumAfter === checksumBefore, "compaction altered the data")
+
+    graft.operators.Artifacts.deleteRecursively(
+      java.nio.file.Paths.get(dir).getParent)
+  }
+}
