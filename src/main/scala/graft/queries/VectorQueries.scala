@@ -427,6 +427,35 @@ object VectorQueries extends QueryPack {
       },
       None),
 
+    // Batched IVF ([[ivfBatchKnn]]): the SERVING shape — many probes per
+    // request, each routed to its centroids, answered in ONE statically
+    // pruned pass over the union of touched partitions (per-centroid
+    // equi-join pairs rows only with the probes that routed there;
+    // per-probe top-k is the bounded mergeable TopKAggregator). Declared
+    // at nprobe = K, where routing provably keeps every partition and
+    // the result is per-probe exact brute force — the vec_knn_batch
+    // oracle; the nprobe=2 production shape is plan-asserted in
+    // IvfPqSpec (≤ 2·b partitions listed, broadcast join, probe_id-only
+    // shuffle).
+    Q("vec_knn_ivf_batch",
+      (s, dir) => ivfBatchKnn(s, dir, k = 5, nprobe = SharedIvfIndex.K),
+      Some(s"""WITH probes AS (
+                 SELECT vec_id AS probe_id, embedding AS pvec
+                 FROM embeddings WHERE vec_id IN (${BatchProbeIds.mkString(", ")})),
+               scored AS (
+                 SELECT p.probe_id, e.vec_id,
+                        list_dot_product(e.embedding, p.pvec)
+                          / (sqrt(list_dot_product(e.embedding, e.embedding))
+                             * sqrt(list_dot_product(p.pvec, p.pvec))) AS s
+                 FROM embeddings e, probes p)
+               SELECT probe_id, rk, vec_id, round(s, 6) AS sim
+               FROM (SELECT probe_id, vec_id, s,
+                            row_number() OVER (PARTITION BY probe_id
+                              ORDER BY s DESC, vec_id) AS rk
+                     FROM scored)
+               WHERE rk <= 5
+               ORDER BY probe_id, rk""")),
+
     // IVF-PQ: the composed billion-scale ANN shape. The probe routes on
     // the k-row centroid table to nprobe=2 literal partition ids; the ADC
     // shortlist scans ONLY those partitions of the materialized CODES
@@ -441,6 +470,42 @@ object VectorQueries extends QueryPack {
     Q("vec_knn_ivf_pq",
       (s, dir) => ivfPqKnn(s, dir, k = 10, nprobe = 2, shortlist = 50),
       None))
+
+  /** Batched IVF serving behind `vec_knn_ivf_batch`: route EVERY probe
+    * on the k-row centroid table, explode probes per routed centroid,
+    * and make ONE pass over the UNION of touched partitions — the
+    * per-centroid equi-join assigns each corpus row only to the probes
+    * that routed to its partition, and the per-probe top-k is the same
+    * bounded mergeable TopKAggregator as `vec_knn_batch`. At 100 TB a
+    * b-probe batch at nprobe=2 reads |∪cids|/k of the corpus ONCE
+    * (statically pruned), instead of b full scans or b separate pruned
+    * scans over overlapping partitions.
+    */
+  private[graft] def ivfBatchKnn(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ix = SharedIvfIndex(s, dir)
+    val centroids = s.createDataFrame(ix.centroids).toDF("cid", "cvec")
+    val routed = BatchProbeIds.flatMap { pid =>
+      val v = SharedProbe(s, dir, pid)
+      Similarity.routeProbe(centroids, "cid", "cvec", typedLit(v), nprobe)
+        .map(c => (pid, c, v))
+    }
+    val allCids = routed.map(_._2).distinct
+    val probesDf = routed.toDF("probe_id", "pcid", "pvec")
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.ScoredId]())
+    s.read.parquet(ix.path)
+      .filter(col("centroid_id").isin(allCids: _*))
+      .join(broadcast(probesDf), col("centroid_id") === col("pcid"))
+      .groupBy("probe_id")
+      .agg(topk(cosine_similarity(col("embedding"), col("pvec")),
+        col("vec_id")).as("tk"))
+      .select(col("probe_id"), posexplode(col("tk")))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("vec_id"), round(col("col.sim"), 6).as("sim"))
+      .orderBy("probe_id", "rk")
+  }
 
   /** The IVF-PQ composition behind `vec_knn_ivf_pq`, shared with the
     * plan/recall specs so they exercise the exact production shape.

@@ -50,6 +50,30 @@ class IvfPqSpec extends SparkSpec {
       p)
   }
 
+  test("batched IVF at nprobe=2: one pruned pass, broadcast probes, probe_id-only shuffle") {
+    val res = VectorQueries.ivfBatchKnn(spark, sfDir, k = 5, nprobe = 2)
+    res.collect()
+    val executed = res.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = allNodes(executed)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.size === 1, s"batched IVF must make ONE corpus pass:\n$executed")
+    assert(scans.head.toString.contains("PartitionFilters: [centroid_id"),
+      scans.head.toString)
+    // 3 probes × nprobe=2, deduped: strictly fewer than all 8 partitions
+    val touched = scans.head.selectedPartitions.partitionCount
+    assert(touched <= 6 && touched < 8,
+      s"expected ≤6 pruned partitions for 3 probes × nprobe=2, scanned $touched")
+    val p = executed.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exchanges = "Exchange hashpartitioning\\(([a-z_#0-9]+)"
+      .r.findAllMatchIn(p).map(_.group(1)).toSeq
+    exchanges.foreach(k =>
+      assert(k.startsWith("probe_id"), s"batched IVF shuffles on $k:\n$p"))
+  }
+
   test("at nprobe=all with an uncapped shortlist, IVF-PQ equals brute force") {
     // degenerate config = exact search with extra steps: routing keeps
     // every partition, ADC keeps every candidate, and the exact rerank
