@@ -162,6 +162,50 @@ object Multimodal {
 
   private val wavMetaUdf = udf(decodeWavMeta _)
 
+  /** Full PCM decode + integer sample statistics: run the payload
+    * through `AudioSystem.getAudioInputStream` (the real RIFF→PCM
+    * path, not a header peek), then fold the 16-bit LE samples into
+    * (nSamples, Σs², peak |s|, clipped-count) — all integer-exact, so
+    * the downstream rms/clip-ratio arithmetic is bit-reproducible by
+    * any engine that can regenerate the deterministic samples.
+    */
+  def wavSampleStats(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      var i = 0
+      var sumsq = 0L
+      var peak = 0L
+      var clipped = 0L
+      while (i < n) {
+        val s = (((data(2 * i) & 0xff) | (data(2 * i + 1).toInt << 8)).toShort).toInt
+        sumsq += s.toLong * s
+        val a = math.abs(s.toLong)
+        if (a > peak) peak = a
+        if (a >= 32767) clipped += 1
+        i += 1
+      }
+      Some((n.toLong, sumsq, peak, clipped))
+    } catch { case _: Exception => None }
+
+  private val wavStatsUdf = udf(wavSampleStats _)
+
+  /** Per-clip loudness/clipping profile over the audio rows of a media
+    * frame: real PCM decode (see [[wavSampleStats]]), integer folds in
+    * the UDF, final rms/clip-ratio arithmetic left to the plan so the
+    * rounding is engine-reproducible. Narrow (filter + projection —
+    * bytes never shuffle); at 100 TB this is the embarrassingly
+    * parallel per-object scan shape every audio-curation signal takes.
+    */
+  def audioSampleStats(media: DataFrame): DataFrame =
+    media.filter(col("kind") === "audio")
+      .withColumn("st", wavStatsUdf(col("bytes")))
+      .select(col("media_id"), col("st._1").as("n_samples"),
+        round(sqrt(col("st._2").cast("double") / col("st._1")), 4).as("rms"),
+        col("st._3").as("peak"),
+        round(col("st._4").cast("double") / col("st._1"), 6).as("clip_ratio"))
+
   // ---------------------------------------------------------------- video
 
   /** The deterministic parameters fixture video is encoded with:

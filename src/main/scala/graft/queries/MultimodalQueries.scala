@@ -126,4 +126,37 @@ object MultimodalQueries extends QueryPack {
           maxHamming = 6)
         .orderBy("a_id", "b_id"),
       None))
+
+    // Loudness/clipping profile over REAL PCM: every audio payload runs
+    // through AudioSystem's RIFF→PCM decode (the full sample stream,
+    // not the header peek of mm_decode_meta), folded into integer
+    // (Σs², peak, clipped) stats in one narrow pass. Unlike the image
+    // hash, this IS oracle-able: the fixture samples are a deterministic
+    // function of (media_id, i), so DuckDB regenerates the same PCM
+    // arithmetically and must agree bit-for-bit — a real codec round
+    // trip certified end-to-end, closing the "audio is stub arithmetic"
+    // gap for the sample path too.
+    .appended(Q("mm_audio_stats",
+      (s, dir) => Multimodal.audioSampleStats(SharedMedia(s, dir))
+        .orderBy("media_id"),
+      Some("""WITH audio AS (
+                SELECT doc_id AS media_id,
+                       (256 + doc_id % 512) * (1 + doc_id % 2) AS n
+                FROM documents WHERE doc_id % 3 = 1),
+              idx AS (
+                SELECT media_id, n, unnest(range(0, n)) AS i FROM audio),
+              samples AS (
+                SELECT media_id, n,
+                       ((media_id * 2654435761 + i * 40503) & 65535) AS u
+                FROM idx),
+              sgn AS (
+                SELECT media_id, n,
+                       CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+                FROM samples)
+              SELECT media_id, n AS n_samples,
+                     round(sqrt(sum(s * s)::DOUBLE / n), 4) AS rms,
+                     max(abs(s)) AS peak,
+                     round(sum(CASE WHEN abs(s) >= 32767 THEN 1 ELSE 0 END)::DOUBLE / n, 6)
+                       AS clip_ratio
+              FROM sgn GROUP BY media_id, n ORDER BY media_id""")))
 }
