@@ -493,6 +493,28 @@ object ExtendedQueries extends QueryPack {
               WHERE c_custkey % 4 = 1
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // MERGEABLE sketch reuse (DataSketches HLL): build PARTIAL
+    // per-(type, day) sketches — the artifacts an incremental pipeline
+    // persists at ingest — then answer the per-type distinct-users
+    // question by UNIONING sketches, never re-touching the events. At
+    // 100 TB this is the difference between re-scanning a year of raw
+    // events per dashboard refresh and merging 365 kilobyte-sized
+    // sketches; HLL register-max merge makes the union estimate
+    // IDENTICAL to a single global sketch (SketchSpec proves equality,
+    // not approximate agreement). Rows-only: the estimate is
+    // sketch-defined, with an error-bound test vs exact.
+    Q("agg_sketch_reuse",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        daily.groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("approx_users"), count(lit(1)).as("n_partials"))
+          .orderBy("event_type")
+      },
+      None),
+
     // Z-ORDER layout key ([[graft.operators.ZOrder]]): the Morton
     // z-value that clusters a table for 2-D min/max pruning, computed as
     // a pure integer expression tree (shift/mask/add — codegen'd, zero

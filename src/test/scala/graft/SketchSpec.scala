@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch contract behind `agg_sketch_reuse`: unioning the
+  * persisted per-day partial HLL sketches must give EXACTLY the same
+  * estimate as one global sketch over the raw events (register-max
+  * merge is lossless w.r.t. the sketch state), and the estimate must
+  * track the exact distinct count.
+  */
+class SketchSpec extends SparkSpec {
+
+  test("union of partial sketches equals the single global sketch exactly") {
+    val events = Tables.table(spark, sfDir, "events")
+    val merged = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val global = events.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+    val m = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val g = global.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === g,
+      "merging partial sketches must be lossless vs one global sketch")
+  }
+
+  test("sketch estimate tracks exact distinct within HLL error bounds") {
+    val events = Tables.table(spark, sfDir, "events")
+    val est = events.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .head().getLong(0)
+    val exact = events.select("user_id").distinct().count()
+    // default lgK=12 ⇒ relative standard error ~1.6%; allow 5%
+    assert(math.abs(est - exact).toDouble / exact <= 0.05,
+      s"HLL estimate $est vs exact $exact")
+  }
+}
