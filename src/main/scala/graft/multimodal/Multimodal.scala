@@ -107,6 +107,47 @@ object Multimodal {
 
   private val decodePngDimsUdf = udf(decodePngDims _)
 
+  /** Full pixel decode + integer channel statistics: `ImageIO.read`
+    * inflates the whole PNG (the real pixel path, unlike
+    * [[decodePngDims]]'s header peek) and the RGB planes fold into
+    * exact integer sums — so the fixture's deterministic pixel formula
+    * lets ANY engine reproduce the result arithmetically, certifying
+    * the codec round trip at the sample level (the image analog of
+    * [[wavSampleStats]]).
+    */
+  def pngPixelStats(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          sr += (p >> 16) & 255
+          sg += (p >> 8) & 255
+          sb += p & 255
+          i += 1
+        }
+        Some((w.toLong * h, sr, sg, sb))
+      }
+    } catch { case _: Exception => None }
+
+  private val pngStatsUdf = udf(pngPixelStats _)
+
+  /** Per-image channel sums over the image rows of a media frame —
+    * narrow (filter + projection), integer-exact end to end.
+    */
+  def imagePixelStats(media: DataFrame): DataFrame =
+    media.filter(col("kind") === "image")
+      .withColumn("st", pngStatsUdf(col("bytes")))
+      .select(col("media_id"), col("st._1").as("n_px"),
+        col("st._2").as("sum_r"), col("st._3").as("sum_g"),
+        col("st._4").as("sum_b"))
+
   // ---------------------------------------------------------------- audio
 
   /** The deterministic parameters fixture audio is encoded with:

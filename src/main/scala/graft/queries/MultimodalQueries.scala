@@ -159,4 +159,29 @@ object MultimodalQueries extends QueryPack {
                      round(sum(CASE WHEN abs(s) >= 32767 THEN 1 ELSE 0 END)::DOUBLE / n, 6)
                        AS clip_ratio
               FROM sgn GROUP BY media_id, n ORDER BY media_id""")))
+
+    // The image analog of mm_audio_stats: FULL pixel decode
+    // (ImageIO.read inflates the PNG — the real sample path, not the
+    // IHDR peek) folded into exact integer channel sums. PNG is
+    // lossless and the fixture pixels are a pure arithmetic function of
+    // (media_id, i), so the DuckDB oracle regenerates every pixel and
+    // must match bit-for-bit — no floats anywhere.
+    .appended(Q("mm_image_stats",
+      (s, dir) => Multimodal.imagePixelStats(SharedMedia(s, dir))
+        .orderBy("media_id"),
+      Some("""WITH img AS (
+                SELECT doc_id AS media_id,
+                       16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 48 AS h
+                FROM documents WHERE doc_id % 3 = 0),
+              idx AS (
+                SELECT media_id, w, h, unnest(range(0, w * h)) AS i FROM img),
+              pix AS (
+                SELECT media_id, w, h,
+                       ((media_id * 2654435761 + (i % w) * 31 + (i // w) * 17) & 16777215) AS p
+                FROM idx)
+              SELECT media_id, w * h AS n_px,
+                     sum((p >> 16) & 255)::BIGINT AS sum_r,
+                     sum((p >> 8) & 255)::BIGINT AS sum_g,
+                     sum(p & 255)::BIGINT AS sum_b
+              FROM pix GROUP BY media_id, w, h ORDER BY media_id""")))
 }

@@ -495,6 +495,54 @@ object TextQueries extends QueryPack {
               FROM toks JOIN vocab USING (token), tot
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // INCREMENTAL dedup — how a 100 TB pipeline actually runs: dedup
+    // TODAY'S batch (here: doc_id % 10 ≥ 8, the deterministic "new"
+    // 20%) against the STANDING corpus without re-pairing the corpus
+    // with itself. The new batch's postings BROADCAST (a daily
+    // increment is tiny next to the corpus), so the standing index is
+    // consumed by one narrow pass — no corpus shuffle, no old×old
+    // work, cost bounded by |new| × postings overlap. Same Jaccard
+    // arithmetic and threshold as doc_dedup_ngram, so the oracle is the
+    // same postings join restricted to old×new.
+    Q("doc_dedup_incremental",
+      (s, dir) => {
+        val idx = SharedShingleIndex(s, dir, 3)
+        val oldIdx = idx.filter(col("doc_id") % 10 < 8)
+          .withColumnRenamed("doc_id", "a_id")
+        val newIdx = idx.filter(col("doc_id") % 10 >= 8)
+          .withColumnRenamed("doc_id", "b_id")
+        val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        oldIdx.join(broadcast(newIdx), "shingle")
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+          .join(broadcast(sizes.toDF("a_id", "na")), "a_id")
+          .join(broadcast(sizes.toDF("b_id", "nb")), "b_id")
+          .withColumn("jaccard", round(col("c").cast("double") /
+            (col("na") + col("nb") - col("c")).cast("double"), 4))
+          .filter(col("jaccard") >= 0.8)
+          .select("a_id", "b_id", "jaccard")
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH sh AS (
+                SELECT doc_id, unnest(
+                  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 for i in range(1, len(t) - 1)])) AS shingle
+                FROM (SELECT doc_id,
+                             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+                      FROM documents)),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              cand AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+                GROUP BY 1, 2)
+              SELECT a_id, b_id,
+                     round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
+              FROM cand
+              JOIN sizes sa ON cand.a_id = sa.doc_id
+              JOIN sizes sb ON cand.b_id = sb.doc_id
+              WHERE round(c::DOUBLE / (sa.n + sb.n - c), 4) >= 0.8
+              ORDER BY a_id, b_id""")),
+
     // Exact dedup: one representative per content-hash group.
     Q("doc_dedup_exact",
       (s, dir) => Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
