@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Small-file compaction — the operational complement of every
   * streaming parquet sink in this engine (the relay's per-topic sink
@@ -11,17 +10,48 @@ import org.apache.spark.sql.functions._
   * builds doesn't degrade every later scan with per-file open/footer
   * costs and a metadata-bound driver.
   *
-  * The rewrite is one narrow job: read → `repartition(ceil(rows /
-  * rowsPerFile))` → write to a temp sibling → atomic swap (same
-  * publish discipline as [[Artifacts]]). A round-robin repartition is
-  * deliberate: compaction must not assume any key, and the exchange it
-  * pays is the point of the operation (it is run off the hot path, at a
-  * cadence chosen so its cost amortizes over the scans it speeds up).
-  * Callers that DO have a layout key should compact through
-  * [[ZOrder.writeZOrdered]] or [[Bucketing.writeBucketed]] instead and
-  * get clustering for the same rewrite.
+  * The target file count comes from the parquet FOOTERS (row counts
+  * read without touching data pages), so the only full pass over the
+  * data is the rewrite itself. The rewrite is one narrow job: read →
+  * `repartition(ceil(rows / rowsPerFile))` → write to a temp sibling →
+  * crash-safe swap ([[Artifacts.swapInto]]: the previous version is
+  * renamed aside, never deleted before the new one is in place). A
+  * round-robin repartition is deliberate: compaction must not assume
+  * any key, and the exchange it pays is the point of the operation (it
+  * runs off the hot path, at a cadence chosen so its cost amortizes
+  * over the scans it speeds up). Callers that DO have a layout key
+  * should compact through [[ZOrder.writeZOrdered]] or
+  * [[Bucketing.writeBucketed]] instead and get clustering for the same
+  * rewrite. NOTE: Hive-style partition columns (`k=v` subdirectories)
+  * are read as data columns and the rewrite flattens the layout —
+  * compact partitioned tables per-partition, or re-`partitionBy` on
+  * write.
   */
 object Compaction {
+
+  /** All parquet data files under `p`, recursively (epoch sinks nest
+    * `batch=N`/topic subdirectories).
+    */
+  private def parquetFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(p)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    finally s.close()
+  }
+
+  /** Total row count from the parquet footers — metadata only, no data
+    * pages read.
+    */
+  private def footerRows(spark: SparkSession,
+      files: Seq[java.nio.file.Path]): Long =
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toString),
+        spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
 
   /** Rewrite the parquet directory at `path` into files of ~
     * `rowsPerFile` rows. Returns (filesBefore, filesAfter).
@@ -29,26 +59,14 @@ object Compaction {
   def compact(spark: SparkSession, path: String, rowsPerFile: Long)
       : (Int, Int) = {
     val dir = java.nio.file.Paths.get(path)
-    def parquetFiles(p: java.nio.file.Path): Int = {
-      val s = java.nio.file.Files.list(p)
-      try {
-        var n = 0
-        val it = s.iterator()
-        while (it.hasNext) {
-          if (it.next().getFileName.toString.endsWith(".parquet")) n += 1
-        }
-        n
-      } finally s.close()
-    }
+    Artifacts.recoverSwap(dir) // repair a crashed previous compaction
     val before = parquetFiles(dir)
-    val df = spark.read.parquet(path)
-    val rows = df.count()
+    val rows = footerRows(spark, before)
     val target = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
     val next = java.nio.file.Paths.get(path + ".compact")
-    df.repartition(target).write.mode("overwrite").parquet(next.toString)
-    Artifacts.deleteRecursively(dir)
-    java.nio.file.Files.move(next, dir,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    (before, parquetFiles(dir))
+    spark.read.parquet(path)
+      .repartition(target).write.mode("overwrite").parquet(next.toString)
+    Artifacts.swapInto(dir, next)
+    (before.size, parquetFiles(dir).size)
   }
 }

@@ -35,7 +35,8 @@ object ExtendedQueries extends QueryPack {
           sys.props("java.io.tmpdir"), s"graft_bkt_$tag")
         val (liT, ordT) = (s"li_bkt_$tag", s"ord_bkt_$tag")
         val fp = graft.operators.Artifacts
-          .tableFingerprint(dir, "lineitem", "orders")
+          .tableFingerprint(dir, "lineitem", "orders") +
+          s"|buckets=$NumBuckets" // layout params are part of the identity
         graft.operators.Artifacts.ensureBuilt(root, fp) { tmp =>
           // bucketed writes only exist via saveAsTable: write under
           // scratch catalog names pointed at the temp dir, then drop the

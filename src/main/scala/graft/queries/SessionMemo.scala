@@ -45,7 +45,11 @@ import org.apache.spark.sql.SparkSession
   * computes at most ONCE — `TrieMap.getOrElseUpdate` may race two cell
   * allocations, but only the winning cell is ever forced; the loser is
   * discarded unforced (nothing persisted, nothing to leak). `onEvict`
-  * runs only on cells that were actually forced.
+  * runs only on cells that were actually forced, and AT LEAST once, not
+  * exactly once: an evict racing a thread inside `compute` can fire the
+  * evictor from both the sweep and the self-evict re-check in `apply` —
+  * evictors must be idempotent (unpersist and delete-if-exists are; a
+  * refcount decrement would not be).
   */
 final class SessionMemo[K, V](onEvict: V => Unit = (_: V) => ()) {
 

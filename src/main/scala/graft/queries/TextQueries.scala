@@ -512,10 +512,14 @@ object TextQueries extends QueryPack {
         val newIdx = idx.filter(col("doc_id") % 10 >= 8)
           .withColumnRenamed("doc_id", "b_id")
         val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        // only the NEW side is increment-sized and broadcastable; the
+        // a-side size table is one row per CORPUS doc, so it joins
+        // shuffled against the (candidate-pair-sized) common table
         oldIdx.join(broadcast(newIdx), "shingle")
           .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
-          .join(broadcast(sizes.toDF("a_id", "na")), "a_id")
-          .join(broadcast(sizes.toDF("b_id", "nb")), "b_id")
+          .join(sizes.toDF("a_id", "na"), "a_id")
+          .join(broadcast(sizes.filter(col("doc_id") % 10 >= 8)
+            .toDF("b_id", "nb")), "b_id")
           .withColumn("jaccard", round(col("c").cast("double") /
             (col("na") + col("nb") - col("c")).cast("double"), 4))
           .filter(col("jaccard") >= 0.8)

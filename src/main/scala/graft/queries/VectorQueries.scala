@@ -86,7 +86,11 @@ object VectorQueries extends QueryPack {
     def apply(s: org.apache.spark.sql.SparkSession, dir: String): Index =
       memo(s, dir) {
         val root = indexRoot(dir)
-        val fp = graft.operators.Artifacts.tableFingerprint(dir, "embeddings")
+        // fingerprint = source data + BUILD PARAMETERS: changing K (or
+        // the fit settings) must rebuild, not silently reuse a layout
+        // whose partition count disagrees with the new constants
+        val fp = graft.operators.Artifacts.tableFingerprint(dir, "embeddings") +
+          s"|k=$K|iters=3|dim=64"
         graft.operators.Artifacts.ensureBuilt(root, fp) { tmp =>
           val embs = graft.Tables.table(s, dir, "embeddings")
           val cents = graft.similarity.KMeans.fit(
@@ -124,7 +128,8 @@ object VectorQueries extends QueryPack {
           .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
         val root = java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"), s"graft_ivfpq_$tag")
-        val fp = graft.operators.Artifacts.tableFingerprint(dir, "embeddings")
+        val fp = graft.operators.Artifacts.tableFingerprint(dir, "embeddings") +
+          s"|ivfk=${SharedIvfIndex.K}|m=${cb.m}|ksub=${cb.ksub}|iters=4"
         graft.operators.Artifacts.ensureBuilt(root, fp) { tmp =>
           ProductQuantizer.encode(s.read.parquet(ix.path),
               "vec_id", "embedding", cb, keepCols = Seq("centroid_id"))

@@ -27,6 +27,7 @@ object MergeSink {
   def applyBatch(spark: SparkSession, snapshotDir: String, batch: DataFrame,
       keyCol: String, opCol: String, deleteOp: String): Unit = {
     val path = java.nio.file.Paths.get(snapshotDir)
+    graft.operators.Artifacts.recoverSwap(path) // repair a crashed swap
     val base =
       if (java.nio.file.Files.exists(path)) spark.read.parquet(snapshotDir)
       else spark.createDataFrame(
@@ -35,8 +36,8 @@ object MergeSink {
       .unionByName(batch.filter(col(opCol) =!= deleteOp))
     val next = java.nio.file.Paths.get(snapshotDir + ".next")
     merged.write.mode("overwrite").parquet(next.toString)
-    graft.operators.Artifacts.deleteRecursively(path)
-    java.nio.file.Files.move(next, path,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // crash-safe publish: the previous snapshot is renamed aside, never
+    // deleted before the new one is in place (Artifacts.swapInto)
+    graft.operators.Artifacts.swapInto(path, next)
   }
 }

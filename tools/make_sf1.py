@@ -16,9 +16,13 @@ DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 REPLICAS = 10
 OFFSET = 10**8
 
-# key columns to offset per table (join consistency within a replica)
+# key columns to offset per replica — every foreign key into a
+# REPLICATED table must shift with its target, or fact rows from all
+# replicas fan onto replica-0 dimension rows (and 90% of the dimension
+# rows dangle). nation/region are NOT replicated, so nationkey columns
+# stay put.
 KEYS = {
-    "lineitem": ["l_orderkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
