@@ -56,7 +56,19 @@ object Bench {
       .mkString("{", ",", "}")
     // any failed query poisons the total: broken must never read as fast
     val total = if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Field order matters for the DRIVER's capture, which keeps only the
+    // TAIL of the output: the per-query map comes first and the headline
+    // total LAST, so however much of the line survives head-truncation it
+    // always includes the total (r5/r6 lost it by printing totals first).
+    // A JSON parser is order-blind, so a full capture reads identically.
+    val json =
+      s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},""" +
+        s""""metric":"total","value":$total,"unit":"sec"}"""
+    println(json)
+    // belt-and-braces: the complete record as a file artifact, immune to
+    // any stdout truncation (committed per round alongside BASELINE.md)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -156,6 +156,31 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Candidate common-shingle counts `(a_id, b_id, c)` between a STANDING
+    * index (`oldIdx`) and an increment (`newIdx`), both `(doc_id,
+    * shingle)` — the join at the heart of incremental dedup: never pairs
+    * the corpus with itself, cost bounded by the increment.
+    *
+    * The increment's postings BROADCAST only while the increment is
+    * genuinely increment-sized: its postings are COUNTED (cheap — the
+    * caller's index is persisted) and must not exceed
+    * `maxBroadcastPostings`. Above the bound — a backfill day, a bulk
+    * import, anything no longer ≪ corpus — the join falls back to a
+    * shuffled equi-join on `shingle`: identical rows, one extra exchange,
+    * instead of an executor-memory blow-up. The default bound of 4M
+    * postings (~56 B each ≈ 220 MB deserialized) sits well inside
+    * Spark's 8 GB broadcast hard cap and a shared-executor heap slice,
+    * mirroring [[graft.operators.BloomPrune]]'s documented
+    * literal-vs-subquery size split.
+    */
+  def incrementalCandidates(oldIdx: DataFrame, newIdx: DataFrame,
+      maxBroadcastPostings: Long = 4000000L): DataFrame = {
+    val a = oldIdx.withColumnRenamed("doc_id", "a_id")
+    val b0 = newIdx.withColumnRenamed("doc_id", "b_id")
+    val b = if (b0.count() <= maxBroadcastPostings) broadcast(b0) else b0
+    a.join(b, "shingle").groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+  }
+
   /** CONTAINMENT near-dup on a prebuilt shingle index: pairs where the
     * smaller doc's shingle set sits ≥ `minContainment` inside the
     * other's — catches doc-inside-doc duplication (boilerplate wrapping,

@@ -18,27 +18,43 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   *    renamed into place (same filesystem ⇒ atomic). A reader either
   *    sees the complete previous build or the complete new one — never a
   *    half-written corpus. A crashed build leaves only a temp sibling,
-  *    swept by the next successful publish.
+  *    swept (under the file lock) by the next [[ensureBuilt]] that
+  *    reaches the build path — including one hard-killed mid-build.
   *  - **Cross-process exclusion**: a file lock around check-then-build
   *    means concurrent JVMs (driver Verify racing a test run) serialize;
   *    the loser re-checks the marker and reuses the winner's build. A
-  *    JVM-wide monitor prevents the same process from overlapping its
-  *    own file lock (which would throw).
+  *    per-lock-file monitor prevents the same process from overlapping
+  *    its own file lock (which would throw) while letting UNRELATED
+  *    artifacts build concurrently.
   */
 object Artifacts {
 
-  private val jvmLock = new Object
+  /** Per-path JVM monitors: unrelated artifacts build concurrently; only
+    * two in-process builders of the SAME artifact serialize (an
+    * overlapping FileChannel lock on one file would throw).
+    */
+  private val pathMonitors =
+    new java.util.concurrent.ConcurrentHashMap[Path, Object]
+
+  private def monitorFor(p: Path): Object =
+    pathMonitors.computeIfAbsent(p.toAbsolutePath.normalize, _ => new Object)
 
   /** MD5 fingerprint of the given source files' identity, size and
     * mtime — cheap (no content read), changes whenever the driver
-    * regenerates a fixture in place.
+    * regenerates a fixture in place. The identity is the path RELATIVE
+    * to `base` (when given), so two tables' part files with the same
+    * basename stay distinguishable; mtime is taken at nanosecond
+    * granularity so an in-place regeneration within one millisecond
+    * still changes the fingerprint.
     */
-  def fingerprint(files: Seq[Path]): String = {
+  def fingerprint(files: Seq[Path], base: Option[Path] = None): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     files.sortBy(_.toString).foreach { p =>
-      val line =
-        s"${p.getFileName} ${Files.size(p)} ${Files.getLastModifiedTime(p).toMillis}\n"
-      md.update(line.getBytes(UTF_8))
+      val id = base.fold(p.getFileName.toString)(b =>
+        b.toAbsolutePath.normalize.relativize(p.toAbsolutePath.normalize).toString)
+      val mtime = Files.getLastModifiedTime(p)
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      md.update(s"$id ${Files.size(p)} $mtime\n".getBytes(UTF_8))
     }
     md.digest().map("%02x".format(_)).mkString
   }
@@ -55,20 +71,25 @@ object Artifacts {
         try s.iterator().asScala.toSeq finally s.close()
       } else Seq(p)
     }
-    fingerprint(files.toSeq)
+    fingerprint(files.toSeq, Some(java.nio.file.Paths.get(dir)))
   }
 
   /** Ensure a complete artifact with fingerprint `fp` exists at `root`,
     * running `build(tmpDir)` only when the marker is absent or stale.
     * On return, `root/_BUILT` contains `fp` and the artifact is whole.
     */
-  def ensureBuilt(root: Path, fp: String)(build: Path => Unit): Unit =
-    jvmLock.synchronized {
+  def ensureBuilt(root: Path, fp: String)(build: Path => Unit): Unit = {
+    val parent = root.getParent
+    val lockFile = parent.resolve(s"${root.getFileName}.lock")
+    monitorFor(lockFile).synchronized {
       if (!upToDate(root, fp)) {
-        val parent = root.getParent
         Files.createDirectories(parent)
-        withFileLock(parent.resolve(s"${root.getFileName}.lock")) {
+        withFileLock(lockFile) {
           if (!upToDate(root, fp)) { // re-check: another JVM may have built
+            // sweep temp siblings a hard-killed builder left behind (a
+            // SIGKILL skips the finally below) — safe under the lock: no
+            // other builder of THIS artifact can be mid-build right now
+            sweepStaleBuilds(parent, root.getFileName.toString)
             val tmp = Files.createTempDirectory(parent, s"${root.getFileName}.build")
             try {
               build(tmp)
@@ -79,6 +100,29 @@ object Artifacts {
         }
       }
     }
+  }
+
+  /** Serialize mutators of the directory `dir` within and across JVMs —
+    * the writer-exclusion contract shared by the streaming MERGE sink
+    * and [[Compaction.compact]], so a compaction can never lose a file a
+    * concurrent micro-batch appended between its snapshot and its swap.
+    */
+  def withDirLock[A](dir: Path)(body: => A): A = {
+    val abs = dir.toAbsolutePath.normalize
+    val parent = abs.getParent
+    Files.createDirectories(parent)
+    val lockFile = parent.resolve(s"${abs.getFileName}.dirlock")
+    monitorFor(lockFile).synchronized(withFileLock(lockFile)(body))
+  }
+
+  private def sweepStaleBuilds(parent: Path, name: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(parent)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith(s"$name.build"))
+      .toSeq.foreach(deleteRecursively)
+    finally s.close()
+  }
 
   /** Replace the directory at `target` with the fully-built `next`,
     * CRASH-SAFELY: the previous version is renamed aside first — never

@@ -39,13 +39,33 @@ object Bucketing {
     */
   def registerBucketed(spark: SparkSession, table: String, path: String,
       key: String, numBuckets: Int): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table") // external: files survive
+    val qt = quoteId(table)
+    // idempotent: if an identical registration already exists, leave it
+    // alone — no DROP, so a concurrent reader of the same catalog name
+    // never races a teardown. Only a MISMATCHED spec is re-registered.
+    val cat = spark.sessionState.catalog
+    val id = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    if (cat.tableExists(id)) {
+      val m = cat.getTableMetadata(id)
+      val sameSpec = m.bucketSpec.exists(b =>
+        b.numBuckets == numBuckets && b.bucketColumnNames == Seq(key)) &&
+        normalizePath(m.location.getPath) == normalizePath(path)
+      if (sameSpec) return
+      spark.sql(s"DROP TABLE IF EXISTS $qt") // external: files survive
+    }
     val schema = spark.read.parquet(path).schema.toDDL
     spark.sql(
-      s"""CREATE TABLE $table ($schema) USING parquet
-         |CLUSTERED BY ($key) SORTED BY ($key) INTO $numBuckets BUCKETS
-         |LOCATION '$path'""".stripMargin)
+      s"""CREATE TABLE IF NOT EXISTS $qt ($schema) USING parquet
+         |CLUSTERED BY (${quoteId(key)}) SORTED BY (${quoteId(key)})
+         |INTO $numBuckets BUCKETS
+         |LOCATION '${path.replace("'", "\\'")}'""".stripMargin)
   }
+
+  /** Backtick-quote a SQL identifier (escaping embedded backticks). */
+  private def quoteId(id: String): String = s"`${id.replace("`", "``")}`"
+
+  private def normalizePath(p: String): String =
+    java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
 
   /** Join two tables previously bucketed on the same key with the same
     * bucket count: plans as a sort-merge join with NO exchange on either

@@ -55,18 +55,37 @@ object Compaction {
 
   /** Rewrite the parquet directory at `path` into files of ~
     * `rowsPerFile` rows. Returns (filesBefore, filesAfter).
+    *
+    * Safety: the whole read→rewrite→swap runs under the directory's
+    * writer lock ([[Artifacts.withDirLock]] — the same lock the
+    * streaming MERGE sink takes per micro-batch), so a concurrent
+    * locked writer cannot append a file between the snapshot and the
+    * swap and have it silently dropped; writers that do NOT take the
+    * lock (a live relay epoch sink) must be quiesced during compaction.
+    * Before the destructive swap the rewrite is verified: the rewritten
+    * footers must account for exactly the snapshot's rows, else the
+    * temp output is discarded and the original left untouched.
     */
   def compact(spark: SparkSession, path: String, rowsPerFile: Long)
       : (Int, Int) = {
     val dir = java.nio.file.Paths.get(path)
-    Artifacts.recoverSwap(dir) // repair a crashed previous compaction
-    val before = parquetFiles(dir)
-    val rows = footerRows(spark, before)
-    val target = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
-    val next = java.nio.file.Paths.get(path + ".compact")
-    spark.read.parquet(path)
-      .repartition(target).write.mode("overwrite").parquet(next.toString)
-    Artifacts.swapInto(dir, next)
-    (before.size, parquetFiles(dir).size)
+    Artifacts.withDirLock(dir) {
+      Artifacts.recoverSwap(dir) // repair a crashed previous compaction
+      val before = parquetFiles(dir)
+      val rows = footerRows(spark, before)
+      val target = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
+      val next = java.nio.file.Paths.get(path + ".compact")
+      spark.read.parquet(path)
+        .repartition(target).write.mode("overwrite").parquet(next.toString)
+      val rewritten = footerRows(spark, parquetFiles(next))
+      if (rewritten != rows) {
+        Artifacts.deleteRecursively(next)
+        throw new IllegalStateException(
+          s"compaction of $path rewrote $rewritten rows but snapshot had " +
+            s"$rows; aborting before swap (original left untouched)")
+      }
+      Artifacts.swapInto(dir, next)
+      (before.size, parquetFiles(dir).size)
+    }
   }
 }

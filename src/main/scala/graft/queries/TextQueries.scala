@@ -498,25 +498,25 @@ object TextQueries extends QueryPack {
     // INCREMENTAL dedup — how a 100 TB pipeline actually runs: dedup
     // TODAY'S batch (here: doc_id % 10 ≥ 8, the deterministic "new"
     // 20%) against the STANDING corpus without re-pairing the corpus
-    // with itself. The new batch's postings BROADCAST (a daily
-    // increment is tiny next to the corpus), so the standing index is
-    // consumed by one narrow pass — no corpus shuffle, no old×old
-    // work, cost bounded by |new| × postings overlap. Same Jaccard
-    // arithmetic and threshold as doc_dedup_ngram, so the oracle is the
-    // same postings join restricted to old×new.
+    // with itself. The new batch's postings BROADCAST only while the
+    // increment is genuinely increment-sized — the shape is decided by
+    // COUNTING the increment against a documented bound, with a
+    // shuffled-join fallback above it (Dedup.incrementalCandidates) —
+    // so the standing index is consumed by one narrow pass: no corpus
+    // shuffle, no old×old work, cost bounded by |new| × postings
+    // overlap. Same Jaccard arithmetic and threshold as
+    // doc_dedup_ngram, so the oracle is the same postings join
+    // restricted to old×new.
     Q("doc_dedup_incremental",
       (s, dir) => {
         val idx = SharedShingleIndex(s, dir, 3)
-        val oldIdx = idx.filter(col("doc_id") % 10 < 8)
-          .withColumnRenamed("doc_id", "a_id")
-        val newIdx = idx.filter(col("doc_id") % 10 >= 8)
-          .withColumnRenamed("doc_id", "b_id")
         val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        // only the NEW side is increment-sized and broadcastable; the
-        // a-side size table is one row per CORPUS doc, so it joins
-        // shuffled against the (candidate-pair-sized) common table
-        oldIdx.join(broadcast(newIdx), "shingle")
-          .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+        // the a-side size table is one row per CORPUS doc, so it joins
+        // shuffled against the (candidate-pair-sized) common table; the
+        // new-side size table is increment-sized and broadcasts
+        Dedup.incrementalCandidates(
+            idx.filter(col("doc_id") % 10 < 8),
+            idx.filter(col("doc_id") % 10 >= 8))
           .join(sizes.toDF("a_id", "na"), "a_id")
           .join(broadcast(sizes.filter(col("doc_id") % 10 >= 8)
             .toDF("b_id", "nb")), "b_id")

@@ -27,17 +27,22 @@ object MergeSink {
   def applyBatch(spark: SparkSession, snapshotDir: String, batch: DataFrame,
       keyCol: String, opCol: String, deleteOp: String): Unit = {
     val path = java.nio.file.Paths.get(snapshotDir)
-    graft.operators.Artifacts.recoverSwap(path) // repair a crashed swap
-    val base =
-      if (java.nio.file.Files.exists(path)) spark.read.parquet(snapshotDir)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-    val merged = base.join(batch.select(keyCol), Seq(keyCol), "left_anti")
-      .unionByName(batch.filter(col(opCol) =!= deleteOp))
-    val next = java.nio.file.Paths.get(snapshotDir + ".next")
-    merged.write.mode("overwrite").parquet(next.toString)
-    // crash-safe publish: the previous snapshot is renamed aside, never
-    // deleted before the new one is in place (Artifacts.swapInto)
-    graft.operators.Artifacts.swapInto(path, next)
+    // writer exclusion shared with Compaction.compact: a compaction
+    // holding this lock sees either the pre-batch or post-batch snapshot,
+    // never a file appended between its directory scan and its swap
+    graft.operators.Artifacts.withDirLock(path) {
+      graft.operators.Artifacts.recoverSwap(path) // repair a crashed swap
+      val base =
+        if (java.nio.file.Files.exists(path)) spark.read.parquet(snapshotDir)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+      val merged = base.join(batch.select(keyCol), Seq(keyCol), "left_anti")
+        .unionByName(batch.filter(col(opCol) =!= deleteOp))
+      val next = java.nio.file.Paths.get(snapshotDir + ".next")
+      merged.write.mode("overwrite").parquet(next.toString)
+      // crash-safe publish: the previous snapshot is renamed aside, never
+      // deleted before the new one is in place (Artifacts.swapInto)
+      graft.operators.Artifacts.swapInto(path, next)
+    }
   }
 }

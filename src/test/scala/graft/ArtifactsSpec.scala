@@ -72,6 +72,54 @@ class ArtifactsSpec extends AnyFunSuite {
     Artifacts.deleteRecursively(root.getParent)
   }
 
+  test("ensureBuilt sweeps temp siblings a hard-killed builder left behind") {
+    val root = tempRoot()
+    // simulate a SIGKILLed builder: a full orphaned temp sibling (the
+    // finally-block sweep never ran)
+    val orphan = root.getParent.resolve("artifact.build12345")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("data"), "half".getBytes(UTF_8))
+    Artifacts.ensureBuilt(root, "fp1") { tmp =>
+      Files.write(tmp.resolve("data"), "v1".getBytes(UTF_8))
+    }
+    assert(!Files.exists(orphan), "stale .build* sibling must be swept")
+    assert(new String(Files.readAllBytes(root.resolve("data")), UTF_8) === "v1")
+    Artifacts.deleteRecursively(root.getParent)
+  }
+
+  test("withDirLock serializes concurrent mutators of one directory") {
+    val dir = Files.createTempDirectory("dirlock_spec").resolve("table")
+    @volatile var inside = 0
+    @volatile var maxInside = 0
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => Artifacts.withDirLock(dir) {
+        inside += 1
+        maxInside = math.max(maxInside, inside)
+        Thread.sleep(30)
+        inside -= 1
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(maxInside === 1, s"lock admitted $maxInside mutators at once")
+    Artifacts.deleteRecursively(dir.getParent)
+  }
+
+  test("fixture fingerprint distinguishes same-named part files of different tables") {
+    val dir = Files.createTempDirectory("artifacts_twotbl")
+    for (t <- Seq("x", "y")) {
+      val d = dir.resolve(s"$t.parquet"); Files.createDirectories(d)
+      Files.write(d.resolve("part-0"), "same".getBytes(UTF_8))
+    }
+    // identical basenames, sizes, and (coarse) mtimes — only the relative
+    // path distinguishes them; swapped table order must change nothing,
+    // but fingerprinting DIFFERENT tables must differ
+    val both = Artifacts.tableFingerprint(dir.toString, "x", "y")
+    assert(Artifacts.tableFingerprint(dir.toString, "y", "x") === both)
+    assert(Artifacts.tableFingerprint(dir.toString, "x") !==
+      Artifacts.tableFingerprint(dir.toString, "y"))
+    Artifacts.deleteRecursively(dir)
+  }
+
   test("fixture fingerprint changes when a source file is touched") {
     val dir = Files.createTempDirectory("artifacts_fixture")
     val tbl = dir.resolve("t.parquet")

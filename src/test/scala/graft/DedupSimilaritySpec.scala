@@ -342,6 +342,50 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size <= before)
   }
 
+  test("incremental candidates: shuffled fallback above the broadcast bound, same rows") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val idx = Dedup.shingleIndex(docs, "doc_id", "text", n = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // turn Catalyst/AQE auto-broadcast OFF so the plan shape reflects the
+    // helper's own decision (at sf0.001 the optimizer would otherwise
+    // broadcast the small side regardless and mask the fallback)
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+      val oldIdx = idx.filter(col("doc_id") % 10 < 8)
+      val newIdx = idx.filter(col("doc_id") % 10 >= 8)
+      // default bound: the increment broadcasts (explicit hint survives
+      // the disabled auto-broadcast)
+      val viaBcast = Dedup.incrementalCandidates(oldIdx, newIdx)
+      // bound of 0: every increment exceeds it → shuffled equi-join
+      val viaShuffle = Dedup.incrementalCandidates(oldIdx, newIdx,
+        maxBroadcastPostings = 0L)
+      val a = viaBcast.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val b = viaShuffle.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(a.nonEmpty, "fixture should produce old×new candidates")
+      assert(a === b, "fallback path must produce identical candidates")
+      // the shapes really differ: broadcast join present under the bound,
+      // absent (pure shuffled join) above it
+      def hasBroadcastJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+        allNodes(df.queryExecution.executedPlan).exists {
+          case _: BroadcastHashJoinExec | _: BroadcastExchangeExec => true
+          case _ => false
+        }
+      assert(hasBroadcastJoin(viaBcast), "increment under the bound must broadcast")
+      assert(!hasBroadcastJoin(viaShuffle),
+        "increment over the bound must NOT broadcast the postings")
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      idx.unpersist(); ()
+    }
+  }
+
   test("k-means: deterministic fit, k centroids, objective never worsens") {
     def objective(cents: Seq[(Int, Seq[Float])]): Double = {
       // mean max-cosine to a centroid — higher is tighter clustering
