@@ -216,5 +216,35 @@ object CdcQueries extends QueryPack {
                      c_mktsegment AS segment, c_nationkey AS nation,
                      round(value, 2) AS value
               FROM events JOIN customer ON user_id = c_custkey
-              ORDER BY event_id""")))
+              ORDER BY event_id""")),
+
+    // STREAM-STREAM enrichment, batch twin: every purchase picks up the
+    // same user's view events from its trailing 1-hour window — the
+    // exact code path (StreamStreamJoin.intervalEnrich) the streaming
+    // interval join runs, executed over batch frames (the watermark
+    // nodes eliminate for batch children), so DuckDB can oracle the
+    // join semantics the MemoryStream tests exercise live. Scale shape:
+    // one key shuffle per side into a symmetric hash join; streaming
+    // state stays finite because the interval is two-sided.
+    Q("cdc_stream_enrich",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"), col("value"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+            col("ts").as("v_ts"))
+        graft.streaming.StreamStreamJoin.intervalEnrich(
+            purchases, "p_user", "p_ts", views, "v_user", "v_ts", "1 HOUR")
+          .select(col("p_id"), col("p_user").as("user_id"), col("v_id"),
+            round(col("value"), 2).as("value"))
+          .orderBy("p_id", "v_id")
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id AS user_id,
+                     v.event_id AS v_id, round(p.value, 2) AS value
+              FROM events p JOIN events v ON p.user_id = v.user_id
+              WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+                AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+              ORDER BY p_id, v_id""")))
 }

@@ -170,6 +170,95 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("stream-stream interval join: on-time match, late drop, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[String]
+    val payments = MemoryStream[String]
+    val joined = graft.streaming.StreamStreamJoin.enrichChangeStream(
+      ChangeEvents.parseEnvelope(orders.toDF(), "value"),
+      ChangeEvents.parseEnvelope(payments.toDF(), "value"),
+      lookback = "1 minute", delay = "10 seconds")
+    val q = joined.select("l_key", "l_doc", "r_doc").writeStream
+      .format("memory").queryName("ssj_out").outputMode("append").start()
+    def rows(): Set[(String, String, String)] = spark.table("ssj_out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+    // on-time: payment 30 s before the order change, same key → match
+    payments.addData(ev("insert", "k1", "pay1", "2024-01-01T00:00:30Z"))
+    orders.addData(ev("update", "k1", "ord1", "2024-01-01T00:01:00Z"))
+    q.processAllAvailable()
+    assert(rows() === Set(("k1", "ord1", "pay1")))
+
+    // wrong key / payment AFTER the order (outside the trailing window):
+    // neither joins
+    payments.addData(ev("insert", "k2", "pay2", "2024-01-01T00:02:00Z"))
+    orders.addData(ev("update", "k3", "ord2", "2024-01-01T00:01:10Z"))
+    q.processAllAvailable()
+    assert(rows() === Set(("k1", "ord1", "pay1")))
+
+    // advance the watermark far on BOTH streams (global watermark is the
+    // min across sources); a same-instant pair is inside [t-60s, t]
+    payments.addData(ev("insert", "k9", "payX", "2024-01-01T01:00:00Z"))
+    orders.addData(ev("update", "k9", "ordX", "2024-01-01T01:00:00Z"))
+    q.processAllAvailable()
+    assert(rows() === Set(("k1", "ord1", "pay1"), ("k9", "ordX", "payX")))
+
+    // LATE: both sides now sit behind the ~00:59:50 watermark — the
+    // inputs are dropped before the join, so a pair that would otherwise
+    // match (ordLate at 00:00:50 × pay1 at 00:00:30) must NOT appear
+    payments.addData(ev("insert", "k1", "payLate", "2024-01-01T00:00:40Z"))
+    orders.addData(ev("update", "k1", "ordLate", "2024-01-01T00:00:50Z"))
+    q.processAllAvailable()
+    assert(rows() === Set(("k1", "ord1", "pay1"), ("k9", "ordX", "payX")),
+      "late inputs must be dropped, not joined")
+
+    // bounded state: the two-sided interval lets Spark evict everything
+    // below the state watermark — only the 01:00:00 pair can still match
+    // future rows, far fewer than the 8 buffered without eviction
+    val st = q.lastProgress.stateOperators(0)
+    assert(st.numRowsTotal <= 4,
+      s"join state not evicted: ${st.numRowsTotal} rows buffered")
+    q.stop()
+  }
+
+  test("streaming session_window closes sessions when the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (user_id, epoch seconds)
+    val sessions = in.toDF().toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "30 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"),
+        col("session_window.start").cast("long").as("start_s"),
+        col("session_window.end").cast("long").as("end_s"))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    def rows(): Set[(Long, Long, Long, Long)] = spark.table("sess_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // three events within the 30 s gap merge into ONE growing session;
+    // append mode emits nothing while the session can still extend
+    in.addData((1L, 100L), (1L, 110L), (1L, 125L))
+    q.processAllAvailable()
+    assert(rows() === Set.empty, "open session must not emit in append mode")
+
+    // an event far ahead pushes the watermark (290) past the session's
+    // close (125 + 30 = 155): the session finalizes as [100, 155), n=3
+    in.addData((2L, 300L))
+    q.processAllAvailable()
+    assert(rows() === Set((1L, 3L, 100L, 155L)))
+
+    // and user 2's own session closes once the watermark passes ITS gap
+    in.addData((2L, 600L))
+    q.processAllAvailable()
+    assert(rows() === Set((1L, 3L, 100L, 155L), (2L, 1L, 300L, 330L)))
+    q.stop()
+  }
+
   test("ext_json_get unwraps what ext_json_canonical wrapped (round trip)") {
     val rendered = ext_json_canonical(struct(
       lit(42L).as("_id"),
