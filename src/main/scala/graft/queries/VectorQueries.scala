@@ -62,6 +62,11 @@ object VectorQueries extends QueryPack {
     final case class Index(centroids: Seq[(Int, Seq[Float])], path: String)
     private val memo = new SessionMemo[String, Index]()
     val K = 8
+    // balance bound: a bucket may hold at most 4× the mean (N/K) rows
+    // before the index build splits its centroid (Similarity
+    // .balancedCentroids); on the uniform fixture nothing splits, so the
+    // centroid count stays K and every oracle is unchanged
+    val MaxBucketFactor = 4L
 
     /** Deterministic fixture-derived index root (was a fresh
       * `createTempDirectory` per JVM): Verify and Bench used to rebuild
@@ -90,11 +95,17 @@ object VectorQueries extends QueryPack {
         // the fit settings) must rebuild, not silently reuse a layout
         // whose partition count disagrees with the new constants
         val fp = graft.operators.Artifacts.tableFingerprint(dir, "embeddings") +
-          s"|k=$K|iters=3|dim=64"
+          s"|k=$K|iters=3|dim=64|bal=$MaxBucketFactor"
         graft.operators.Artifacts.ensureBuilt(root, fp) { tmp =>
           val embs = graft.Tables.table(s, dir, "embeddings")
-          val cents = graft.similarity.KMeans.fit(
+          val cents0 = graft.similarity.KMeans.fit(
             embs, "vec_id", "embedding", k = K, iters = 3, dim = 64)
+          // hot-partition balance (ANN analog of join skew): split any
+          // centroid whose bucket exceeds MaxBucketFactor× the mean
+          // bucket size, so no single partition serves most probes
+          val maxRows = math.max(1L, MaxBucketFactor * embs.count() / K)
+          val cents = Similarity.balancedCentroids(embs, "vec_id",
+            "embedding", cents0, "cid", "cvec", maxRows, dim = 64)
           cents.coalesce(1).write.mode("overwrite")
             .parquet(tmp.resolve("centroids").toString)
           Similarity.assignToCentroids(embs, "vec_id", "embedding",
@@ -152,9 +163,13 @@ object VectorQueries extends QueryPack {
       dir: String, k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
     val ix = SharedIvfIndex(s, dir)
     val centroids = s.createDataFrame(ix.centroids).toDF("cid", "cvec")
+    // nprobe ≤ 0 ⇒ probe EVERY centroid (the brute-force-parity config) —
+    // expressed against the actual centroid count, which can exceed K
+    // when the balance pass split a hot bucket
+    val np = if (nprobe <= 0) ix.centroids.length else nprobe
     Similarity.ivfKnnPruned(s.read.parquet(ix.path), "vec_id", "embedding",
       centroids, "cid", "cvec", typedLit(SharedProbe(s, dir, ProbeId)),
-      k, nprobe)
+      k, np)
   }
 
   override val queries: Seq[Q] = Seq(
@@ -282,7 +297,7 @@ object VectorQueries extends QueryPack {
     // exact-kNN SQL is the oracle for the whole learned pipeline
     // (fit → label → partition → route → scan).
     Q("vec_knn_ivf_learned",
-      (s, dir) => ivfLearnedKnn(s, dir, k = 10, nprobe = SharedIvfIndex.K)
+      (s, dir) => ivfLearnedKnn(s, dir, k = 10, nprobe = 0) // 0 ⇒ all (parity)
         .select(col("vec_id"), round(col("sim"), 6).as("sim"))
         .orderBy(col("sim").desc, col("vec_id")),
       Some(s"""SELECT vec_id,
@@ -443,7 +458,7 @@ object VectorQueries extends QueryPack {
     // IvfPqSpec (≤ 2·b partitions listed, broadcast join, probe_id-only
     // shuffle).
     Q("vec_knn_ivf_batch",
-      (s, dir) => ivfBatchKnn(s, dir, k = 5, nprobe = SharedIvfIndex.K),
+      (s, dir) => ivfBatchKnn(s, dir, k = 5, nprobe = 0), // 0 ⇒ all (parity)
       Some(s"""WITH probes AS (
                  SELECT vec_id AS probe_id, embedding AS pvec
                  FROM embeddings WHERE vec_id IN (${BatchProbeIds.mkString(", ")})),
@@ -491,9 +506,10 @@ object VectorQueries extends QueryPack {
     import s.implicits._
     val ix = SharedIvfIndex(s, dir)
     val centroids = s.createDataFrame(ix.centroids).toDF("cid", "cvec")
+    val np = if (nprobe <= 0) ix.centroids.length else nprobe // ≤0 ⇒ all
     val routed = BatchProbeIds.flatMap { pid =>
       val v = SharedProbe(s, dir, pid)
-      Similarity.routeProbe(centroids, "cid", "cvec", typedLit(v), nprobe)
+      Similarity.routeProbe(centroids, "cid", "cvec", typedLit(v), np)
         .map(c => (pid, c, v))
     }
     val allCids = routed.map(_._2).distinct

@@ -155,6 +155,74 @@ object Similarity {
         routeProbe(centroids, cidCol, cvecCol, probeVec, nprobe): _*)),
       idCol, vecCol, probeVec, k)
 
+  /** Hot-partition balance for the IVF layout — the ANN analog of join
+    * skew: a clustered corpus can drop most of its rows into ONE
+    * centroid's partition, and every probe routed there scans it whole,
+    * recreating the full-scan cost IVF exists to avoid. This splits any
+    * centroid whose bucket exceeds `maxRows` into `ceil(n / maxRows)`
+    * sub-centroids learned by a mini spherical-KMeans over just that
+    * bucket, then reassigns GLOBALLY and repeats (a split can shift
+    * neighboring buckets) until every bucket fits or `maxRounds` is hit.
+    *
+    * Driver work per round is one ≤k-row count and one small fit per hot
+    * bucket (hot buckets are few by definition); corpus work is one
+    * zero-shuffle assignment pass per round plus the bucket-local fit
+    * aggregations. The result is a plain (cid, cvec) centroid table —
+    * routing, partition pruning, and the nprobe=ALL ⇒ brute-force parity
+    * property are untouched because the index is still nothing more than
+    * nearest-centroid assignment over the final table.
+    *
+    * Degenerate corner: a bucket of IDENTICAL vectors cannot be split by
+    * centroid routing (every sub-centroid coincides; ties go to the
+    * smallest cid) — `maxRounds` bounds the attempt and the oversized
+    * bucket survives, which is the honest outcome (such data needs an
+    * id-hash sub-split at WRITE time, not a routing change).
+    */
+  def balancedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      initial: DataFrame, cidCol: String, cvecCol: String,
+      maxRows: Long, dim: Int, maxRounds: Int = 4, fitIters: Int = 3)
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    def toDf(cs: Seq[(Int, Seq[Float])]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cs.map { case (cid, v) => org.apache.spark.sql.Row(cid, v) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cvec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+    var cents: Seq[(Int, Seq[Float])] = initial
+      .select(col(cidCol).cast("int"), col(cvecCol))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    var rounds = 0
+    var balanced = false
+    while (!balanced && rounds < maxRounds) {
+      rounds += 1
+      val assigned = assignToCentroids(
+        corpus, idCol, vecCol, toDf(cents), "cid", "cvec")
+      val counts = assigned.groupBy("centroid_id").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val hot = cents.map(_._1).filter(c => counts.getOrElse(c, 0L) > maxRows)
+      if (hot.isEmpty) balanced = true
+      else {
+        var nextId = cents.map(_._1).max + 1
+        val replacements = hot.flatMap { c =>
+          val m = math.min(
+            math.ceil(counts(c).toDouble / maxRows).toInt, 16)
+          val sub = KMeans.fit(assigned.filter(col("centroid_id") === c),
+              idCol, vecCol, m, fitIters, dim)
+            .collect().map(r => (nextId + r.getInt(0), r.getSeq[Float](1)))
+          nextId += m
+          sub
+        }
+        cents = cents.filterNot(c => hot.contains(c._1)) ++ replacements
+      }
+    }
+    toDf(cents)
+  }
+
   /** Route a probe to its `nprobe` nearest centroids — the k-row
     * driver-side routing step every IVF variant shares (the centroid
     * table is k rows by construction; fetching the winners is the same

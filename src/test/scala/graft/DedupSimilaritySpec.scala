@@ -250,6 +250,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recalls.sliding(2).forall { case Seq(a, b) => a <= b })
   }
 
+  test("balancedCentroids splits a hot IVF bucket and preserves full-probe parity") {
+    import spark.implicits._
+    // deliberately clustered corpus: 360 of 400 vectors jitter around one
+    // direction (a near-dup-heavy crawl), the rest are spread. The spread
+    // rows take the SMALL ids: KMeans.fit inits from the k smallest-id
+    // vectors, so the initial centroids are spread directions and the
+    // whole blob lands in ONE centroid's partition — the hot-bucket shape
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    def jittered(): Seq[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.5f).toSeq
+    def spread(): Seq[Float] = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
+    val vecs = (1L to 40L).map(i => (i, spread())) ++
+      (41L to 400L).map(i => (i, jittered()))
+    val corpus = vecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val init = graft.similarity.KMeans.fit(
+      corpus, "vec_id", "embedding", k = 4, iters = 3, dim = 8)
+    def maxBucket(cents: org.apache.spark.sql.DataFrame): Long =
+      Similarity.assignToCentroids(corpus, "vec_id", "embedding",
+          cents, "cid", "cvec")
+        .groupBy("centroid_id").count().agg(max("count")).head().getLong(0)
+    assert(maxBucket(init) > 150L, "fixture must actually produce a hot bucket")
+
+    val balanced = Similarity.balancedCentroids(corpus, "vec_id", "embedding",
+      init, "cid", "cvec", maxRows = 150L, dim = 8)
+    // the bound holds after balancing, and the table grew by real splits
+    assert(maxBucket(balanced) <= 150L,
+      s"hot bucket not split: max=${maxBucket(balanced)}")
+    assert(balanced.count() > 4L)
+
+    // parity is untouched: probing EVERY centroid of the balanced table
+    // still reproduces exact brute force
+    val probe = vecs.head._2
+    val assigned = Similarity.assignToCentroids(corpus, "vec_id", "embedding",
+      balanced, "cid", "cvec")
+    val full = Similarity.ivfKnn(assigned, "vec_id", "embedding",
+        balanced, "cid", "cvec", typedLit(probe), 10,
+        nprobe = balanced.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Similarity.bruteForceKnn(corpus, "vec_id", "embedding",
+        typedLit(probe), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === exact)
+  }
+
   test("duplicateClusters labels every component by its minimum member") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.8)
     val pairList = pairs.select("a_id", "b_id")
