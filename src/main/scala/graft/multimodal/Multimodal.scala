@@ -269,13 +269,25 @@ object Multimodal {
     bb.array()
   }
 
+  /** Per-frame payload size in the fixture MP4: deterministic and
+    * SQL-expressible (8/10/12/14 cycling), so the DuckDB oracle can
+    * reproduce every `stsz` entry and every prefix-summed `stco`-based
+    * byte offset arithmetically.
+    */
+  def mp4FrameSize(i: Int): Int = 8 + (i % 4) * 2
+
   /** Encode a real (header-level) MP4 payload for `mediaId`:
-    * `ftyp` + `moov(mvhd + trak(tkhd))` + `mdat`. The movie header
-    * carries timescale = fps and duration = frame count (so duration in
-    * timescale units IS the frame count); the track header carries
-    * width/height in 16.16 fixed point — all per ISO/IEC 14496-12 box
-    * layouts. `mdat` is deterministic filler (no frame encoder in this
-    * container); everything the decode path reads is spec-correct bytes.
+    * `ftyp` + `moov(mvhd + trak(tkhd + mdia(minf(stbl(stsz + stco)))))`
+    * + `mdat`. The movie header carries timescale = fps and duration =
+    * frame count (so duration in timescale units IS the frame count);
+    * the track header carries width/height in 16.16 fixed point; the
+    * SAMPLE TABLE is real — `stsz` lists every frame's byte size
+    * ([[mp4FrameSize]]) and `stco` the single chunk's absolute file
+    * offset, and the `mdat` payload is exactly Σ sizes bytes, so
+    * per-frame byte ranges computed from the table land inside the
+    * actual frame bytes — all per ISO/IEC 14496-12 box layouts. No
+    * frame CODEC exists in this container, but every structural field a
+    * demuxer walks is spec-correct.
     */
   def encodeMp4(mediaId: Long): Array[Byte] = {
     val (w, h, fps, nF) = videoParams(mediaId)
@@ -314,14 +326,35 @@ object Multimodal {
       bb.putInt(h << 16)                 // height 16.16
       bb.array()
     })
-    val moov = mp4Box("moov", mvhd ++ mp4Box("trak", tkhd))
-    val filler = new Array[Byte](nF * 8)
+    val sizes = Array.tabulate(nF)(mp4FrameSize)
+    val stsz = mp4Box("stsz", {
+      val bb = ByteBuffer.allocate(12 + 4 * nF)
+      bb.putInt(0)           // version + flags
+      bb.putInt(0)           // sample_size 0 ⇒ per-sample table follows
+      bb.putInt(nF)          // sample_count
+      sizes.foreach(bb.putInt)
+      bb.array()
+    })
+    def stco(chunkOff: Int) = mp4Box("stco", {
+      val bb = ByteBuffer.allocate(12)
+      bb.putInt(0)           // version + flags
+      bb.putInt(1)           // entry_count: one chunk holds all samples
+      bb.putInt(chunkOff)    // absolute file offset of the chunk
+      bb.array()
+    })
+    def moov(chunkOff: Int) = mp4Box("moov", mvhd ++ mp4Box("trak",
+      tkhd ++ mp4Box("mdia", mp4Box("minf", mp4Box("stbl",
+        stsz ++ stco(chunkOff))))))
+    // stco stores an ABSOLUTE file offset; the moov size doesn't depend
+    // on the offset VALUE, so a two-pass build resolves it exactly
+    val mdatPayloadOff = ftyp.length + moov(0).length + 8
+    val filler = new Array[Byte](sizes.sum)
     var i = 0
     while (i < filler.length) {
       filler(i) = ((mediaId * 31 + i * 131) & 0xff).toByte
       i += 1
     }
-    ftyp ++ moov ++ mp4Box("mdat", filler)
+    ftyp ++ moov(mdatPayloadOff) ++ mp4Box("mdat", filler)
   }
 
   private val encodeMp4Udf = udf(encodeMp4 _)
@@ -368,6 +401,57 @@ object Multimodal {
   }
 
   private val mp4MetaUdf = udf(decodeMp4Meta _)
+
+  /** Real MP4 SAMPLE-TABLE walk (`moov/trak/mdia/minf/stbl`): `stsz`
+    * gives every frame's byte size (or the uniform size), `stco` the
+    * chunk's absolute file offset; per-frame byte offsets are the chunk
+    * offset plus the prefix sum of the preceding sizes — exactly the
+    * computation a demuxer does to seek a frame, for the single-chunk
+    * layout this fixture writes. Returns (per-frame offsets, sizes);
+    * None when the boxes are absent or malformed.
+    */
+  def decodeMp4SampleTable(bytes: Array[Byte])
+      : Option[(Array[Long], Array[Int])] = {
+    def findBox(start: Int, end: Int, tpe: String): Option[(Int, Int)] = {
+      var off = start
+      while (off + 8 <= end) {
+        val size = beInt(bytes, off)
+        if (size < 8 || off + size > end) return None
+        if (new String(bytes, off + 4, 4, "US-ASCII") == tpe)
+          return Some((off + 8, off + size))
+        off += size
+      }
+      None
+    }
+    try {
+      for {
+        (moovS, moovE) <- findBox(0, bytes.length, "moov")
+        (trakS, trakE) <- findBox(moovS, moovE, "trak")
+        (mdiaS, mdiaE) <- findBox(trakS, trakE, "mdia")
+        (minfS, minfE) <- findBox(mdiaS, mdiaE, "minf")
+        (stblS, stblE) <- findBox(minfS, minfE, "stbl")
+        (stszS, stszE) <- findBox(stblS, stblE, "stsz")
+        (stcoS, stcoE) <- findBox(stblS, stblE, "stco")
+        if stszE - stszS >= 12 && stcoE - stcoS >= 12
+        uniform = beInt(bytes, stszS + 4)
+        count = beInt(bytes, stszS + 8)
+        if count >= 0 && (uniform != 0 || stszE - stszS >= 12 + 4 * count)
+        if beInt(bytes, stcoS + 4) >= 1
+      } yield {
+        val sizes =
+          if (uniform != 0) Array.fill(count)(uniform)
+          else Array.tabulate(count)(i => beInt(bytes, stszS + 12 + 4 * i))
+        val chunkOff = beInt(bytes, stcoS + 8).toLong & 0xffffffffL
+        val offsets = new Array[Long](count)
+        var acc = chunkOff
+        var i = 0
+        while (i < count) { offsets(i) = acc; acc += sizes(i); i += 1 }
+        (offsets, sizes)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  private val mp4SampleTableUdf = udf(decodeMp4SampleTable _)
 
   /** 64-bit perceptual difference hash (dHash) of an image payload:
     * real decode → grayscale box-average onto a 9×8 grid → one bit per
@@ -555,18 +639,36 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video rows: emit every `stride`-th frame index
-    * with its presentation timestamp (floor ms, from the parsed
-    * duration) — only narrow columns explode; payload bytes never enter
-    * the explode.
+  /** Frame sampling for video rows, driven by the REAL sample table:
+    * every `stride`-th frame index explodes with its presentation
+    * timestamp (floor ms from the parsed `mvhd` duration/timescale),
+    * its absolute byte offset (`stco` chunk offset + `stsz` prefix sum
+    * — the demuxer's seek computation) and its byte size (`stsz`). The
+    * frame COUNT is the `stsz` sample count, not header arithmetic.
+    * Only the narrow (offsets, sizes) arrays enter the explode; payload
+    * bytes never do.
     */
-  def sampleFrames(meta: Dataset[MediaMeta], stride: Int): DataFrame =
-    meta.toDF()
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media
       .filter(col("kind") === "video")
-      .select(col("media_id"), col("n_frames"), col("duration_ms"),
-        explode(sequence(lit(0L), col("n_frames").cast("long") - 1, lit(stride.toLong))).as("frame_idx"))
-      .withColumn("ts_ms", expr("frame_idx * duration_ms div n_frames"))
-      .select("media_id", "frame_idx", "ts_ms")
+      .select(col("media_id"),
+        mp4MetaUdf(col("bytes")).as("m"),
+        mp4SampleTableUdf(col("bytes")).as("st"))
+      .filter(col("m").isNotNull && col("st").isNotNull)
+      .select(col("media_id"),
+        expr("m._2 * 1000 div m._1").as("duration_ms"),
+        size(col("st._1")).cast("long").as("n_frames"),
+        col("st._1").as("offs"), col("st._2").as("szs"))
+      .select(col("media_id"), col("duration_ms"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .as("frame_idx"),
+        col("offs"), col("szs"))
+      .select(col("media_id"), col("frame_idx"),
+        expr("frame_idx * duration_ms div n_frames").as("ts_ms"),
+        element_at(col("offs"), (col("frame_idx") + 1).cast("int"))
+          .as("byte_off"),
+        element_at(col("szs"), (col("frame_idx") + 1).cast("int"))
+          .cast("long").as("frame_bytes"))
 
   /** DataFrame-level metadata decode — used by the oracled query. Every
     * populated value comes from a real header parse of the payload (PNG

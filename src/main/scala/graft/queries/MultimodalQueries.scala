@@ -82,26 +82,35 @@ object MultimodalQueries extends QueryPack {
                                    // (12 + doc_id % 20) END AS duration_ms
               FROM documents ORDER BY media_id""")),
 
-    // Frame sampling: explode every 4th frame index of video rows with
-    // its floor-ms presentation timestamp (from the PARSED mvhd
-    // duration/timescale) — narrow columns only, payload bytes never
+    // Frame sampling off the REAL sample table: every 4th frame of each
+    // video with its floor-ms presentation timestamp (parsed mvhd
+    // duration/timescale), its absolute byte offset (parsed stco chunk
+    // offset + stsz prefix sum — the demuxer seek computation) and its
+    // stsz byte size; the frame count is the stsz sample count. The
+    // oracle reproduces every offset arithmetically from the encode
+    // parameters (fixed box layout + the 8/10/12/14 size cycle), so a
+    // fake walk cannot pass. Narrow columns only — payload bytes never
     // enter the explode.
     Q("mm_frame_sample",
-      (s, dir) => {
-        import s.implicits._
-        val media = SharedMedia(s, dir).as[Multimodal.MediaRow]
-        Multimodal.sampleFrames(Multimodal.decodeMeta(media), stride = 4)
-          .orderBy("media_id", "frame_idx")
-      },
+      (s, dir) => Multimodal.sampleFrames(SharedMedia(s, dir), stride = 4)
+        .orderBy("media_id", "frame_idx"),
       Some("""WITH meta AS (
                 SELECT doc_id AS media_id,
                        24 + doc_id % 240 AS n_frames,
                        (24 + doc_id % 240) * 1000 // (12 + doc_id % 20) AS duration_ms
                 FROM documents
-                WHERE doc_id % 3 = 2)
-              SELECT media_id, unnest(range(0, n_frames, 4)) AS frame_idx,
-                     unnest(range(0, n_frames, 4)) * duration_ms // n_frames AS ts_ms
-              FROM meta ORDER BY media_id, frame_idx""")))
+                WHERE doc_id % 3 = 2),
+              f AS (
+                SELECT media_id, n_frames, duration_ms,
+                       unnest(range(0, n_frames, 4)) AS frame_idx
+                FROM meta)
+              SELECT media_id, frame_idx,
+                     frame_idx * duration_ms // n_frames AS ts_ms,
+                     312 + 4 * n_frames + 8 * frame_idx
+                       + 12 * (frame_idx // 4)
+                       + (frame_idx % 4) * ((frame_idx % 4) - 1) AS byte_off,
+                     8 + (frame_idx % 4) * 2 AS frame_bytes
+              FROM f ORDER BY media_id, frame_idx""")))
 
     // Perceptual hash of every image payload: real PNG decode →
     // grayscale 9×8 box grid → 64-bit gradient-sign dHash. No SQL engine

@@ -94,17 +94,44 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("frame sampling explodes only narrow columns, one row per stride") {
-    import spark.implicits._
     val media = Multimodal.fakeMediaFromDocs(Tables.table(spark, sfDir, "documents"))
-    val meta = Multimodal.decodeMeta(media.as[Multimodal.MediaRow])
-    val frames = Multimodal.sampleFrames(meta, stride = 4)
-    assert(frames.columns.toSeq === Seq("media_id", "frame_idx", "ts_ms"))
-    val perVideo = meta.toDF().filter(col("kind") === "video")
-      .select("media_id", "n_frames").collect()
-      .map(r => r.getLong(0) -> (1 + (r.getInt(1) - 1) / 4)).toMap
+    val frames = Multimodal.sampleFrames(media, stride = 4)
+    assert(frames.columns.toSeq ===
+      Seq("media_id", "frame_idx", "ts_ms", "byte_off", "frame_bytes"))
+    // one row per stride of the STSZ sample count (== encode nF)
+    val perVideo = media.filter(col("kind") === "video")
+      .select("media_id").collect().map(_.getLong(0)).map { id =>
+        val (_, _, _, nF) = Multimodal.videoParams(id)
+        id -> (1 + (nF - 1) / 4)
+      }.toMap
     val got = frames.groupBy("media_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
     assert(got === perVideo)
+  }
+
+  test("MP4 sample table: stsz/stco round-trip and offsets hit the real mdat bytes") {
+    Seq(2L, 5L, 17L, 23L).foreach { id =>
+      val bytes = Multimodal.encodeMp4(id)
+      val (_, _, _, nF) = Multimodal.videoParams(id)
+      val (offs, szs) = Multimodal.decodeMp4SampleTable(bytes).get
+      // stsz recovers exactly the per-frame sizes the encoder wrote
+      assert(szs.length === nF)
+      assert(szs.toSeq === (0 until nF).map(Multimodal.mp4FrameSize))
+      // offsets are the stco chunk offset + prefix sums of stsz sizes
+      val chunk = offs(0)
+      assert(offs.toSeq === szs.scanLeft(chunk)((a, s) => a + s).init.toSeq)
+      // each offset seeks to the frame's ACTUAL bytes: the deterministic
+      // mdat filler value at that absolute file position
+      for (f <- Seq(0, 1, nF - 1)) {
+        val within = offs(f) - chunk
+        assert((bytes(offs(f).toInt) & 0xff) ===
+          ((id * 31 + within * 131) & 0xff).toInt, s"media $id frame $f")
+      }
+      // and the last frame ends exactly at end-of-file: the mdat payload
+      // is really Σ sizes bytes, not unrelated filler
+      assert(offs(nF - 1) + szs(nF - 1) === bytes.length.toLong)
+    }
+    assert(Multimodal.decodeMp4SampleTable("junk".getBytes).isEmpty)
   }
 
   test("dHash is deterministic and separates unrelated images") {
