@@ -174,10 +174,15 @@ object Dedup {
     * literal-vs-subquery size split.
     */
   def incrementalCandidates(oldIdx: DataFrame, newIdx: DataFrame,
-      maxBroadcastPostings: Long = 4000000L): DataFrame = {
+      maxBroadcastPostings: Long = 4000000L,
+      knownPostings: Option[Long] = None): DataFrame = {
     val a = oldIdx.withColumnRenamed("doc_id", "a_id")
     val b0 = newIdx.withColumnRenamed("doc_id", "b_id")
-    val b = if (b0.count() <= maxBroadcastPostings) broadcast(b0) else b0
+    // callers that already track the increment's postings count (a
+    // pipeline knows its batch size; the query layer memoizes it per
+    // fixture) pass it via knownPostings and skip the count job
+    val n = knownPostings.getOrElse(b0.count())
+    val b = if (n <= maxBroadcastPostings) broadcast(b0) else b0
     a.join(b, "shingle").groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
   }
 

@@ -246,5 +246,36 @@ object CdcQueries extends QueryPack {
               FROM events p JOIN events v ON p.user_id = v.user_id
               WHERE p.event_type = 'purchase' AND v.event_type = 'view'
                 AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
-              ORDER BY p_id, v_id""")))
+              ORDER BY p_id, v_id""")),
+
+    // The OUTER flavor of the stream-stream enrichment: EVERY purchase
+    // survives, null-padded when no view fell in its trailing hour — in
+    // streaming, the null row is emitted only once the watermark proves
+    // no match can arrive (the state-eviction-driven case the
+    // StatefulStreamingSpec left-outer test pins). Same shared code
+    // path; null sort order pinned FIRST on the nullable column so both
+    // engines hash identically.
+    Q("cdc_stream_enrich_outer",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"), col("value"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+            col("ts").as("v_ts"))
+        graft.streaming.StreamStreamJoin.intervalEnrich(
+            purchases, "p_user", "p_ts", views, "v_user", "v_ts", "1 HOUR",
+            joinType = "left_outer")
+          .select(col("p_id"), col("p_user").as("user_id"), col("v_id"),
+            round(col("value"), 2).as("value"))
+          .orderBy(col("p_id"), col("v_id").asc_nulls_first)
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id AS user_id,
+                     v.event_id AS v_id, round(p.value, 2) AS value
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+                ON p.user_id = v.user_id
+               AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+              ORDER BY p_id, v_id NULLS FIRST""")))
 }

@@ -417,6 +417,32 @@ object RelationalQueries extends QueryPack {
               FROM active JOIN cohort USING (user_id)
               GROUP BY 1, 2 ORDER BY cohort, week_offset""")),
 
+    // Z-score anomaly flags per event type: one tiny (5-row) stats agg
+    // broadcast back over the stream, z computed in-plan, the outlier
+    // decision taken on the ROUNDED z so both engines compare the same
+    // number. Shape at 100 TB: the events scan never shuffles — partial
+    // aggregation reduces it to 5 rows, and the enrich join is a
+    // broadcast; the narrow projection + global sort is the only wide op.
+    Q("ts_zscore",
+      (s, dir) => {
+        val stats = t(s, dir, "events").groupBy("event_type")
+          .agg(avg("value").as("m"), stddev_pop("value").as("sd"))
+        t(s, dir, "events")
+          .join(broadcast(stats), "event_type")
+          .select(col("event_id"), col("event_type"),
+            round((col("value") - col("m")) / col("sd"), 4).as("z"))
+          .withColumn("is_outlier", abs(col("z")) > lit(2.0d))
+          .orderBy("event_id")
+      },
+      Some("""WITH st AS (SELECT event_type, avg(value) AS m,
+                                 stddev_pop(value) AS sd
+                          FROM events GROUP BY 1)
+              SELECT event_id, event_type,
+                     round((value - m) / sd, 4) AS z,
+                     abs(round((value - m) / sd, 4)) > 2.0 AS is_outlier
+              FROM events JOIN st USING (event_type)
+              ORDER BY event_id""")),
+
     // Fixed-width histogram of the value distribution (8 buckets of 25,
     // top bucket open-ended): one partial+final aggregation over a
     // narrow integer projection — the profile pass before choosing

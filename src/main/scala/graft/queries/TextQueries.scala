@@ -43,6 +43,19 @@ object TextQueries extends QueryPack {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Postings count of the deterministic 20% "new batch" slice of the
+    * shared shingle index, memoized per (session, fixture): the
+    * incremental-dedup broadcast-vs-shuffle decision needs the number
+    * once, not one count job per query run (a real pipeline knows its
+    * increment size without asking).
+    */
+  private object SharedIncrementPostings {
+    private val memo = new SessionMemo[(String, Int), Long]()
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String, n: Int): Long =
+      memo(s, (dir, n))(
+        SharedShingleIndex(s, dir, n).filter(col("doc_id") % 10 >= 8).count())
+  }
+
   /** The 0.8-Jaccard pair table both `doc_dedup_ngram` and
     * `doc_dedup_clusters` consume, memoized like the index above (one
     * small pinned pair table per fixture): clusters then costs only its
@@ -130,6 +143,74 @@ object TextQueries extends QueryPack {
               WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
                     < CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 100 ELSE 60 END
               ORDER BY doc_id""")),
+
+    // WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    // exponential-keys): priority = -ln(u)/w with u a deterministic
+    // md5-derived uniform and w = octet_length(text), so longer docs are
+    // proportionally likelier — no RNG state to coordinate, membership
+    // identical on any engine at any scale. The k smallest priorities
+    // win: plans as TakeOrderedAndProject (per-partition heap + driver
+    // merge of k) — one narrow corpus pass, ZERO shuffle, the same shape
+    // at 100 TB. Priorities round to 9 dp before the order so libm ulp
+    // differences between engines cannot flip the selection.
+    Q("doc_sample_weighted",
+      (s, dir) => {
+        val b = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(1000000))
+        val u = (b + lit(1)).cast("double") / lit(1000001.0d)
+        t(s, dir, "documents")
+          .withColumn("priority",
+            round(-log(u) / octet_length(col("text")).cast("double"), 9))
+          .select(col("doc_id"), col("lang"),
+            octet_length(col("text")).cast("long").as("weight"),
+            col("priority"))
+          .orderBy(col("priority"), col("doc_id"))
+          .limit(50)
+      },
+      Some("""SELECT doc_id, lang, strlen(text)::BIGINT AS weight,
+                     round(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 + 1)
+                               / 1000001.0)
+                           / strlen(text), 9) AS priority
+              FROM documents
+              ORDER BY priority, doc_id LIMIT 50""")),
+
+    // EXACT heavy hitters at sketch cost (the classic two-pass): pass 1
+    // folds the token stream into ONE mergeable Misra–Gries summary
+    // (≤200 counters per partition, k-entry partials shuffle instead of
+    // the full vocabulary) whose survivors are a GUARANTEED superset of
+    // every token above n/201 of the stream; pass 2 exact-counts only
+    // those ≤200 candidates via a broadcast join and keeps true
+    // > 0.5% tokens with an all-integer threshold (cnt·200 > n). The
+    // final output is deterministic and DuckDB-oracled even though
+    // sketch internals depend on partitioning — the sketch only ever
+    // proposes, the recount decides.
+    Q("text_heavy_hitters",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(explode(TextFunctions.tokens(
+            TextFunctions.normalize(col("text")))).as("token"))
+        val mg = udaf(new graft.functions.MisraGries(200),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+        val cands = toks.agg(mg(col("token")).as("sketch"))
+          .select(explode(map_keys(col("sketch"))).as("token"))
+        val total = toks.agg(count(lit(1)).as("n_total"))
+        toks.join(broadcast(cands), "token")
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(total))
+          .filter(col("cnt") * 200 > col("n_total"))
+          .select("token", "cnt")
+          .orderBy(col("cnt").desc, col("token"))
+      },
+      Some("""WITH toks AS (
+                SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+                FROM documents),
+              tot AS (SELECT count(*) AS n_total FROM toks)
+              SELECT token, count(*) AS cnt
+              FROM toks, tot
+              GROUP BY token, n_total
+              HAVING count(*) * 200 > n_total
+              ORDER BY cnt DESC, token""")),
 
     // The quality-filter DECISION pass: compose the scoring signals
     // (length, vocabulary diversity, stopword density) into keep/drop
@@ -516,7 +597,8 @@ object TextQueries extends QueryPack {
         // new-side size table is increment-sized and broadcasts
         Dedup.incrementalCandidates(
             idx.filter(col("doc_id") % 10 < 8),
-            idx.filter(col("doc_id") % 10 >= 8))
+            idx.filter(col("doc_id") % 10 >= 8),
+            knownPostings = Some(SharedIncrementPostings(s, dir, 3)))
           .join(sizes.toDF("a_id", "na"), "a_id")
           .join(broadcast(sizes.filter(col("doc_id") % 10 >= 8)
             .toDF("b_id", "nb")), "b_id")

@@ -38,15 +38,22 @@ object StreamStreamJoin {
     * non-streaming children — which is how the oracled batch twin
     * (`cdc_stream_enrich`) runs this exact code path against DuckDB.
     */
+  /** `joinType` additionally supports the streaming OUTER flavors
+    * (`left_outer`/`right_outer`/`full_outer`): an unmatched row is
+    * emitted null-padded only once the watermark proves no match can
+    * still arrive — the streaming analog of "enrich if present".
+    */
   def intervalEnrich(left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
-      lookback: String, delay: String = "10 seconds"): DataFrame = {
+      lookback: String, delay: String = "10 seconds",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTime, delay)
     val r = right.withWatermark(rightTime, delay)
     l.join(r,
       col(leftKey) === col(rightKey) &&
         col(rightTime).between(
-          col(leftTime) - expr(s"INTERVAL $lookback"), col(leftTime)))
+          col(leftTime) - expr(s"INTERVAL $lookback"), col(leftTime)),
+      joinType)
   }
 
   /** CDC flavor: enrich a parsed change-stream envelope with a second

@@ -35,4 +35,32 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est - exact).toDouble / exact <= 0.05,
       s"HLL estimate $est vs exact $exact")
   }
+
+  test("Misra–Gries: heavy items always survive reduces+merges within the bound") {
+    val k = 10
+    // skewed synthetic stream: three genuinely heavy items buried in noise
+    val stream = Seq.fill(500)("alpha") ++ Seq.fill(300)("beta") ++
+      Seq.fill(200)("gamma") ++ (1 to 900).map(i => s"rare$i")
+    val n = stream.size
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // deterministic shuffle + an arbitrary reduce/merge tree (8 chunks,
+    // pairwise merges) — the guarantee must hold for ANY such tree
+    val rnd = new scala.util.Random(11)
+    val shuffled = rnd.shuffle(stream)
+    val mg = new graft.functions.MisraGries(k)
+    val partials = shuffled.grouped(math.ceil(n / 8.0).toInt)
+      .map(_.foldLeft(mg.zero)(mg.reduce)).toSeq
+    val summary = partials.reduce(mg.merge)
+    assert(summary.size <= k)
+    val bound = n / (k + 1)
+    // every item above n/(k+1) is retained
+    for ((t, c) <- truth if c > bound)
+      assert(summary.contains(t), s"heavy item $t (count $c) evicted")
+    // estimates never overcount and undercount by at most n/(k+1)
+    for ((t, est) <- summary) {
+      assert(est <= truth(t), s"$t overcounted: $est > ${truth(t)}")
+      assert(truth(t) - est <= bound,
+        s"$t undercounted past the bound: $est vs ${truth(t)}")
+    }
+  }
 }

@@ -222,6 +222,56 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits null-padded rows after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[String]
+    val payments = MemoryStream[String]
+    val l = ChangeEvents.parseEnvelope(orders.toDF(), "value")
+      .select(col("documentKey").as("l_key"),
+        org.apache.spark.sql.functions.timestamp_millis(
+          graft.streaming.StatefulOps.eventTimeMillis(col("clusterTime")))
+          .as("l_ts"),
+        col("fullDocument").as("l_doc"))
+    val r = ChangeEvents.parseEnvelope(payments.toDF(), "value")
+      .select(col("documentKey").as("r_key"),
+        org.apache.spark.sql.functions.timestamp_millis(
+          graft.streaming.StatefulOps.eventTimeMillis(col("clusterTime")))
+          .as("r_ts"),
+        col("fullDocument").as("r_doc"))
+    val q = graft.streaming.StreamStreamJoin.intervalEnrich(
+        l, "l_key", "l_ts", r, "r_key", "r_ts",
+        lookback = "1 minute", delay = "10 seconds", joinType = "left_outer")
+      .select("l_key", "l_doc", "r_doc")
+      .writeStream.format("memory").queryName("ssj_outer_out")
+      .outputMode("append").start()
+    def rows(): Set[(String, String, String)] = spark.table("ssj_outer_out")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)).orNull))
+      .toSet
+
+    // matched pair emits immediately; the match-less order must NOT
+    // emit yet — a payment could still arrive inside its window
+    payments.addData(ev("insert", "k1", "pay1", "2024-01-01T00:00:30Z"))
+    orders.addData(
+      ev("update", "k1", "ord1", "2024-01-01T00:01:00Z"),
+      ev("update", "k2", "ord2", "2024-01-01T00:01:10Z"))
+    q.processAllAvailable()
+    assert(rows() === Set(("k1", "ord1", "pay1")),
+      "unmatched row must be withheld while its window can still fill")
+
+    // advance the watermark on both streams far past k2's window: the
+    // unmatched order finalizes as a null-padded row
+    payments.addData(ev("insert", "k9", "payX", "2024-01-01T01:00:00Z"))
+    orders.addData(ev("update", "k9", "ordX", "2024-01-01T01:00:00Z"))
+    q.processAllAvailable()
+    assert(rows() === Set(
+      ("k1", "ord1", "pay1"),
+      ("k9", "ordX", "payX"),
+      ("k2", "ord2", null)))
+    q.stop()
+  }
+
   test("streaming session_window closes sessions when the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
