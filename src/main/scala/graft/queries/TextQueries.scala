@@ -192,12 +192,14 @@ object TextQueries extends QueryPack {
             TextFunctions.normalize(col("text")))).as("token"))
         val mg = udaf(new graft.functions.MisraGries(200),
           org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
-        val cands = toks.agg(mg(col("token")).as("sketch"))
-          .select(explode(map_keys(col("sketch"))).as("token"))
-        val total = toks.agg(count(lit(1)).as("n_total"))
+        // sketch and stream length fold in ONE pass over the tokens;
+        // the recount pass is the second and last
+        val sketchAndTotal = toks
+          .agg(mg(col("token")).as("sketch"), count(lit(1)).as("n_total"))
+        val cands = sketchAndTotal
+          .select(explode(map_keys(col("sketch"))).as("token"), col("n_total"))
         toks.join(broadcast(cands), "token")
-          .groupBy("token").agg(count(lit(1)).as("cnt"))
-          .crossJoin(broadcast(total))
+          .groupBy("token", "n_total").agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") * 200 > col("n_total"))
           .select("token", "cnt")
           .orderBy(col("cnt").desc, col("token"))

@@ -192,6 +192,34 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("weighted sampling is a zero-shuffle top-k heap over one narrow scan") {
+    val p = plan("doc_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("heavy hitters: candidate set broadcasts; token agg is partial-then-final") {
+    val p = plan("text_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the recount must combine map-side: partial_count before the shuffle
+    assert(p.contains("partial_count") || p.contains("partial, [count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("z-score flags broadcast the 5-row stats — the events scan never shuffles") {
+    val p = plan("ts_zscore")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("stream-stream batch twin joins on the key — no nested-loop, no cartesian") {
+    for (q <- Seq("cdc_stream_enrich", "cdc_stream_enrich_outer")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q:\n$p")
+    }
+  }
+
   test("learned-IVF kNN prunes the partitioned corpus statically (nprobe=2)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
