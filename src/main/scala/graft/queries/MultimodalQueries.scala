@@ -110,7 +110,26 @@ object MultimodalQueries extends QueryPack {
                        + 12 * (frame_idx // 4)
                        + (frame_idx % 4) * ((frame_idx % 4) - 1) AS byte_off,
                      8 + (frame_idx % 4) * 2 AS frame_bytes
-              FROM f ORDER BY media_id, frame_idx""")))
+              FROM f ORDER BY media_id, frame_idx""")),
+
+    // Keyframe selection entirely from parsed container metadata: the
+    // peak-size frames of each video (stsz size 14, the I-frame analog
+    // in the fixture's 8/10/12/14 cycle — real demuxers use exactly
+    // this size skew to pick seek points without decoding). Counts and
+    // first byte offset per video; the oracle derives both from the
+    // encode arithmetic (frames ≡ 3 mod 4 peak; the first sits at chunk
+    // offset + 8+10+12). One narrow pass over the parsed table.
+    Q("mm_keyframes",
+      (s, dir) => Multimodal.sampleFrames(SharedMedia(s, dir), stride = 1)
+        .filter(col("frame_bytes") === 14)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_key"), min("byte_off").as("first_off"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+                     (24 + doc_id % 240) // 4 AS n_key,
+                     312 + 4 * (24 + doc_id % 240) + 30 AS first_off
+              FROM documents WHERE doc_id % 3 = 2
+              ORDER BY media_id""")))
 
     // Perceptual hash of every image payload: real PNG decode →
     // grayscale 9×8 box grid → 64-bit gradient-sign dHash. No SQL engine

@@ -214,6 +214,38 @@ object TextQueries extends QueryPack {
               HAVING count(*) * 200 > n_total
               ORDER BY cnt DESC, token""")),
 
+    // SUBSTRING-level duplication signal (the span-dedup op of Lee et
+    // al., "Deduplicating Training Data Makes Language Models Better"):
+    // 10-token spans appearing in ≥2 documents, with how many docs share
+    // them and the representative first doc — the table a pipeline uses
+    // to cut duplicated passages that doc-level Jaccard never sees
+    // (boilerplate, licenses, quoted blocks). Same inverted-postings
+    // shape as every dedup op here: one shuffle on the span, count
+    // partials combine map-side, never doc×doc.
+    Q("text_dup_spans",
+      (s, dir) => {
+        val sh = Dedup.shingleIndex(t(s, dir, "documents"),
+          "doc_id", "text", 10)
+        // the index is per-doc DISTINCT, so count(*) IS the doc count
+        sh.groupBy("shingle")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+          .filter(col("n_docs") >= 2)
+          .select(md5(col("shingle")).as("span_hash"),
+            col("n_docs"), col("first_doc"))
+          .orderBy("span_hash")
+      },
+      Some("""WITH sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                         [array_to_string(t[i:i+9], ' ')
+                          for i in range(1, len(t) - 8)])) AS shingle
+                FROM (SELECT doc_id,
+                             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+                      FROM documents))
+              SELECT md5(shingle) AS span_hash, count(*) AS n_docs,
+                     min(doc_id) AS first_doc
+              FROM sh GROUP BY shingle HAVING count(*) >= 2
+              ORDER BY span_hash""")),
+
     // The quality-filter DECISION pass: compose the scoring signals
     // (length, vocabulary diversity, stopword density) into keep/drop
     // with a first-failing-rule reason column — the exact filter a
