@@ -435,7 +435,12 @@ object Multimodal {
         if stszE - stszS >= 12 && stcoE - stcoS >= 12
         uniform = beInt(bytes, stszS + 4)
         count = beInt(bytes, stszS + 8)
-        if count >= 0 && (uniform != 0 || stszE - stszS >= 12 + 4 * count)
+        // long arithmetic + a physical bound: a count the FILE cannot
+        // contain (more samples than bytes) is malformed, not a reason
+        // to allocate gigabytes — the per-sample table must really be
+        // present, and the claim must fit the payload either way
+        if count > 0 && count <= bytes.length
+        if uniform != 0 || (stszE - stszS).toLong >= 12L + 4L * count
         if beInt(bytes, stcoS + 4) >= 1
       } yield {
         val sizes =
@@ -654,7 +659,8 @@ object Multimodal {
       .select(col("media_id"),
         mp4MetaUdf(col("bytes")).as("m"),
         mp4SampleTableUdf(col("bytes")).as("st"))
-      .filter(col("m").isNotNull && col("st").isNotNull)
+      .filter(col("m").isNotNull && col("st").isNotNull &&
+        size(col("st._1")) > 0) // a zero-sample table has nothing to emit
       .select(col("media_id"),
         expr("m._2 * 1000 div m._1").as("duration_ms"),
         size(col("st._1")).cast("long").as("n_frames"),

@@ -42,18 +42,25 @@ object Bucketing {
     val qt = quoteId(table)
     // idempotent: if an identical registration already exists, leave it
     // alone — no DROP, so a concurrent reader of the same catalog name
-    // never races a teardown. Only a MISMATCHED spec is re-registered.
+    // never races a teardown. Only a MISMATCHED spec is re-registered;
+    // the check covers bucket AND sort columns, location, and the
+    // current files' schema, so a stale entry (fixture schema changed at
+    // the same path) refreshes instead of silently serving old metadata.
+    val fileSchema = spark.read.parquet(path).schema
     val cat = spark.sessionState.catalog
     val id = org.apache.spark.sql.catalyst.TableIdentifier(table)
     if (cat.tableExists(id)) {
       val m = cat.getTableMetadata(id)
       val sameSpec = m.bucketSpec.exists(b =>
-        b.numBuckets == numBuckets && b.bucketColumnNames == Seq(key)) &&
-        normalizePath(m.location.getPath) == normalizePath(path)
+        b.numBuckets == numBuckets && b.bucketColumnNames == Seq(key) &&
+          b.sortColumnNames == Seq(key)) &&
+        normalizePath(m.location.getPath) == normalizePath(path) &&
+        m.schema.map(f => (f.name, f.dataType)) ==
+          fileSchema.map(f => (f.name, f.dataType))
       if (sameSpec) return
       spark.sql(s"DROP TABLE IF EXISTS $qt") // external: files survive
     }
-    val schema = spark.read.parquet(path).schema.toDDL
+    val schema = fileSchema.toDDL
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS $qt ($schema) USING parquet
          |CLUSTERED BY (${quoteId(key)}) SORTED BY (${quoteId(key)})

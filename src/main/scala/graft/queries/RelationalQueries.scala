@@ -427,10 +427,13 @@ object RelationalQueries extends QueryPack {
       (s, dir) => {
         val stats = t(s, dir, "events").groupBy("event_type")
           .agg(avg("value").as("m"), stddev_pop("value").as("sd"))
+        // nullif guards a constant-valued type (sd = 0): both engines
+        // then agree on NULL z/flag instead of Spark-NULL vs DuckDB-inf
         t(s, dir, "events")
           .join(broadcast(stats), "event_type")
           .select(col("event_id"), col("event_type"),
-            round((col("value") - col("m")) / col("sd"), 4).as("z"))
+            round((col("value") - col("m")) / nullif(col("sd"), lit(0.0d)), 4)
+              .as("z"))
           .withColumn("is_outlier", abs(col("z")) > lit(2.0d))
           .orderBy("event_id")
       },
@@ -438,8 +441,8 @@ object RelationalQueries extends QueryPack {
                                  stddev_pop(value) AS sd
                           FROM events GROUP BY 1)
               SELECT event_id, event_type,
-                     round((value - m) / sd, 4) AS z,
-                     abs(round((value - m) / sd, 4)) > 2.0 AS is_outlier
+                     round((value - m) / nullif(sd, 0), 4) AS z,
+                     abs(round((value - m) / nullif(sd, 0), 4)) > 2.0 AS is_outlier
               FROM events JOIN st USING (event_type)
               ORDER BY event_id""")),
 

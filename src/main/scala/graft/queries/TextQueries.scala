@@ -158,19 +158,22 @@ object TextQueries extends QueryPack {
         val b = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
           16, 10).cast("long"), lit(1000000))
         val u = (b + lit(1)).cast("double") / lit(1000001.0d)
+        // weight floored at 1: a zero-byte doc must not divide by zero
+        // (Spark NULL vs DuckDB +inf would flip sample membership)
+        val w = greatest(octet_length(col("text")), lit(1)).cast("double")
         t(s, dir, "documents")
-          .withColumn("priority",
-            round(-log(u) / octet_length(col("text")).cast("double"), 9))
+          .withColumn("priority", round(-log(u) / w, 9))
           .select(col("doc_id"), col("lang"),
-            octet_length(col("text")).cast("long").as("weight"),
+            greatest(octet_length(col("text")), lit(1)).cast("long")
+              .as("weight"),
             col("priority"))
           .orderBy(col("priority"), col("doc_id"))
           .limit(50)
       },
-      Some("""SELECT doc_id, lang, strlen(text)::BIGINT AS weight,
+      Some("""SELECT doc_id, lang, greatest(strlen(text), 1)::BIGINT AS weight,
                      round(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 + 1)
                                / 1000001.0)
-                           / strlen(text), 9) AS priority
+                           / greatest(strlen(text), 1), 9) AS priority
               FROM documents
               ORDER BY priority, doc_id LIMIT 50""")),
 

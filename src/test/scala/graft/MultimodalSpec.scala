@@ -134,6 +134,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMp4SampleTable("junk".getBytes).isEmpty)
   }
 
+  test("malformed MP4 sample tables are rejected, never allocated") {
+    val good = Multimodal.encodeMp4(7L)
+    def patched(uniform: Int, count: Int): Array[Byte] = {
+      val b = good.clone()
+      val i = b.indexOfSlice("stsz".getBytes("US-ASCII")) // type field
+      val bb = java.nio.ByteBuffer.wrap(b)
+      bb.putInt(i + 8, uniform) // payload + 4: sample_size
+      bb.putInt(i + 12, count)  // payload + 8: sample_count
+      b
+    }
+    // a 12-byte body claiming 2^31-1 uniform samples: the physical bound
+    // (count ≤ file length) must reject it before any allocation
+    assert(Multimodal.decodeMp4SampleTable(patched(8, Int.MaxValue)).isEmpty)
+    // per-sample count whose 4*count overflows Int must not pass the
+    // table-length guard via wraparound
+    assert(Multimodal.decodeMp4SampleTable(patched(0, 600000000)).isEmpty)
+    // zero samples: structurally fine, but nothing to emit → None
+    assert(Multimodal.decodeMp4SampleTable(patched(0, 0)).isEmpty)
+  }
+
   test("dHash is deterministic and separates unrelated images") {
     val h1 = Multimodal.dHash(Multimodal.encodePng(3L))
     val h2 = Multimodal.dHash(Multimodal.encodePng(3L))
