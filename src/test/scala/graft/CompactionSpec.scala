@@ -34,4 +34,36 @@ class CompactionSpec extends SparkSpec {
     graft.operators.Artifacts.deleteRecursively(
       java.nio.file.Paths.get(dir).getParent)
   }
+
+  test("compaction racing streaming MERGE batches loses no rows (shared dir lock)") {
+    val snap = java.nio.file.Files.createTempDirectory("merge_compact_race")
+      .resolve("snapshot").toString
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").cast("string").as("documentKey"),
+        lit("update").as("lastOp"),
+        concat(lit("v"), col("id")).as("fullDocument"))
+    graft.streaming.MergeSink.applyBatch(spark, snap, batch(0, 100),
+      "documentKey", "lastOp", "delete")
+    // a compactor hammers the directory while MERGE batches land: the
+    // shared withDirLock must serialize them — before the lock, any file
+    // appended between compact's snapshot and its swap was silently lost
+    @volatile var err: Throwable = null
+    val compactor = new Thread(() => try {
+      for (_ <- 1 to 4)
+        graft.operators.Compaction.compact(spark, snap, rowsPerFile = 50L)
+    } catch { case t: Throwable => err = t })
+    compactor.start()
+    for (i <- 1 to 4)
+      graft.streaming.MergeSink.applyBatch(spark, snap,
+        batch(i * 100L, i * 100L + 100L), "documentKey", "lastOp", "delete")
+    compactor.join()
+    assert(err == null, s"compactor failed: $err")
+    val keys = spark.read.parquet(snap).select("documentKey")
+      .collect().map(_.getString(0)).toSet
+    val expected = (0L until 500L).map(_.toString).toSet
+    assert(keys === expected,
+      s"rows lost in the race: missing ${(expected -- keys).take(5)}...")
+    graft.operators.Artifacts.deleteRecursively(
+      java.nio.file.Paths.get(snap).getParent)
+  }
 }

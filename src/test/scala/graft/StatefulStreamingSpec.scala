@@ -272,6 +272,50 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream FULL OUTER interval join finalizes both sides' unmatched rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[String]
+    val payments = MemoryStream[String]
+    val joined = graft.streaming.StreamStreamJoin.intervalEnrich(
+      ChangeEvents.parseEnvelope(orders.toDF(), "value")
+        .select(col("documentKey").as("l_key"),
+          timestamp_millis(graft.streaming.StatefulOps
+            .eventTimeMillis(col("clusterTime"))).as("l_ts"),
+          col("fullDocument").as("l_doc")),
+      "l_key", "l_ts",
+      ChangeEvents.parseEnvelope(payments.toDF(), "value")
+        .select(col("documentKey").as("r_key"),
+          timestamp_millis(graft.streaming.StatefulOps
+            .eventTimeMillis(col("clusterTime"))).as("r_ts"),
+          col("fullDocument").as("r_doc")),
+      "r_key", "r_ts",
+      lookback = "1 minute", delay = "10 seconds", joinType = "full_outer")
+    val sq = joined.select("l_doc", "r_doc").writeStream
+      .format("memory").queryName("ssj_full_out").outputMode("append").start()
+    def rows(): Set[(String, String)] = spark.table("ssj_full_out")
+      .collect()
+      .map(r => (Option(r.getString(0)).orNull, Option(r.getString(1)).orNull))
+      .toSet
+
+    // one match-less row on EACH side; neither may emit while its
+    // window can still fill
+    payments.addData(ev("insert", "kP", "payOnly", "2024-01-01T00:00:30Z"))
+    orders.addData(ev("update", "kO", "ordOnly", "2024-01-01T00:01:00Z"))
+    sq.processAllAvailable()
+    assert(rows() === Set.empty)
+
+    // watermark far past both windows: each side finalizes null-padded
+    payments.addData(ev("insert", "k9", "payX", "2024-01-01T01:00:00Z"))
+    orders.addData(ev("update", "k9", "ordX", "2024-01-01T01:00:00Z"))
+    sq.processAllAvailable()
+    assert(rows() === Set(
+      ("ordX", "payX"),
+      ("ordOnly", null),
+      (null, "payOnly")))
+    sq.stop()
+  }
+
   test("streaming session_window closes sessions when the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
