@@ -417,6 +417,38 @@ object RelationalQueries extends QueryPack {
               FROM active JOIN cohort USING (user_id)
               GROUP BY 1, 2 ORDER BY cohort, week_offset""")),
 
+    // SLIDING distinct users (3-hour window ending each hour) — the
+    // rolling-reach metric SQL `count(DISTINCT) OVER` can't express in
+    // Spark: the corpus first collapses to one distinct-user SET per
+    // hour (map-side combine, one shuffle), then a 3-row window over the
+    // COMPACT hourly series merges sets — the window never touches raw
+    // events, so its single-partition sort is over dozens of rows at any
+    // corpus scale. (The approximate path for wide windows is the
+    // mergeable-HLL union of agg_sketch_reuse; this is the exact twin.)
+    Q("ts_sliding_distinct",
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(collect_set(col("user_id")).as("users"))
+        val w = Window.orderBy("hour").rowsBetween(-2, 0)
+        hourly
+          .withColumn("n_users", size(array_distinct(
+            flatten(collect_list(col("users")).over(w)))).cast("long"))
+          .select(
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("n_users"))
+          .orderBy("hour")
+      },
+      Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+                                list(DISTINCT user_id) AS users
+                         FROM events GROUP BY 1)
+              SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+                     len(list_distinct(flatten(
+                       list(users) OVER (ORDER BY hour
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))))::BIGINT
+                       AS n_users
+              FROM h ORDER BY hour""")),
+
     // Z-score anomaly flags per event type: one tiny (5-row) stats agg
     // broadcast back over the stream, z computed in-plan, the outlier
     // decision taken on the ROUNDED z so both engines compare the same

@@ -212,6 +212,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("sliding distinct: corpus collapses map-side before the single-partition window") {
+    val p = plan("ts_sliding_distinct")
+    // the collect_set agg must combine on the map side (partial before the
+    // shuffle) so the one hash exchange carries hourly SETS, not raw events
+    assert(p.contains("partial_collect_set") || p.contains("partial, [collect_set"), p)
+    // exactly one event-level shuffle: the hourly groupBy; the window's
+    // Exchange SinglePartition sits above it, over the compact series only
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("stream-stream batch twin joins on the key — no nested-loop, no cartesian") {
     for (q <- Seq("cdc_stream_enrich", "cdc_stream_enrich_outer")) {
       val p = plan(q)
