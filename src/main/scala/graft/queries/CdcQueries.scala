@@ -277,5 +277,49 @@ object CdcQueries extends QueryPack {
               LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
                 ON p.user_id = v.user_id
                AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
-              ORDER BY p_id, v_id NULLS FIRST""")))
+              ORDER BY p_id, v_id NULLS FIRST""")),
+
+    // SCD TYPE-2 dimension history from the change stream — the thing a
+    // CDC consumer most often materializes: per key, consecutive
+    // duplicate states collapse (change detection via lag), each
+    // surviving version gets [valid_from, valid_to) from its own ts and
+    // the NEXT version's ts (lead), open-ended for the current row.
+    // Both windows share the user_id partitioning, so the whole history
+    // build is ONE key shuffle however large the stream; the change
+    // event_id doubles as the surrogate version key, making the output
+    // order (and the oracle hash) exact. µs-precision timestamps so
+    // same-second flips can't alias.
+    Q("cdc_scd2",
+      (s, dir) => {
+        val byKey = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        t(s, dir, "events")
+          .withColumn("prev_state", lag("event_type", 1).over(byKey))
+          .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+          .withColumn("next_ts", lead("ts", 1).over(byKey))
+          .select(
+            col("user_id"),
+            col("event_id").as("version_id"),
+            col("event_type").as("state"),
+            date_format(col("ts"), fmt).as("valid_from"),
+            date_format(col("next_ts"), fmt).as("valid_to"),
+            when(col("next_ts").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
+          .orderBy("user_id", "version_id")
+      },
+      Some("""WITH changes AS (
+                SELECT user_id, event_id, event_type, ts
+                FROM (SELECT *, lag(event_type) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+                      FROM events)
+                WHERE prev_state IS NULL OR prev_state <> event_type),
+              versioned AS (
+                SELECT user_id, event_id AS version_id, event_type AS state, ts,
+                       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         AS next_ts
+                FROM changes)
+              SELECT user_id, version_id, state,
+                     strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+                     strftime(next_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+                     CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS is_current
+              FROM versioned ORDER BY user_id, version_id""")))
 }

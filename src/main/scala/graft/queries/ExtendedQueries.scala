@@ -685,5 +685,43 @@ object ExtendedQueries extends QueryPack {
                      coalesce(hourly.n, 0) AS n
               FROM spine s LEFT JOIN hourly
                 ON s.event_type = hourly.event_type AND s.h = hourly.h
-              ORDER BY s.event_type, bucket""")))
+              ORDER BY s.event_type, bucket""")),
+
+    // WEIGHTED median per group — an aggregate Spark has no built-in for
+    // (percentile/approx_percentile are unweighted): the lower weighted
+    // median is the smallest value whose running weight reaches half the
+    // group's total. One windowed cumulative sum over the group-sorted
+    // rows (a range-partitioned sort at cluster scale; the group count
+    // is tiny so the final agg is trivial), then min-over-qualifying.
+    // l_quantity's integer-valued weights keep every cumulative sum
+    // exact in ieee754, so the >=-half decision is fp-safe in both
+    // engines; (price, orderkey, linenumber) is a unique sort key so the
+    // running weights agree row-for-row.
+    Q("agg_weighted_median",
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "lineitem")
+          .withColumn("cumw", sum("l_quantity").over(w))
+          .withColumn("totw",
+            sum("l_quantity").over(Window.partitionBy("l_returnflag")))
+          .filter(col("cumw") * 2 >= col("totw"))
+          .groupBy("l_returnflag")
+          .agg(round(min("l_extendedprice"), 2).as("w_median"),
+            round(max("totw"), 1).as("total_weight"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH cum AS (
+                SELECT l_returnflag, l_extendedprice,
+                       sum(l_quantity) OVER
+                         (PARTITION BY l_returnflag
+                          ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING) AS cumw,
+                       sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+                FROM lineitem)
+              SELECT l_returnflag, round(min(l_extendedprice), 2) AS w_median,
+                     round(max(totw), 1) AS total_weight
+              FROM cum WHERE cumw * 2 >= totw
+              GROUP BY l_returnflag ORDER BY l_returnflag""")))
 }

@@ -1129,5 +1129,100 @@ object TextQueries extends QueryPack {
               FROM sh a, sh b
               WHERE a.doc_id < b.doc_id
                 AND bit_count(xor(a.simhash, b.simhash)::BIT) <= 2
-              ORDER BY a_id, b_id""")))
+              ORDER BY a_id, b_id""")),
+
+    // Overlapping token-window CHUNKING (size 32, stride 24 → 8-token
+    // overlap) — the doc→training-example splitter every context-window
+    // pipeline runs before tokenizer/packing. Pure narrow codegen: the
+    // chunk starts come from an in-row `sequence`, the chunk text from
+    // `slice` — zero shuffle, zero join; at 100 TB this is a map-only
+    // pass whose output order is (doc_id, chunk_idx)-deterministic.
+    // (doc_pack is the downstream twin that bins these into fixed-size
+    // training rows.)
+    Q("doc_chunk",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokens(TextFunctions.normalize(col("text"))).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(24))).as("start"))
+        .select(
+          col("doc_id"),
+          (col("start") / 24).cast("long").as("chunk_idx"),
+          least(lit(32), size(col("toks")) - col("start")).cast("long").as("n_toks"),
+          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(32))).as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH tok AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+                FROM documents),
+              starts AS (
+                SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+                FROM tok)
+              SELECT doc_id, (start // 24)::BIGINT AS chunk_idx,
+                     least(32, len(toks) - start)::BIGINT AS n_toks,
+                     array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+              FROM starts ORDER BY doc_id, chunk_idx""")),
+
+    // Windowed token CO-OCCURRENCE with PMI — the collocation/association
+    // signal (phrase mining, tokenizer-merge candidates) over a corpus.
+    // Pair generation is IN-ROW (each token pairs with the ≤3 tokens
+    // after it via slice+transform — no self-join, no posexplode
+    // blow-up), so the only shuffles are the two counted aggregations;
+    // the corpus-total frame is 1 row and broadcasts. PMI is computed
+    // from the same integer counts in both engines with one shared
+    // expression shape, rounded to 4 dp; the output ORDERS BY the
+    // integer pair count so fp never decides membership.
+    Q("text_cooccur",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(TextFunctions.tokens(TextFunctions.normalize(col("text"))).as("toks"))
+        val pairs = toks.select(explode(expr(
+            """flatten(transform(toks, (x, i) ->
+                 transform(slice(toks, i + 2, 3), y ->
+                   struct(least(x, y) AS a, greatest(x, y) AS b))))""")).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+        val uni = toks.select(explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c1"))
+        val totals = pairs.agg(sum("cnt").as("p_total")).crossJoin(
+          uni.agg(sum("c1").as("t_total")))
+        pairs
+          .join(uni.withColumnRenamed("tok", "a").withColumnRenamed("c1", "ca"), "a")
+          .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("c1", "cb"), "b")
+          .crossJoin(broadcast(totals))
+          .filter(col("cnt") >= 5)
+          .select(col("a"), col("b"), col("cnt"),
+            round(log(
+              (col("cnt").cast("double") * col("t_total") * col("t_total")) /
+                (col("p_total").cast("double") * col("ca") * col("cb"))), 4)
+              .as("pmi"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(100)
+      },
+      Some("""WITH tok AS (
+                SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+                FROM documents),
+              pos AS (
+                SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM tok),
+              pr AS (
+                SELECT least(toks[i], toks[i + d]) AS a,
+                       greatest(toks[i], toks[i + d]) AS b
+                FROM pos, (SELECT unnest([1, 2, 3]) AS d)
+                WHERE i + d <= len(toks)),
+              pairs AS (SELECT a, b, count(*) AS cnt FROM pr GROUP BY a, b),
+              uni AS (
+                SELECT tok, count(*) AS c1
+                FROM (SELECT unnest(toks) AS tok FROM tok) GROUP BY tok),
+              totals AS (
+                SELECT (SELECT sum(cnt) FROM pairs) AS p_total,
+                       (SELECT sum(c1) FROM uni) AS t_total)
+              SELECT p.a, p.b, p.cnt,
+                     round(ln((p.cnt::DOUBLE * t_total * t_total) /
+                              (p_total::DOUBLE * ua.c1 * ub.c1)), 4) AS pmi
+              FROM pairs p
+              JOIN uni ua ON ua.tok = p.a
+              JOIN uni ub ON ub.tok = p.b
+              CROSS JOIN totals
+              WHERE p.cnt >= 5
+              ORDER BY p.cnt DESC, p.a, p.b LIMIT 100""")))
 }

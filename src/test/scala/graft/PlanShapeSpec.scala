@@ -223,6 +223,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("SCD2 history: change-detect and versioning share ONE key shuffle") {
+    val p = plan("cdc_scd2")
+    // lag (change detection) and lead (valid_to) both window on user_id —
+    // the planner must reuse the partitioning, not exchange twice
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Window".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("chunking is a map-only pass: explode in-row, zero shuffle") {
+    val p = plan("doc_chunk")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("co-occurrence pairs generate in-row; counts combine map-side") {
+    val p = plan("text_cooccur")
+    // no positional self-join: the only joins are on the counted aggs
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial, [count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("weighted median: cumulative + total windows share one group shuffle") {
+    val p = plan("agg_weighted_median")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("stream-stream batch twin joins on the key — no nested-loop, no cartesian") {
     for (q <- Seq("cdc_stream_enrich", "cdc_stream_enrich_outer")) {
       val p = plan(q)
