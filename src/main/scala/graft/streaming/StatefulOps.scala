@@ -106,4 +106,77 @@ object StatefulOps {
     */
   def latestStateDeadLetter(envelope: DataFrame): DataFrame =
     keyedChanges(envelope).filter(col("eventTimeMs").isNull)
+
+  /** One CLOSED SCD2 version: the document held `payload` over
+    * [validFromMs, validToMs). The OPEN (current) version lives only in
+    * state — streaming can't know it's final, so append mode emits a
+    * version exactly once, at the moment the next change closes it
+    * (`closedBy` = the closing op, "delete" for tombstone closure).
+    */
+  case class ClosedVersion(documentKey: String, payload: String,
+      validFromMs: Long, validToMs: Long, closedBy: String)
+
+  /** The one OPEN version held in state per live key (must be public —
+    * the state-store encoder's generated code instantiates it).
+    */
+  case class OpenVersion(payload: String, validFromMs: Long,
+      lastEventMs: Long)
+
+  private def scd2Fold(ttl: Option[String])(
+      key: String,
+      changes: Iterator[KeyedChange],
+      state: GroupState[OpenVersion]): Iterator[ClosedVersion] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val ordered = changes.toSeq.sortBy(c => (c.eventTimeMs, c.operationType))
+    var open = state.getOption
+    val closed = Seq.newBuilder[ClosedVersion]
+    ordered.foreach { c =>
+      if (open.forall(_.lastEventMs <= c.eventTimeMs)) c.operationType match {
+        case "delete" =>
+          open.foreach(o => closed +=
+            ClosedVersion(key, o.payload, o.validFromMs, c.eventTimeMs, "delete"))
+          open = None
+        case op =>
+          open match {
+            case Some(o) if o.payload == c.fullDocument =>
+              // same content: not a new version, just advance the clock
+              open = Some(o.copy(lastEventMs = c.eventTimeMs))
+            case Some(o) =>
+              closed += ClosedVersion(key, o.payload, o.validFromMs, c.eventTimeMs, op)
+              open = Some(OpenVersion(c.fullDocument, c.eventTimeMs, c.eventTimeMs))
+            case None =>
+              open = Some(OpenVersion(c.fullDocument, c.eventTimeMs, c.eventTimeMs))
+          }
+      }
+    }
+    open match {
+      case Some(o) =>
+        state.update(o)
+        ttl.foreach(state.setTimeoutDuration)
+      case None => if (state.exists) state.remove()
+    }
+    closed.result().iterator
+  }
+
+  /** Streaming SCD TYPE-2: the incremental twin of the batch `cdc_scd2`
+    * query. Per key, a content change closes the open version and emits
+    * it (append mode — exactly-once per version under checkpointing);
+    * duplicate-content changes collapse, deletes close and clear state.
+    * State is ONE small record per live key (the open version), so the
+    * store tracks the live keyset like [[latestState]] — deletes shrink
+    * it and `ttl` reclaims abandoned keys. The closed rows are exactly
+    * the batch query's non-current rows, arriving as the stream does.
+    */
+  def scd2History(envelope: DataFrame, ttl: Option[String] = None): Dataset[ClosedVersion] = {
+    import envelope.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    keyedChanges(envelope)
+      .filter(col("eventTimeMs").isNotNull)
+      .as[KeyedChange]
+      .groupByKey(_.documentKey)
+      .flatMapGroupsWithState(
+        OutputMode.Append, timeoutConf)(scd2Fold(ttl))
+  }
 }

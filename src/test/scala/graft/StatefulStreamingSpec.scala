@@ -118,6 +118,42 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming SCD2 emits each closed version once; dups collapse, deletes clear") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val envelope = ChangeEvents.parseEnvelope(input.toDF(), "value")
+    val versions = graft.streaming.StatefulOps.scd2History(envelope)
+
+    val q = versions.toDF().writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    // v1 opens; the duplicate-content update must NOT cut a version
+    input.addData(
+      ev("insert", "k1", "v1", "2024-01-01T00:00:00Z"),
+      ev("update", "k1", "v1", "2024-01-01T00:30:00Z"),
+      ev("insert", "k2", "w1", "2024-01-01T00:00:05Z"))
+    q.processAllAvailable()
+    assert(spark.table("scd2_out").count() === 0) // all versions still open
+
+    input.addData(ev("update", "k1", "v2", "2024-01-01T01:00:00Z"))
+    q.processAllAvailable()
+    input.addData(ev("delete", "k1", "", "2024-01-01T02:00:00Z"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("scd2_out")
+      .select("documentKey", "payload", "validFromMs", "validToMs", "closedBy")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(t => t._3)
+    def ms(s: String) = java.time.Instant.parse(s).toEpochMilli
+    // exactly the batch cdc_scd2 non-current rows: v1 closed by the v2
+    // change (valid_from = its OWN first ts, not the collapsed dup's),
+    // v2 closed by the tombstone; k2's open version never emits
+    assert(rows.toSeq === Seq(
+      ("k1", "v1", ms("2024-01-01T00:00:00Z"), ms("2024-01-01T01:00:00Z"), "update"),
+      ("k1", "v2", ms("2024-01-01T01:00:00Z"), ms("2024-01-01T02:00:00Z"), "delete")))
+  }
+
   test("latest-state parses fixture-shaped ExtJSON clusterTime ($timestamp / $date)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
