@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.CentroidAggregator
-import graft.operators.{BloomPrune, Bucketing, Skew}
+import graft.operators.{BloomPrune, Bucketing, Skew, WeightedQuantile}
 
 /** Breadth beyond the core matrix: theta/range join, as-of join, lag/lead
   * windows, GROUPING SETS via the SQL surface, a typed Aggregator (UDAF),
@@ -712,6 +712,34 @@ object ExtendedQueries extends QueryPack {
             round(max("totw"), 1).as("total_weight"))
           .orderBy("l_returnflag")
       },
+      Some("""WITH cum AS (
+                SELECT l_returnflag, l_extendedprice,
+                       sum(l_quantity) OVER
+                         (PARTITION BY l_returnflag
+                          ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING) AS cumw,
+                       sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+                FROM lineitem)
+              SELECT l_returnflag, round(min(l_extendedprice), 2) AS w_median,
+                     round(max(totw), 1) AS total_weight
+              FROM cum WHERE cumw * 2 >= totw
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // The SCALABLE exact path for the same weighted median: the windowed
+    // form above sorts every group in full — with 3 groups that is 3
+    // sort tasks however big the table. The two-pass bucketed variant
+    // (operators/WeightedQuantile.scala) histograms weights into 1024
+    // value buckets (partial agg, ≤ groups×buckets shuffle rows), finds
+    // each group's cut bucket on the compact histogram, and sorts ONLY
+    // that bucket's rows (~1/1000 of the group). Identical answer by
+    // construction — so it shares the windowed oracle SQL verbatim.
+    Q("agg_weighted_median_bucketed",
+      (s, dir) => WeightedQuantile.weightedQuantile(
+          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", "l_quantity")
+        .select(col("l_returnflag"),
+          round(col("w_quantile"), 2).as("w_median"),
+          round(col("total_weight"), 1).as("total_weight"))
+        .orderBy("l_returnflag"),
       Some("""WITH cum AS (
                 SELECT l_returnflag, l_extendedprice,
                        sum(l_quantity) OVER

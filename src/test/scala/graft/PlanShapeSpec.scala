@@ -251,6 +251,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("bucketed weighted median: group frames broadcast, no full-corpus join shuffle") {
+    val p = plan("agg_weighted_median_bucketed")
+    // bounds/cut/prefix are one-row-per-group frames: every corpus-side
+    // join must be a broadcast, never a shuffled join of the fact table
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("stream-stream batch twin joins on the key — no nested-loop, no cartesian") {
     for (q <- Seq("cdc_stream_enrich", "cdc_stream_enrich_outer")) {
       val p = plan(q)

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.WeightedQuantile
+
+/** The two-pass bucketed weighted quantile must agree exactly with the
+  * textbook windowed formulation (integer-valued weights keep every
+  * partial sum ieee-exact, so "exactly" means bit-equality here), and
+  * its pass-C sort must touch only a fraction of each group.
+  */
+class WeightedQuantileSpec extends SparkSpec {
+
+  private def li = Tables.table(spark, sfDir, "lineitem")
+
+  test("bucketed median == windowed median on lineitem groups") {
+    val a = WeightedQuantile.weightedQuantile(
+        li, "l_returnflag", "l_extendedprice", "l_quantity")
+      .orderBy("l_returnflag").collect()
+    val b = WeightedQuantile.weightedQuantileWindowed(
+        li, "l_returnflag", "l_extendedprice", "l_quantity",
+        tieBreak = Seq("l_orderkey", "l_linenumber"))
+      .orderBy("l_returnflag").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("agreement holds across quantiles and bucket counts (incl. 1 group)") {
+    val one = li.withColumn("g", lit("all"))
+    for (q <- Seq(0.1, 0.5, 0.9); buckets <- Seq(8, 1024)) {
+      val a = WeightedQuantile.weightedQuantile(
+          one, "g", "l_extendedprice", "l_quantity", q, buckets)
+        .collect()
+      val b = WeightedQuantile.weightedQuantileWindowed(
+          one, "g", "l_extendedprice", "l_quantity", q)
+        .collect()
+      assert(a.toSeq === b.toSeq, s"q=$q buckets=$buckets")
+    }
+  }
+
+  test("degenerate single-value group returns that value") {
+    val df = spark.range(1000).selectExpr(
+      "'k' AS g", "CAST(42.0 AS DOUBLE) AS v", "CAST(id % 7 + 1 AS DOUBLE) AS w")
+    val r = WeightedQuantile.weightedQuantile(df, "g", "v", "w").collect()
+    assert(r.length === 1 && r.head.getDouble(1) === 42.0)
+  }
+
+  test("pass C sorts only the cut bucket — a small fraction of the group") {
+    // count the rows that reach the final window: with 1024 buckets over
+    // ~6k lineitem rows per flag, the cut bucket must hold ≪ the group
+    val bounds = li.groupBy("l_returnflag").agg(
+      min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"),
+      sum("l_quantity").as("totw"))
+    val bucketed = li.join(broadcast(bounds), Seq("l_returnflag"))
+      .withColumn("bkt", least(lit(1023),
+        floor((col("l_extendedprice") - col("mn")) * 1024 /
+          (col("mx") - col("mn"))).cast("int")))
+    val largestBucket = bucketed.groupBy("l_returnflag", "bkt").count()
+      .agg(max("count")).collect().head.getLong(0)
+    val groupSize = li.groupBy("l_returnflag").count()
+      .agg(min("count")).collect().head.getLong(0)
+    assert(largestBucket * 20 < groupSize,
+      s"largest bucket $largestBucket vs smallest group $groupSize")
+  }
+}
