@@ -449,6 +449,92 @@ object RelationalQueries extends QueryPack {
                        AS n_users
               FROM h ORDER BY hour""")),
 
+    // FLAGSHIP COMPOSITE (TPC-H Q3 shape): segment-filtered customers ⋈
+    // open orders ⋈ pending lineitems → revenue per order → top-10.
+    // Every filter sits before its join so the scans prune server-side;
+    // the dim side is small post-filter (AQE broadcasts it at these SFs,
+    // SMJ on the key at cluster scale — both fine, neither cartesian);
+    // the top-10 plans as TakeOrderedAndProject, never a full sort. The
+    // selection key is the ROUNDED revenue so both engines pick the same
+    // 10 rows.
+    Q("rel_q3",
+      (s, dir) => {
+        val cutoff = lit("1998-03-15").cast("timestamp")
+        val cust = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") < cutoff)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > cutoff)
+          .select(col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        ord.join(cust, col("o_custkey") === col("c_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(round(sum("rev"), 2).as("revenue"))
+          .select(col("o_orderkey"), col("revenue"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                     strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                     o_orderpriority
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-03-15'
+                AND l_shipdate > TIMESTAMP '1998-03-15'
+              GROUP BY o_orderkey, o_orderdate, o_orderpriority
+              ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    // OHLC (open-high-low-close) candles per (event_type, hour) — the
+    // canonical downsampled market/telemetry summary. Open/close need a
+    // total order inside the bucket: two row_number windows (asc + desc
+    // over the unique (ts, event_id) key) and the final agg ALL share
+    // the (event_type, hour) partitioning, so the whole candle build is
+    // ONE shuffle; high/low/count are plain partial-aggregable.
+    Q("ts_ohlc",
+      (s, dir) => {
+        val withHour = t(s, dir, "events")
+          .withColumn("hour", date_trunc("hour", col("ts")))
+        val byBucket = Window.partitionBy("event_type", "hour")
+        val asc = byBucket.orderBy(col("ts"), col("event_id"))
+        val desc = byBucket.orderBy(col("ts").desc, col("event_id").desc)
+        withHour
+          .withColumn("rn_a", row_number().over(asc))
+          .withColumn("rn_d", row_number().over(desc))
+          .groupBy("event_type", "hour")
+          .agg(
+            round(max(when(col("rn_a") === 1, col("value"))), 2).as("open"),
+            round(max("value"), 2).as("high"),
+            round(min("value"), 2).as("low"),
+            round(max(when(col("rn_d") === 1, col("value"))), 2).as("close"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"),
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("open"), col("high"), col("low"), col("close"), col("n"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH r AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour, value,
+                       row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                          ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                          ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM events)
+              SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+                     round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+                     round(max(value), 2) AS high,
+                     round(min(value), 2) AS low,
+                     round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+                     count(*) AS n
+              FROM r GROUP BY 1, 2 ORDER BY event_type, hour""")),
+
     // Z-score anomaly flags per event type: one tiny (5-row) stats agg
     // broadcast back over the stream, z computed in-plan, the outlier
     // decision taken on the ROUNDED z so both engines compare the same

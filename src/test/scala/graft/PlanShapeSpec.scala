@@ -251,6 +251,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("OHLC candles: both windows and the agg share ONE bucket shuffle") {
+    val p = plan("ts_ohlc")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Window".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("rel_q3 composite: filters pushed, no cartesian, top-10 as a heap") {
+    val p = plan("rel_q3")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the segment filter must reach the customer scan
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("GreaterThan(l_shipdate,"), p)
+  }
+
   test("bucketed weighted median: group frames broadcast, no full-corpus join shuffle") {
     val p = plan("agg_weighted_median_bucketed")
     // bounds/cut/prefix are one-row-per-group frames: every corpus-side
