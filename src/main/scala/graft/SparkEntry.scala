@@ -13,7 +13,8 @@ object SparkEntry {
   /** All declared engine capabilities, one [[graft.queries.Q]] each. */
   def allQueries: Seq[Q] =
     CdcQueries.queries ++ RelationalQueries.queries ++ ExtendedQueries.queries ++
-      TextQueries.queries ++ VectorQueries.queries ++ MultimodalQueries.queries
+      TextQueries.queries ++ VectorQueries.queries ++ MultimodalQueries.queries ++
+      GraphQueries.queries
 
   /** Flagship: the reference's full relay hot path (main.go:103-155) as a
     * batch pipeline on sf0.001 — synthesize the change-stream envelope from

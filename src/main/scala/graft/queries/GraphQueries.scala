@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph analytics over the co-purchase graph (parts linked when they
+  * appear in the same order) — the relational-to-graph bridge a training
+  * -data curation stack needs for influence ranking (PageRank over a
+  * citation/co-occurrence graph) and community density (triangle count /
+  * clustering coefficient), and a capability family the reference's
+  * linear relay (main.go:103-155) has no analogue for.
+  *
+  * Scale design:
+  *  - **Edge build is in-row, not a self-join**: baskets are collected
+  *    per order (`collect_set`, one shuffle) and pairs generated inside
+  *    the row with higher-order functions, so the pair stage is map-only
+  *    — the classic `ep JOIN ep ON same-order` plan shuffles the
+  *    position table twice and materializes the quadratic blow-up in
+  *    the join, while here the blow-up is bounded in-row by the basket
+  *    cap. Baskets over 16 distinct parts are dropped BEFORE pair
+  *    generation (quadratic cost lives there), the same df-capping move
+  *    the dedup postings index uses for stop-shingles.
+  *  - **The edge list is built once, hash-partitioned by src, and
+  *    persisted** (per-(session, fixture) [[SessionMemo]], pinned like
+  *    the multimodal fixture frame): PageRank's three iterations and
+  *    both degree aggregations re-scan it without re-shuffling — each
+  *    iteration only moves the compact rank vector (one row per node),
+  *    which is the Pregel communication lower bound.
+  *  - **Rank updates are partial-aggregated**: the per-destination sum
+  *    combines map-side, so the iteration shuffle carries one row per
+  *    (partition × dst), not per edge.
+  *  - Triangle counting uses the canonical `u < v` orientation so each
+  *    triangle is counted exactly once without a post-divide; at larger
+  *    scale the standard refinement is degree-ordering (orient edges
+  *    low-degree → high-degree) which bounds per-vertex join fan-out by
+  *    sqrt(E) — noted here, not needed at fixture SFs where the basket
+  *    cap already bounds degree.
+  */
+object GraphQueries extends QueryPack {
+
+  /** Symmetric co-purchase edge list `(src, dst)`, deduped, basket-capped
+    * at [[MaxBasket]]; hash-partitioned by `src` and pinned per
+    * (session, fixture) so the iterative consumers never rebuild it.
+    */
+  private object SharedEdges {
+    private val memo = new SessionMemo[String, DataFrame](SessionMemo.unpersistDf)
+    def apply(s: SparkSession, dir: String): DataFrame =
+      memo(s, dir) {
+        val pairs = graft.Tables.table(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(collect_set(col("l_partkey")).as("basket"))
+          .filter(size(col("basket")) <= MaxBasket)
+          .select(explode(expr(
+            """flatten(transform(basket, x ->
+                 transform(filter(basket, y -> y != x), y ->
+                   struct(x AS src, y AS dst))))""")).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .distinct()
+        pairs.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      }
+  }
+
+  private val MaxBasket = 16
+
+  /** Test hook: the shared edge-list frame (its ANALYZED plan is the
+    * build shape — cache substitution only rewrites optimized plans).
+    */
+  private[graft] def edgesFor(s: SparkSession, dir: String): DataFrame =
+    SharedEdges(s, dir)
+
+  /** Oracle CTE prefix producing the identical edge list in DuckDB (the
+    * oracle states the SEMANTICS relationally; the Spark plan above is
+    * the scale-shaped implementation of the same contract).
+    */
+  private val EdgeSql =
+    """ep0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       ok AS (SELECT l_orderkey FROM ep0 GROUP BY 1 HAVING count(*) <= 16),
+       ep AS (SELECT ep0.* FROM ep0 JOIN ok USING (l_orderkey)),
+       edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                 FROM ep a JOIN ep b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)"""
+
+  override val queries: Seq[Q] = Seq(
+
+    // PageRank, 3 damped iterations (d = 0.85) over the symmetric
+    // co-purchase graph. Node set = nodes with at least one edge, so the
+    // symmetrized graph has no dangling mass and the update is exactly
+    // pr' = 0.15/n + 0.85 * Σ_in pr/outdeg. Each iteration: one join of
+    // the pinned src-partitioned edges with the rank vector (only the
+    // vector shuffles) + one partial-aggregated sum by dst. Ranks are
+    // reported ×1000 rounded to 6 dp — float noise from engine-specific
+    // summation order sits ~1e-10 below the rounding grain, so the
+    // top-25 selection (keyed on the rounded rank) is deterministic.
+    Q("graph_pagerank",
+      (s, dir) => {
+        val edges = SharedEdges(s, dir)
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        val nn = broadcast(deg.agg(count(lit(1)).cast("double").as("n")))
+        val r0 = deg.crossJoin(nn)
+          .select(col("src").as("id"), (lit(1.0) / col("n")).as("pr"))
+        val ranks = (1 to 3).foldLeft(r0) { (r, _) =>
+          edges
+            .join(r.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .groupBy(col("dst").as("id"))
+            .agg(sum(col("pr") / col("outdeg")).as("mass"))
+            .crossJoin(nn)
+            .select(col("id"), (lit(0.15) / col("n") + lit(0.85) * col("mass")).as("pr"))
+        }
+        ranks
+          .select(col("id").as("part_id"), round(col("pr") * 1000, 6).as("pr_k"))
+          .orderBy(col("pr_k").desc, col("part_id"))
+          .limit(25)
+      },
+      Some(s"""WITH $EdgeSql,
+               deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+               nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+               r0 AS (SELECT src AS id, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+               r1 AS (SELECT e.dst AS id,
+                             0.15 / (SELECT n FROM nn) + 0.85 * sum(r.pr / d.outdeg) AS pr
+                      FROM edges e JOIN r0 r ON r.id = e.src
+                      JOIN deg d ON d.src = e.src GROUP BY e.dst),
+               r2 AS (SELECT e.dst AS id,
+                             0.15 / (SELECT n FROM nn) + 0.85 * sum(r.pr / d.outdeg) AS pr
+                      FROM edges e JOIN r1 r ON r.id = e.src
+                      JOIN deg d ON d.src = e.src GROUP BY e.dst),
+               r3 AS (SELECT e.dst AS id,
+                             0.15 / (SELECT n FROM nn) + 0.85 * sum(r.pr / d.outdeg) AS pr
+                      FROM edges e JOIN r2 r ON r.id = e.src
+                      JOIN deg d ON d.src = e.src GROUP BY e.dst)
+               SELECT id AS part_id, round(pr * 1000, 6) AS pr_k
+               FROM r3 ORDER BY pr_k DESC, part_id LIMIT 25""")),
+
+    // Global triangle count + wedge count + clustering coefficient.
+    // DEGREE-ORDERED adjacency intersection, not a 3-way edge join: the
+    // naive e1⋈e2⋈e3 plan materializes every wedge (Σ out·in ≈ 70M
+    // rows at sf0.1 already — quadratic in degree), while here each
+    // edge is oriented low→high by (degree, id), out-adjacency lists
+    // are collected per node (out-degree ≤ O(√E) by the orientation, a
+    // bound the uniform basket cap tightens further), and each arc
+    // (a, b) counts |out(a) ∩ out(b)| in-row via `array_intersect` — a
+    // hash intersection, linear in the two list lengths, with nothing
+    // wider than the node-cardinality adjacency table ever shuffled.
+    // Every triangle {x<y<z} is counted exactly once, at arc (x, y).
+    // Join strategy is left to Catalyst: at fixture SFs the adjacency
+    // table broadcasts; at cluster scale it exceeds the threshold and
+    // AQE falls back to a partitioned hash join — both correct.
+    // Wedges come from the symmetric degree in exact integer
+    // arithmetic; only the final coefficient is a rounded double.
+    Q("graph_triangles",
+      (s, dir) => {
+        val deg = SharedEdges(s, dir)
+          .groupBy("src").agg(count(lit(1)).as("d"))
+        val arcs = SharedEdges(s, dir)
+          .join(deg.withColumnRenamed("src", "u_id").withColumnRenamed("d", "du"),
+            col("src") === col("u_id"))
+          .join(deg.withColumnRenamed("src", "v_id").withColumnRenamed("d", "dv"),
+            col("dst") === col("v_id"))
+          .filter(struct(col("du"), col("src")) < struct(col("dv"), col("dst")))
+          .select(col("src").as("a"), col("dst").as("b"))
+        val adj = arcs.groupBy(col("a").as("node"))
+          .agg(collect_list(col("b")).as("nbrs"))
+        // arcs re-derive from adj by explode (the arc pipeline runs
+        // once, for the adj build); arcs whose head has no out-list are
+        // dropped by the inner join — they contribute |∅| = 0 anyway
+        val tri = adj
+          .select(col("node").as("a"), col("nbrs").as("na"),
+            explode(col("nbrs")).as("b"))
+          .join(adj.withColumnRenamed("node", "b").withColumnRenamed("nbrs", "nb"), "b")
+          .agg(sum(size(array_intersect(col("na"), col("nb")))).as("triangles"))
+        val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("wedges"))
+        tri.crossJoin(broadcast(wedges))
+          .select(col("triangles"), col("wedges"),
+            round(lit(3.0) * col("triangles") / col("wedges"), 6).as("clustering"))
+      },
+      Some(s"""WITH $EdgeSql,
+               e AS (SELECT src AS u, dst AS v FROM edges WHERE src < dst),
+               tri AS (SELECT count(*) AS triangles
+                       FROM e e1 JOIN e e2 ON e2.u = e1.v
+                       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+               degs AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+               w AS (SELECT sum(d * (d - 1) // 2) AS wedges FROM degs)
+               SELECT triangles, wedges,
+                      round(3.0 * triangles / wedges, 6) AS clustering
+               FROM tri, w"""))
+  )
+}

@@ -577,5 +577,67 @@ object RelationalQueries extends QueryPack {
         .orderBy("bucket"),
       Some("""SELECT least(CAST(floor(value / 25) AS BIGINT), 7) AS bucket,
                      count(*) AS n, round(sum(value), 2) AS sum_value
-              FROM events GROUP BY bucket ORDER BY bucket""")))
+              FROM events GROUP BY bucket ORDER BY bucket""")),
+
+    // TPC-H Q17 shape — small-quantity-order revenue. The reference SQL
+    // is a CORRELATED scalar subquery (per-part average quantity);
+    // the scale-shaped plan de-correlates it by hand: one partial-
+    // aggregated pass builds the per-part threshold, the brand filter
+    // prunes it to a handful of parts, and BOTH the thresholds and the
+    // brand parts broadcast — the lineitem fact is scanned twice but
+    // never shuffled, and at 100 TB the second scan's l_partkey IN
+    // (broadcast keys) semi-filter prunes via dynamic partition/row-
+    // group pruning rather than a join shuffle.
+    Q("rel_q17",
+      (s, dir) => {
+        val brandParts = t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#13").select("p_partkey")
+        val thresholds = t(s, dir, "lineitem")
+          .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+          .groupBy("l_partkey")
+          .agg((lit(0.2) * avg("l_quantity")).as("qty_cap"))
+        t(s, dir, "lineitem")
+          .join(broadcast(thresholds), "l_partkey")
+          .filter(col("l_quantity") < col("qty_cap"))
+          .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+      },
+      Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#13'
+                AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                                  WHERE l2.l_partkey = p_partkey)""")),
+
+    // TPC-H Q15 shape — top supplier by quarter revenue. The revenue
+    // "view" is one partial-aggregated pass over the date-pruned scan
+    // (predicate reaches the parquet reader); the max is a 1-row agg of
+    // the supplier-cardinality view, broadcast back as a cross join —
+    // no single-partition window, no second fact scan. Revenue is
+    // rounded BEFORE the max comparison so ties resolve identically in
+    // both engines.
+    Q("rel_q15",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy("l_suppkey")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("total_rev"))
+        val top = broadcast(rev.agg(max("total_rev").as("best")))
+        t(s, dir, "supplier")
+          .join(rev, col("s_suppkey") === col("l_suppkey"))
+          .crossJoin(top)
+          .filter(col("total_rev") === col("best"))
+          .select("s_suppkey", "s_name", "total_rev")
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (SELECT l_suppkey,
+                                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+                           FROM lineitem
+                           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                             AND l_shipdate < TIMESTAMP '1996-04-01'
+                           GROUP BY l_suppkey)
+              SELECT s_suppkey, s_name, total_rev
+              FROM supplier JOIN rev ON s_suppkey = l_suppkey
+              WHERE total_rev = (SELECT max(total_rev) FROM rev)
+              ORDER BY s_suppkey""")))
 }

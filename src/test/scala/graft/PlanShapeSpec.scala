@@ -304,4 +304,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans.head.selectedPartitions.partitionCount === 2,
       s"expected 2 pruned partitions, scanned ${scans.head.selectedPartitions.partitionCount}")
   }
+
+  test("rel_q17 de-correlates the scalar subquery into broadcast joins") {
+    val p = plan("rel_q17")
+    // both the brand-part semi filter and the per-part threshold join
+    // must broadcast — the lineitem fact is never shuffle-partitioned
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("EqualTo(p_brand,Brand#13)"), p)
+  }
+
+  test("rel_q15: date filter pushed to the scan, max joined as broadcast") {
+    val p = plan("rel_q15")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graph pagerank: edge build is in-row (no position self-join)") {
+    // ONE aggregation keyed by l_orderkey builds baskets; pairs explode
+    // in-row — there must be no join at all upstream of the edge list
+    val edges = graft.queries.GraphQueries.edgesFor(spark, sfDir)
+    val p = edges.queryExecution.analyzed.toString()
+    assert(!p.contains("Join"), p)
+    assert(p.toLowerCase.contains("explode"), p)
+  }
+
+  test("graph pagerank iterations reuse the pinned edge partitioning") {
+    val p = plan("graph_pagerank")
+    // the persisted, src-partitioned edge list surfaces as InMemory
+    // scans; the per-iteration rank joins must not re-shuffle it
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("graph triangles: canonical orientation joins, no cartesian") {
+    val p = plan("graph_triangles")
+    // the final 1-row × 1-row scalar combine is a broadcast cross join
+    // (fine); the edge-closing joins themselves must be hash equi-joins
+    // and nothing may degrade to an unpartitioned cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)".r.findAllIn(p).size >= 2, p)
+  }
 }
