@@ -1224,5 +1224,29 @@ object TextQueries extends QueryPack {
               JOIN uni ub ON ub.tok = p.b
               CROSS JOIN totals
               WHERE p.cnt >= 5
-              ORDER BY p.cnt DESC, p.a, p.b LIMIT 100""")))
+              ORDER BY p.cnt DESC, p.a, p.b LIMIT 100""")),
+
+    // BPE merge learning (tokenizer training): the corpus is scanned
+    // ONCE into the word-frequency dict; every merge iteration runs on
+    // the vocab-sized dict with in-row pair generation, partial-
+    // aggregated counts, and a single collected argmax row per step —
+    // Lloyd's-iteration driver contract, lineage truncated per step
+    // (see text/Bpe.scala). Rows-only by design (8 chained iterative
+    // rewrites aren't SQL-mirrorable); BpeSpec proves the distributed
+    // learner bit-equal to a local reference implementation on the
+    // same dict, plus tie-break determinism.
+    Q("text_bpe_train",
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(
+            TextFunctions.normalize(col("text")))).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        val merges = graft.text.Bpe.learn(s, words, steps = 8)
+        import s.implicits._
+        merges.toDF()
+          .select(col("step"), col("left"), col("right"), col("merged"), col("freq"))
+          .orderBy("step")
+      },
+      None))
 }

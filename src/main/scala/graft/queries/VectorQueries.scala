@@ -489,6 +489,27 @@ object VectorQueries extends QueryPack {
     // recall against exact brute force.
     Q("vec_knn_ivf_pq",
       (s, dir) => ivfPqKnn(s, dir, k = 10, nprobe = 2, shortlist = 50),
+      None),
+
+    // Distributed PCA projection: ONE GramAggregator pass reduces the
+    // corpus to the d×d second-moment matrix (constant-size mergeable
+    // buffer, partial-aggregated — the driver sees sufficient
+    // statistics, never rows), the 64×64 eigen work happens driver-side
+    // via deterministic power iteration + deflation, and the projection
+    // pass is a codegen'd dot_product map — (x−μ)·v computed as
+    // x·v − μ·v so no centered copy of the corpus is ever materialized.
+    // Rows-only by design (no eigen solver in SQL); PcaSpec pins parity
+    // against a local reference fit, variance ordering, orthogonality,
+    // and the sign convention.
+    Q("vec_pca_project",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val model = graft.similarity.Pca.fit(emb, "embedding", dim = 64, k = 2)
+        graft.similarity.Pca.project(emb, "embedding", model, Seq("pc1", "pc2"))
+          .select(col("vec_id"), col("label"),
+            round(col("pc1"), 4).as("pc1"), round(col("pc2"), 4).as("pc2"))
+          .orderBy("vec_id")
+      },
       None))
 
   /** Batched IVF serving behind `vec_knn_ivf_batch`: route EVERY probe
