@@ -751,5 +751,88 @@ object ExtendedQueries extends QueryPack {
               SELECT l_returnflag, round(min(l_extendedprice), 2) AS w_median,
                      round(max(totw), 1) AS total_weight
               FROM cum WHERE cumw * 2 >= totw
-              GROUP BY l_returnflag ORDER BY l_returnflag""")))
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Interval-overlap self-join via time-bucket blocking — the temporal
+    // analog of the dedup postings index, and the pattern genomics/
+    // session-overlap workloads need at scale. Each event carries the
+    // interval [ts, ts + floor(value) minutes] (whole-second arithmetic
+    // so both engines compare identical µs timestamps); the naive
+    // overlap join is an O(n²) inequality join, while here every
+    // interval EXPLODES into the hour buckets it spans (≤ 4, bounded by
+    // the 200-min value cap), pairs equi-join on (event_type, bucket) —
+    // a plain hash shuffle, no theta join — then the true-overlap
+    // predicate filters and pair-level distinct dedups multi-bucket
+    // matches. Work scales with genuinely-colliding pairs per bucket,
+    // not with n².
+    Q("join_interval",
+      (s, dir) => {
+        val iv = t(s, dir, "events").select(
+          col("event_id"), col("event_type"), col("ts"),
+          expr("timestampadd(MINUTE, CAST(floor(value) AS INT), ts)").as("te"))
+        val bucketed = iv.select(col("event_id"), col("event_type"),
+          col("ts"), col("te"),
+          explode(expr(
+            "sequence(date_trunc('hour', ts), date_trunc('hour', te), interval 1 hour)"))
+            .as("bk"))
+        val a = bucketed.select(col("event_type"), col("bk"),
+          col("event_id").as("a_id"), col("ts").as("a_ts"), col("te").as("a_te"))
+        val b = bucketed.select(col("event_type"), col("bk"),
+          col("event_id").as("b_id"), col("ts").as("b_ts"), col("te").as("b_te"))
+        a.join(b, Seq("event_type", "bk"))
+          .filter(col("a_id") < col("b_id") &&
+            col("a_ts") <= col("b_te") && col("b_ts") <= col("a_te"))
+          .select(col("event_type"), col("a_id"), col("b_id")).distinct()
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_overlaps"))
+          .orderBy("event_type")
+      },
+      Some("""WITH iv AS (SELECT event_id, event_type, ts,
+                                 ts + to_minutes(CAST(floor(value) AS BIGINT)) AS te
+                          FROM events)
+              SELECT a.event_type, count(*) AS n_overlaps
+              FROM iv a JOIN iv b
+                ON a.event_type = b.event_type AND a.event_id < b.event_id
+               AND a.ts <= b.te AND b.ts <= a.te
+              GROUP BY a.event_type ORDER BY a.event_type""")),
+
+    // Pairwise Pearson correlation matrix over the lineitem measures —
+    // the feature-audit pass before model training. All six pairs come
+    // out of ONE partial-aggregated global pass (each corr is a
+    // constant-size mergeable moment sketch), and stack() unpivots the
+    // single result row in place — no shuffle beyond the one global
+    // aggregate, no per-pair rescans of the fact table. Rounded to
+    // absorb merge-order ulps (same convention as agg_stats).
+    Q("agg_corr_matrix",
+      (s, dir) => t(s, dir, "lineitem")
+        .agg(
+          round(corr("l_quantity", "l_extendedprice"), 4).as("c_qp"),
+          round(corr("l_quantity", "l_discount"), 4).as("c_qd"),
+          round(corr("l_quantity", "l_tax"), 4).as("c_qt"),
+          round(corr("l_extendedprice", "l_discount"), 4).as("c_pd"),
+          round(corr("l_extendedprice", "l_tax"), 4).as("c_pt"),
+          round(corr("l_discount", "l_tax"), 4).as("c_dt"))
+        .selectExpr(
+          """stack(6,
+               'quantity|extendedprice', c_qp,
+               'quantity|discount', c_qd,
+               'quantity|tax', c_qt,
+               'extendedprice|discount', c_pd,
+               'extendedprice|tax', c_pt,
+               'discount|tax', c_dt) AS (pair, r)""")
+        .orderBy("pair"),
+      Some("""SELECT pair, r FROM (
+                SELECT 'quantity|extendedprice' AS pair,
+                       round(corr(l_quantity, l_extendedprice), 4) AS r FROM lineitem
+                UNION ALL SELECT 'quantity|discount',
+                       round(corr(l_quantity, l_discount), 4) FROM lineitem
+                UNION ALL SELECT 'quantity|tax',
+                       round(corr(l_quantity, l_tax), 4) FROM lineitem
+                UNION ALL SELECT 'extendedprice|discount',
+                       round(corr(l_extendedprice, l_discount), 4) FROM lineitem
+                UNION ALL SELECT 'extendedprice|tax',
+                       round(corr(l_extendedprice, l_tax), 4) FROM lineitem
+                UNION ALL SELECT 'discount|tax',
+                       round(corr(l_discount, l_tax), 4) FROM lineitem)
+              ORDER BY pair""")))
 }

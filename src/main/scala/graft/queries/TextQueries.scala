@@ -1226,6 +1226,47 @@ object TextQueries extends QueryPack {
               WHERE p.cnt >= 5
               ORDER BY p.cnt DESC, p.a, p.b LIMIT 100""")),
 
+    // 2D skyline (Pareto frontier) curation filter: keep documents not
+    // dominated on (distinct-token count, n_chars) — the multi-objective
+    // "best docs" selection a curation pipeline runs before sampling.
+    // Scale shape: the classic NOT-EXISTS dominance check is O(n²); here
+    // the frontier decomposes as (1) per-q group max — one partial-
+    // aggregated shuffle, (2) a strictly-greater-q prefix max over the
+    // COMPACT distinct-q series (single-partition window over group
+    // cardinality, same compact-series justification as
+    // ts_sliding_distinct — never over the corpus), (3) a broadcast
+    // semi-join back. Duplicate (q, len) points neither dominate each
+    // other (no strict inequality) and all survive — exercised by the
+    // fixture, which carries a duplicate frontier pair at sf0.001.
+    Q("doc_skyline",
+      (s, dir) => {
+        val pts = t(s, dir, "documents").select(
+          col("doc_id"),
+          size(array_distinct(TextFunctions.tokens(
+            TextFunctions.normalize(col("text"))))).cast("long").as("q"),
+          col("n_chars").as("len"))
+        val grp = pts.groupBy("q").agg(max("len").as("glen"))
+        val w = Window.orderBy(col("q").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val kept = grp.withColumn("pmax", max("glen").over(w))
+          .filter(col("pmax").isNull || col("glen") > col("pmax"))
+          .select(col("q"), col("glen"))
+        pts.join(broadcast(kept), Seq("q"))
+          .filter(col("len") === col("glen"))
+          .select(col("doc_id"), col("q"), col("len"))
+          .orderBy(col("q").desc, col("len").desc, col("doc_id"))
+      },
+      Some("""WITH pts AS (
+                SELECT doc_id,
+                       len(list_distinct(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))) AS q,
+                       n_chars AS len
+                FROM documents)
+              SELECT doc_id, q, len FROM pts a
+              WHERE NOT EXISTS (SELECT 1 FROM pts b
+                                WHERE b.q >= a.q AND b.len >= a.len
+                                  AND (b.q > a.q OR b.len > a.len))
+              ORDER BY q DESC, len DESC, doc_id""")),
+
     // BPE merge learning (tokenizer training): the corpus is scanned
     // ONCE into the word-frequency dict; every merge iteration runs on
     // the vocab-sized dict with in-row pair generation, partial-

@@ -338,6 +338,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("doc_skyline: frontier via group-max + broadcast, never an all-pairs join") {
+    val p = plan("doc_skyline")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the per-q group max must partial-aggregate before shuffling
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("join_interval: bucket blocking turns the theta join into an equi join") {
+    val p = plan("join_interval")
+    // the O(n²) inequality join must NOT appear — blocking makes it a
+    // plain hash-partitioned equi join on (event_type, bucket)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("graph triangles: canonical orientation joins, no cartesian") {
     val p = plan("graph_triangles")
     // the final 1-row × 1-row scalar combine is a broadcast cross join
