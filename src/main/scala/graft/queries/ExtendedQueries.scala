@@ -834,5 +834,72 @@ object ExtendedQueries extends QueryPack {
                        round(corr(l_extendedprice, l_tax), 4) FROM lineitem
                 UNION ALL SELECT 'discount|tax',
                        round(corr(l_discount, l_tax), 4) FROM lineitem)
-              ORDER BY pair""")))
+              ORDER BY pair""")),
+
+    // Shannon entropy of each event type's value distribution (8 fixed
+    // buckets) — the information-theoretic profile a curation pipeline
+    // uses to flag degenerate/collapsed feature distributions. Two
+    // partial-aggregated shuffles over a narrow integer projection
+    // collapse the stream to ≤ |types|·8 histogram rows; the per-type
+    // totals broadcast back; entropy sums ≤ 8 exact-count ratios.
+    Q("agg_entropy",
+      (s, dir) => {
+        val b = t(s, dir, "events")
+          .select(col("event_type"),
+            least(floor(col("value") / 25).cast("long"), lit(7L)).as("bucket"))
+          .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+        val tot = b.groupBy("event_type").agg(sum("n").as("tot"))
+        b.join(broadcast(tot), "event_type")
+          .groupBy("event_type")
+          .agg(round(-sum((col("n") / col("tot")) * log(col("n") / col("tot"))), 4)
+            .as("entropy_nats"))
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (SELECT event_type,
+                                least(CAST(floor(value / 25) AS BIGINT), 7) AS bucket,
+                                count(*) AS n
+                         FROM events GROUP BY 1, 2),
+              t AS (SELECT event_type, sum(n) AS tot FROM b GROUP BY 1)
+              SELECT event_type,
+                     round(-sum((n / tot) * ln(n / tot)), 4) AS entropy_nats
+              FROM b JOIN t USING (event_type)
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // One-pass column-profiling audit (ANALYZE-style): non-null count,
+    // exact distinct count, min/max for three lineitem measures in a
+    // SINGLE aggregate — the multi-count-distinct plans as one Expand
+    // (3× the narrow projection, never 3 fact scans) feeding one
+    // partial-aggregated shuffle; stack() unpivots the 1-row result to
+    // a per-column report in place.
+    Q("profile_table",
+      (s, dir) => t(s, dir, "lineitem")
+        .agg(
+          count(col("l_quantity")).cast("double").as("nn_q"),
+          countDistinct(col("l_quantity")).cast("double").as("nd_q"),
+          min("l_quantity").as("mn_q"), max("l_quantity").as("mx_q"),
+          count(col("l_discount")).cast("double").as("nn_d"),
+          countDistinct(col("l_discount")).cast("double").as("nd_d"),
+          min("l_discount").as("mn_d"), max("l_discount").as("mx_d"),
+          count(col("l_tax")).cast("double").as("nn_t"),
+          countDistinct(col("l_tax")).cast("double").as("nd_t"),
+          min("l_tax").as("mn_t"), max("l_tax").as("mx_t"))
+        .selectExpr("""stack(3,
+            'l_quantity', nn_q, nd_q, mn_q, mx_q,
+            'l_discount', nn_d, nd_d, mn_d, mx_d,
+            'l_tax', nn_t, nd_t, mn_t, mx_t)
+          AS (col_name, n_nonnull, n_distinct, vmin, vmax)""")
+        .orderBy("col_name"),
+      Some("""SELECT col_name, n_nonnull, n_distinct, vmin, vmax FROM (
+                SELECT 'l_quantity' AS col_name,
+                       CAST(count(l_quantity) AS DOUBLE) AS n_nonnull,
+                       CAST(count(DISTINCT l_quantity) AS DOUBLE) AS n_distinct,
+                       min(l_quantity) AS vmin, max(l_quantity) AS vmax
+                FROM lineitem
+                UNION ALL SELECT 'l_discount', CAST(count(l_discount) AS DOUBLE),
+                       CAST(count(DISTINCT l_discount) AS DOUBLE),
+                       min(l_discount), max(l_discount) FROM lineitem
+                UNION ALL SELECT 'l_tax', CAST(count(l_tax) AS DOUBLE),
+                       CAST(count(DISTINCT l_tax) AS DOUBLE),
+                       min(l_tax), max(l_tax) FROM lineitem)
+              ORDER BY col_name""")))
 }

@@ -639,5 +639,156 @@ object RelationalQueries extends QueryPack {
               SELECT s_suppkey, s_name, total_rev
               FROM supplier JOIN rev ON s_suppkey = l_suppkey
               WHERE total_rev = (SELECT max(total_rev) FROM rev)
-              ORDER BY s_suppkey""")))
+              ORDER BY s_suppkey""")),
+
+    // TPC-H Q18 shape — large-volume orders. The only heavy work is the
+    // per-order quantity rollup: ONE partial-aggregated shuffle of the
+    // fact table keyed by l_orderkey. The >300 survivor set is tiny at
+    // any scale (top ~0.5% of orders on this distribution), so it
+    // BROADCASTS to the orders scan, and the enriched survivors (still
+    // tiny) broadcast again onto the customer scan — neither the orders
+    // nor the customer table ever shuffles for this query.
+    Q("rel_q18",
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("total_qty"))
+          .filter(col("total_qty") > 300)
+        val ord = t(s, dir, "orders")
+          .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        t(s, dir, "customer")
+          .join(broadcast(ord), col("c_custkey") === col("o_custkey"))
+          .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      },
+      Some("""SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+              FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                    FROM lineitem GROUP BY 1 HAVING total_qty > 300) q
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey""")),
+
+    // TPC-H Q22 shape — "wealthy inactive" customers: balance above the
+    // positive-balance average AND no urgent orders. Scale shape: the
+    // global average is a 1-row aggregate broadcast back as a cross
+    // join (not a second correlated customer scan); the "has urgent
+    // order" key set is a filtered projection of orders consumed as a
+    // LEFT ANTI hash join; the final rollup is segment-cardinality.
+    // The threshold is rounded to cents before the compare so both
+    // engines cut on the identical value regardless of sum order.
+    Q("rel_q22",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val thr = broadcast(cust.filter(col("c_acctbal") > 0)
+          .agg(round(avg("c_acctbal"), 2).as("thr")))
+        val urgent = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        cust.crossJoin(thr)
+          .filter(col("c_acctbal") > col("thr"))
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"),
+            round(sum("c_acctbal"), 2).as("total_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH thr AS (SELECT round(avg(c_acctbal), 2) AS thr
+                           FROM customer WHERE c_acctbal > 0)
+              SELECT c_mktsegment, count(*) AS n_cust,
+                     round(sum(c_acctbal), 2) AS total_bal
+              FROM customer, thr
+              WHERE c_acctbal > thr.thr
+                AND NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey
+                                  AND o_orderpriority = '1-URGENT')
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Month-over-month revenue growth: the fact scan collapses in ONE
+    // partial-aggregated shuffle into an ~80-row month series; the lag
+    // window then runs over that COMPACT series (single partition over
+    // group cardinality, never over base rows — same justification as
+    // ts_sliding_distinct). Growth divides the already-rounded monthly
+    // revenues, so both engines see identical numerators.
+    Q("ts_growth",
+      (s, dir) => {
+        val monthly = t(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(round(sum("o_totalprice"), 2).as("rev"))
+        val w = Window.orderBy("month")
+        monthly
+          .withColumn("prev_rev", lag("rev", 1).over(w))
+          .withColumn("growth_pct",
+            round((col("rev") - col("prev_rev")) / col("prev_rev") * 100, 4))
+          .select("month", "rev", "growth_pct")
+          .orderBy("month")
+      },
+      Some("""WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                                round(sum(o_totalprice), 2) AS rev
+                         FROM orders GROUP BY 1)
+              SELECT month, rev,
+                     round((rev - lag(rev) OVER (ORDER BY month))
+                           / lag(rev) OVER (ORDER BY month) * 100, 4) AS growth_pct
+              FROM m ORDER BY month""")),
+
+    // Per-user event-type transition matrix (first-order Markov chain
+    // over user journeys): the lag window runs inside each user's
+    // partition — ONE user_id shuffle of a narrow projection; the
+    // (from, to) count table is |types|² ≤ 25 rows, so its
+    // row-normalizing sum is a window over the AGGREGATED output
+    // (25-row exchange), never a second pass over the fact — a
+    // join-back to recompute totals would re-run the whole lag window
+    // (the plan test pins the single user_id shuffle).
+    Q("ts_markov",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val trans = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type")
+          .agg(count(lit(1)).as("n"))
+        trans
+          .withColumn("p", round(col("n").cast("double") /
+            sum("n").over(Window.partitionBy("prev_type")), 4))
+          .select("prev_type", "event_type", "n", "p")
+          .orderBy("prev_type", "event_type")
+      },
+      Some("""WITH tr AS (
+                SELECT lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev_type,
+                       event_type
+                FROM events),
+              cnt AS (SELECT prev_type, event_type, count(*) AS n
+                      FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+              SELECT prev_type, event_type, n,
+                     round(n / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+              FROM cnt ORDER BY prev_type, event_type""")),
+
+    // Top-10 three-step user journeys: both lags run inside the SAME
+    // (user_id, ts) window sort — one shuffle, one sort, shared frame;
+    // trigram counts partial-aggregate; top-10 is TakeOrderedAndProject
+    // (per-partition heaps, k-row driver merge).
+    Q("ts_paths",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("t1", lag("event_type", 2).over(w))
+          .withColumn("t2", lag("event_type", 1).over(w))
+          .filter(col("t1").isNotNull)
+          .select(concat_ws(">", col("t1"), col("t2"), col("event_type")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(10)
+      },
+      Some("""WITH tr AS (
+                SELECT lag(event_type, 2) OVER w AS t1,
+                       lag(event_type, 1) OVER w AS t2,
+                       event_type AS t3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+              SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+              FROM tr WHERE t1 IS NOT NULL
+              GROUP BY 1 ORDER BY n DESC, path LIMIT 10""")))
 }

@@ -510,7 +510,29 @@ object VectorQueries extends QueryPack {
             round(col("pc1"), 4).as("pc1"), round(col("pc2"), 4).as("pc2"))
           .orderBy("vec_id")
       },
-      None))
+      None),
+
+    // Maximum-inner-product search (recommendation/retrieval scoring):
+    // exact top-10 by RAW dot product — the unnormalized ranking cosine
+    // gets wrong whenever vector norm carries a popularity/confidence
+    // signal. Same shape as vec_knn: one corpus pass, the codegen'd
+    // native DotProduct expression (1/3 the flops of the cosine form),
+    // TakeOrderedAndProject top-k — zero shuffle.
+    Q("vec_mips",
+      (s, dir) => {
+        val probeCol = typedLit(SharedProbe(s, dir, ProbeId))
+        t(s, dir, "embeddings")
+          .withColumn("score",
+            graft.functions.VectorFunctions.dot_product(col("embedding"), probeCol))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), round(col("score"), 6).as("score"))
+      },
+      Some(s"""SELECT vec_id,
+                      round(CAST(list_dot_product(embedding, pv) AS DOUBLE), 6) AS score
+               FROM embeddings, ${probeSql("p")}
+               ORDER BY list_dot_product(embedding, pv) DESC, vec_id
+               LIMIT 10""")))
 
   /** Batched IVF serving behind `vec_knn_ivf_batch`: route EVERY probe
     * on the k-row centroid table, explode probes per routed centroid,

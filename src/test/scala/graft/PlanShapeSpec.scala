@@ -356,6 +356,36 @@ class PlanShapeSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("rel_q18: survivor set broadcasts — orders and customer never shuffle") {
+    val p = plan("rel_q18")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the per-order rollup partial-aggregates before its one shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("ts_markov/ts_paths: lag windows sort inside ONE user_id shuffle") {
+    for (q <- Seq("ts_markov", "ts_paths")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, s"$q\n$p")
+    }
+  }
+
+  test("agg_corr_matrix/profile_table: one fact scan feeding one global agg") {
+    for (q <- Seq("agg_corr_matrix", "profile_table")) {
+      val p = plan(q)
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$q\n$p")
+      assert(p.contains("Exchange SinglePartition"), s"$q\n$p")
+    }
+  }
+
+  test("vec_mips: single scan + top-k heap, codegen'd dot product, no shuffle") {
+    val p = plan("vec_mips")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("dot_product("), p)
+  }
+
   test("graph triangles: canonical orientation joins, no cartesian") {
     val p = plan("graph_triangles")
     // the final 1-row × 1-row scalar combine is a broadcast cross join
