@@ -23,6 +23,42 @@ object ExtendedQueries extends QueryPack {
     * once at ingest" is now literal, not per-process — while a
     * regenerated fixture (new sizes/mtimes) triggers an atomic rebuild.
     */
+  /** The events fixture materialized `partitionBy(event_type)` plus a
+    * tiny on-disk event-type dimension — the date/tenant-partitioned
+    * fact + dim layout every warehouse runs on; built once per fixture
+    * (fingerprint-gated, atomic — same contract as
+    * [[SharedBucketedTables]]) and shared by `join_dpp`. The dim must be
+    * a FILE table, not a local Seq: Spark constant-folds a filtered
+    * LocalRelation away, and the dynamic-partition-pruning rule only
+    * fires on a surviving selective Filter over the build side.
+    */
+  private object SharedPartitionedEvents {
+    private val memo = new SessionMemo[String, (String, String)]()
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String)
+        : (String, String) =
+      memo(s, dir) {
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        val root = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), s"graft_evpart_$tag")
+        val fp = graft.operators.Artifacts.tableFingerprint(dir, "events") +
+          "|layout=events+dim" // layout contents are part of the identity
+        graft.operators.Artifacts.ensureBuilt(root, fp) { tmp =>
+          val ev = graft.Tables.table(s, dir, "events")
+          ev.write.partitionBy("event_type").mode("overwrite")
+            .parquet(tmp.resolve("events").toString)
+          ev.select(col("event_type")).distinct()
+            .withColumn("category",
+              when(col("event_type").isin("click", "view"), "engagement")
+                .when(col("event_type").isin("purchase", "signup"), "conversion")
+                .otherwise("ops"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(tmp.resolve("dim").toString)
+        }
+        (root.resolve("events").toString, root.resolve("dim").toString)
+      }
+  }
+
   private object SharedBucketedTables {
     private val memo = new SessionMemo[String, (String, String)]()
     val NumBuckets = 8
@@ -901,5 +937,29 @@ object ExtendedQueries extends QueryPack {
                 UNION ALL SELECT 'l_tax', CAST(count(l_tax) AS DOUBLE),
                        CAST(count(DISTINCT l_tax) AS DOUBLE),
                        min(l_tax), max(l_tax) FROM lineitem)
-              ORDER BY col_name""")))
+              ORDER BY col_name""")),
+
+    // DYNAMIC partition pruning — the runtime complement of the static
+    // literal-IN pruning the IVF index uses: the fact lives
+    // partitionBy(event_type) ([[SharedPartitionedEvents]]), the filter
+    // sits on the DIMENSION side of the join, and Spark derives the
+    // fact's partition filter FROM the broadcast at runtime
+    // (dynamicpruningexpression over the reused broadcast, plan-
+    // asserted) — at 100 TB the fact scan reads 2 of N partition
+    // directories without the query ever naming them. The oracle is the
+    // post-pruning semantics as a static IN.
+    Q("join_dpp",
+      (s, dir) => {
+        val (factPath, dimPath) = SharedPartitionedEvents(s, dir)
+        val fact = s.read.parquet(factPath)
+        val dim = s.read.parquet(dimPath)
+        fact.join(broadcast(dim.filter(col("category") === "engagement")),
+            "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+              FROM events WHERE event_type IN ('click', 'view')
+              GROUP BY event_type ORDER BY event_type""")))
 }

@@ -386,6 +386,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("dot_product("), p)
   }
 
+  test("join_dpp: the fact's partition filter derives from the broadcast at runtime") {
+    val p = plan("join_dpp")
+    assert(p.contains("dynamicpruning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("graph triangles: canonical orientation joins, no cartesian") {
     val p = plan("graph_triangles")
     // the final 1-row × 1-row scalar combine is a broadcast cross join
