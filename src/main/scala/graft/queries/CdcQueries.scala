@@ -321,5 +321,46 @@ object CdcQueries extends QueryPack {
                      strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
                      strftime(next_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
                      CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS is_current
-              FROM versioned ORDER BY user_id, version_id""")))
+              FROM versioned ORDER BY user_id, version_id""")),
+
+    // Incremental view maintenance with retractions — the aggregate a
+    // downstream keeps current WITHOUT ever recomputing it from the
+    // latest-state table. Each change event emits up to two delta rows
+    // against SUM(value)/COUNT(*) GROUP BY current-type: an addition
+    // (+value, +1) into its own group and, when the key was seen before,
+    // a retraction (−prev_value, −1) out of the group the key previously
+    // occupied (lag over the key window = the "old image" a real CDC
+    // update carries). Folding the deltas reproduces the latest-state
+    // aggregate exactly — which is what the oracle checks: the SQL is
+    // the MATERIALIZED form (row_number latest state → group), the Spark
+    // side is the DELTA form, and they must hash-equal. One key shuffle
+    // for the lag window; both delta rows come out of a single in-row
+    // inline_outer (no second pass, no union rescan); the group-by folds
+    // with partial aggregation. At 100 TB the deltas are the day's
+    // change volume, not the table — this is why a relay consumer's
+    // dashboard refresh is O(changes), not O(state).
+    Q("cdc_incr_agg",
+      (s, dir) => {
+        val byKey = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("prev_type", lag("event_type", 1).over(byKey))
+          .withColumn("prev_value", lag("value", 1).over(byKey))
+          .select(explode(array(
+            struct(col("event_type").as("grp"), col("value").as("dv"),
+              lit(1L).as("dn")),
+            struct(col("prev_type").as("grp"), (-col("prev_value")).as("dv"),
+              lit(-1L).as("dn")))).as("delta"))
+          .filter(col("delta.grp").isNotNull)
+          .groupBy(col("delta.grp").as("last_type"))
+          .agg(sum("delta.dn").as("n_users"),
+            round(sum("delta.dv"), 2).as("sum_last_value"))
+          .orderBy("last_type")
+      },
+      Some("""SELECT event_type AS last_type, count(*) AS n_users,
+                     round(sum(value), 2) AS sum_last_value
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events)
+              WHERE rn = 1
+              GROUP BY last_type ORDER BY last_type""")))
 }

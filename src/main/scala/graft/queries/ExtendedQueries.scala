@@ -961,5 +961,115 @@ object ExtendedQueries extends QueryPack {
       },
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
               FROM events WHERE event_type IN ('click', 'view')
-              GROUP BY event_type ORDER BY event_type""")))
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // CUSUM changepoint score per user — the sequential statistic drift
+    // monitors compute over every key's time series. The per-user mean
+    // and the running sum of deviations share ONE user_id window
+    // partitioning (no join, no second shuffle), the cumulative sum is
+    // evaluated sequentially inside each partition frame (bit-identical
+    // across engines because the addition order IS the frame order), and
+    // per-user series are naturally small, so partition width is bounded
+    // however many users exist — the scale axis is key count, which is
+    // exactly what a hash shuffle spreads. Flagging compares against an
+    // integer threshold far above float noise.
+    Q("ts_cusum",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id")
+        val seq0 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("dev", col("value") - avg("value").over(byUser))
+          .withColumn("cum", sum("dev").over(seq0))
+          .groupBy("user_id")
+          .agg(round(max(abs(col("cum"))), 3).as("cusum_max"),
+            count(lit(1)).as("n_events"))
+          .filter(col("cusum_max") > 350)
+          .orderBy("user_id")
+      },
+      Some("""WITH dev AS (
+                SELECT user_id, ts, event_id,
+                       value - avg(value) OVER (PARTITION BY user_id) AS dev
+                FROM events),
+              cum AS (
+                SELECT user_id,
+                       sum(dev) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                FROM dev)
+              SELECT user_id, round(max(abs(cum)), 3) AS cusum_max,
+                     count(*) AS n_events
+              FROM cum GROUP BY user_id
+              HAVING round(max(abs(cum)), 3) > 350
+              ORDER BY user_id""")),
+
+    // Robust anomaly detection via median absolute deviation — the
+    // outlier filter that survives the outliers it hunts (stddev-based
+    // z-scores don't; ts_zscore is the fragile twin). Two exact-median
+    // passes (value, then |value − median|) with the ≤5-row per-type
+    // medians BROADCAST back between them — the fact table shuffles on
+    // event_type twice and never more, and both medians use the same
+    // exact interpolated-percentile semantics in both engines, so the
+    // 3×MAD cut compares identical doubles.
+    Q("ts_anomaly_mad",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_type", "value")
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val mad = ev.join(broadcast(med), "event_type")
+          .groupBy("event_type")
+          .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+        ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(round(first("med"), 3).as("median_value"),
+            round(first("mad"), 3).as("mad"),
+            sum(when(abs(col("value") - col("med")) > col("mad") * 3, 1L)
+              .otherwise(0L)).as("n_anomalies"))
+          .orderBy("event_type")
+      },
+      Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                           FROM events GROUP BY 1),
+              mad AS (SELECT e.event_type,
+                             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+                      FROM events e JOIN med m USING (event_type) GROUP BY 1)
+              SELECT e.event_type, round(min(m.med), 3) AS median_value,
+                     round(min(d.mad), 3) AS mad,
+                     sum(CASE WHEN abs(e.value - m.med) > d.mad * 3
+                              THEN 1 ELSE 0 END) AS n_anomalies
+              FROM events e JOIN med m USING (event_type)
+                            JOIN mad d USING (event_type)
+              GROUP BY 1 ORDER BY e.event_type""")),
+
+    // Decile boundary profile per event type — the distribution summary
+    // quality dashboards draw. The decile of each row is pure integer
+    // arithmetic over (row_number, partition count) — ceil(10·rn/cnt)
+    // with no float rank anywhere, so the bucketing is exact in both
+    // engines; both windows share one (event_type → order value) sort
+    // and the boundary extraction is a partial-aggregated max.
+    Q("win_deciles",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        val all = Window.partitionBy("event_type")
+        t(s, dir, "events")
+          .select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(all))
+          .withColumn("decile", expr("(rn * 10L + cnt - 1L) div cnt"))
+          .groupBy("event_type", "decile")
+          .agg(round(max("value"), 3).as("upper_bound"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("event_type", "decile")
+      },
+      Some("""WITH r AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value, event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS cnt
+                FROM events)
+              SELECT event_type,
+                     (rn * 10 + cnt - 1) // cnt AS decile,
+                     round(max(value), 3) AS upper_bound,
+                     count(*) AS n_rows
+              FROM r GROUP BY 1, 2 ORDER BY event_type, decile""")))
 }

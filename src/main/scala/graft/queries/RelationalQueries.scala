@@ -790,5 +790,74 @@ object RelationalQueries extends QueryPack {
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
               SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
               FROM tr WHERE t1 IS NOT NULL
-              GROUP BY 1 ORDER BY n DESC, path LIMIT 10""")))
+              GROUP BY 1 ORDER BY n DESC, path LIMIT 10""")),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting, adapted to the
+    // fixture's columns): for multi-supplier orders, find the suppliers
+    // that were the ONLY late shipper — a semi-join (another supplier
+    // exists) stacked on an anti-join (no OTHER supplier was late).
+    // "Late" = shipped >60 days after the order date. Everything joins
+    // on l_orderkey, so the orderkey shuffle is computed once and reused
+    // by the self-semi/anti (same-key exchange reuse); the late set is a
+    // filtered projection, never a second scan shape; the final count is
+    // a partial agg + top-k (per-partition heaps, 20-row driver merge).
+    Q("rel_q21",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+        val late = t(s, dir, "lineitem")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > expr("timestampadd(DAY, 60, o_orderdate)"))
+          .select("l_orderkey", "l_suppkey").distinct()
+        val cand = late.as("c")
+          .join(li.as("o"), col("c.l_orderkey") === col("o.l_orderkey") &&
+            col("c.l_suppkey") =!= col("o.l_suppkey"), "left_semi")
+        cand.as("c")
+          .join(late.as("x"), col("c.l_orderkey") === col("x.l_orderkey") &&
+            col("c.l_suppkey") =!= col("x.l_suppkey"), "left_anti")
+          .groupBy(col("l_suppkey").as("s_suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_suppkey"))
+          .limit(20)
+      },
+      Some("""WITH late AS (
+                SELECT DISTINCT l_orderkey, l_suppkey
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+              SELECT c.l_suppkey AS s_suppkey, count(*) AS numwait
+              FROM late c
+              WHERE EXISTS (SELECT 1 FROM lineitem o
+                            WHERE o.l_orderkey = c.l_orderkey
+                              AND o.l_suppkey <> c.l_suppkey)
+                AND NOT EXISTS (SELECT 1 FROM late x
+                                WHERE x.l_orderkey = c.l_orderkey
+                                  AND x.l_suppkey <> c.l_suppkey)
+              GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 20""")),
+
+    // Market-basket pair mining over orders: which part pairs co-occur
+    // in the same order? The pair generator is the per-order self-join —
+    // bounded by lines-per-order (≤7 in TPC-H data), NEVER part×part —
+    // so pair volume is Σ k_i·(k_i−1)/2 ≈ 21·|orders| worst case, and
+    // the whole query is two hash shuffles (orderkey join, pair count).
+    // Support counting + deterministic top-k; the integer (p1, p2) tie
+    // break keeps the limit boundary exact.
+    Q("basket_pairs",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+        val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
+        a.join(b, Seq("l_orderkey"))
+          .filter(col("p1") < col("p2"))
+          .groupBy("p1", "p2")
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .orderBy(col("support").desc, col("p1"), col("p2"))
+          .limit(25)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+              SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2
+              ORDER BY support DESC, p1, p2 LIMIT 25""")))
 }

@@ -1289,5 +1289,74 @@ object TextQueries extends QueryPack {
           .select(col("step"), col("left"), col("right"), col("merged"), col("freq"))
           .orderBy("step")
       },
-      None))
+      None),
+
+    // Sorted-neighborhood dedup — the third blocking family alongside the
+    // postings index (doc_dedup_ngram) and LSH banding (minhash/simhash):
+    // sort once on a normalized key, compare each doc only to its w=2
+    // following neighbors, verify with exact 3-gram Jaccard computed
+    // IN-ROW on the paired shingle arrays (no postings join at all).
+    // Blocking on the key's 2-char prefix keeps every window partition
+    // bounded, so at 100 TB this is one range-partitioned sort plus a
+    // map-side neighbor compare — the cheapest near-dup pass there is
+    // when dups share prefixes (and exactly the recall trade SNM
+    // documents: prefix-divergent dups are the miss case). The ≥0.8
+    // accept is the integer cross-multiply i·5 ≥ u·4 — no float
+    // threshold anywhere.
+    Q("doc_dedup_sorted",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.normalize(col("text")).as("norm"))
+          .select(col("doc_id"),
+            substring(col("norm"), 1, 2).as("block"),
+            substring(col("norm"), 1, 32).as("sortkey"),
+            TextFunctions.shingles(TextFunctions.tokens(col("norm")), 3).as("sh"))
+        val w = Window.partitionBy("block").orderBy(col("sortkey"), col("doc_id"))
+        val nb = base
+          .withColumn("d1", lead("doc_id", 1).over(w))
+          .withColumn("s1", lead("sh", 1).over(w))
+          .withColumn("d2", lead("doc_id", 2).over(w))
+          .withColumn("s2", lead("sh", 2).over(w))
+        nb.select(col("doc_id").as("x"), col("sh").as("sx"),
+            explode(array(
+              struct(col("d1").as("y"), col("s1").as("sy")),
+              struct(col("d2").as("y"), col("s2").as("sy")))).as("p"))
+          .filter(col("p.y").isNotNull)
+          .select(col("x"), col("p.y").as("y"), col("sx"), col("p.sy").as("sy"))
+          .filter(size(col("sx")) > 0 && size(col("sy")) > 0)
+          .withColumn("i", size(array_intersect(col("sx"), col("sy"))))
+          .withColumn("u", size(col("sx")) + size(col("sy")) - col("i"))
+          .filter(col("i") * 5 >= col("u") * 4)
+          .select(
+            least(col("x"), col("y")).as("a_id"),
+            greatest(col("x"), col("y")).as("b_id"),
+            round(col("i").cast("double") / col("u"), 4).as("jaccard"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+                         FROM documents),
+              tt AS (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM d),
+              sh AS (SELECT doc_id, substr(norm, 1, 32) AS sortkey,
+                            substr(norm, 1, 2) AS block,
+                            list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                           for i in range(1, len(t) - 1)]) AS sh
+                     FROM tt),
+              nb AS (SELECT doc_id, sh,
+                            lead(doc_id, 1) OVER w AS d1, lead(sh, 1) OVER w AS s1,
+                            lead(doc_id, 2) OVER w AS d2, lead(sh, 2) OVER w AS s2
+                     FROM sh
+                     WINDOW w AS (PARTITION BY block ORDER BY sortkey, doc_id)),
+              pairs AS (
+                SELECT doc_id AS x, d1 AS y, sh AS sx, s1 AS sy
+                FROM nb WHERE d1 IS NOT NULL
+                UNION ALL
+                SELECT doc_id, d2, sh, s2 FROM nb WHERE d2 IS NOT NULL),
+              j AS (SELECT least(x, y) AS a_id, greatest(x, y) AS b_id,
+                           len(list_intersect(sx, sy)) AS i,
+                           len(sx) + len(sy) - len(list_intersect(sx, sy)) AS u
+                    FROM pairs WHERE len(sx) > 0 AND len(sy) > 0)
+              SELECT a_id, b_id, round(CAST(i AS DOUBLE) / u, 4) AS jaccard
+              FROM j WHERE i * 5 >= u * 4
+              ORDER BY a_id, b_id""")))
 }
