@@ -859,5 +859,206 @@ object RelationalQueries extends QueryPack {
               FROM li a JOIN li b
                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
               GROUP BY 1, 2 HAVING count(*) >= 2
-              ORDER BY support DESC, p1, p2 LIMIT 25""")))
+              ORDER BY support DESC, p1, p2 LIMIT 25""")),
+
+    // TPC-H Q4 shape (order-priority checking): orders with at least one
+    // lineitem shipped >30 days after the order date, counted by
+    // priority. The correlated EXISTS becomes a LEFT SEMI join whose
+    // condition carries the cross-table inequality — one orderkey
+    // shuffle, the date filter prunes the orders scan first, and the
+    // semi join short-circuits per order (no pair materialization).
+    Q("rel_q4",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > expr("timestampadd(DAY, 30, o_orderdate)"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+                AND EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey
+                              AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+              GROUP BY 1 ORDER BY 1""")),
+
+    // TPC-H Q5 shape (local-supplier volume): revenue from orders where
+    // the customer and the lineitem's supplier sit in the same nation,
+    // rolled up by nation for one region and a two-year window. The two
+    // fact tables join on their natural keys (orderkey, custkey); the
+    // supplier and the nation⋈region dim chain BROADCAST — at 100 TB
+    // the only shuffles are the two fact-key exchanges, and the region
+    // filter cuts the nation list before it ever touches a fact row.
+    Q("rel_q5",
+      (s, dir) => {
+        val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"), rev)
+        val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val nr = t(s, dir, "nation")
+          .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum("rev"), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+              GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // TPC-H Q7 shape (volume shipping between two nations): bilateral
+    // trade by year. The nation dim is consumed TWICE under different
+    // roles — two renamed broadcast projections (supp_nation /
+    // cust_nation), so there's no self-join ambiguity and no second
+    // fact shuffle; the nationkey IN filters land on the 10-row
+    // supplier dim and the customer side before the join fans out.
+    Q("rel_q7",
+      (s, dir) => {
+        val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev")
+        val n1 = t(s, dir, "nation").filter(col("n_nationkey").isin(3, 12))
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val n2 = t(s, dir, "nation").filter(col("n_nationkey").isin(3, 12))
+          .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        val supp = t(s, dir, "supplier")
+          .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+          .select("s_suppkey", "supp_nation")
+        val cust = t(s, dir, "customer")
+          .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+          .select("c_custkey", "cust_nation")
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).as("l_year"), rev)
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(round(sum("rev"), 2).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     year(l_shipdate) AS l_year,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE n1.n_nationkey IN (3, 12) AND n2.n_nationkey IN (3, 12)
+                AND n1.n_nationkey <> n2.n_nationkey
+              GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    // revenue lost to returns in a half-year. Both fact filters
+    // (returnflag, date window) push into their scans BEFORE the
+    // orderkey/custkey shuffles; nation broadcasts; top-20 is
+    // TakeOrderedAndProject over the ROUNDED revenue with the custkey
+    // tiebreak, so the limit boundary is exact across engines.
+    Q("rel_q10",
+      (s, dir) => {
+        val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev")
+        val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), rev)
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+        val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(round(sum("rev"), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1997-07-01'
+                AND l_returnflag = 'R'
+              GROUP BY c_custkey, c_name, n_name
+              ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // TPC-H Q14 shape (promotion effect): promo revenue share of a
+    // half-year of shipments. One conditional-sum pass — the CASE folds
+    // into the same partial aggregate as the denominator, the part dim
+    // broadcasts (at 100 TB: a shuffle join on partkey if the part
+    // table outgrows the broadcast threshold — the plan is the same
+    // shape either way), and the date filter prunes the fact scan.
+    Q("rel_q14",
+      (s, dir) => {
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+          .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(round(
+            sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) * 100.0 /
+              sum(rev), 2).as("promo_pct"))
+      },
+      Some("""SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-07-01'""")),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    // three OR'd (brand, size-range, quantity-range) arms over the
+    // part⋈lineitem join. The disjunction can't prune the fact scan,
+    // but every arm references only join-output columns, so it
+    // evaluates inside the joined codegen stage — one broadcast join,
+    // one global aggregate, zero extra passes.
+    Q("rel_q19",
+      (s, dir) => {
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        val arm = (brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =>
+          col("p_brand") === brand &&
+            col("p_size").between(szLo, szHi) && col("l_quantity").between(qLo, qHi)
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand", "p_size")),
+            col("l_partkey") === col("p_partkey"))
+          .filter(arm("Brand#13", 1, 15, 5, 30) || arm("Brand#20", 5, 25, 10, 35) ||
+            arm("Brand#7", 1, 30, 1, 25))
+          .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n"))
+      },
+      Some("""SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                     count(*) AS n
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+                     AND l_quantity BETWEEN 5 AND 30)
+                 OR (p_brand = 'Brand#20' AND p_size BETWEEN 5 AND 25
+                     AND l_quantity BETWEEN 10 AND 35)
+                 OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 30
+                     AND l_quantity BETWEEN 1 AND 25)""")))
 }
