@@ -400,4 +400,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)".r.findAllIn(p).size >= 2, p)
   }
+
+  test("cdc_incr_agg: deltas come from ONE window pass + in-row explode") {
+    val p = plan("cdc_incr_agg")
+    // one lag window (both old-image columns share it), one Generate —
+    // NOT a union of two scans/window passes
+    assert("Window".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Generate"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("ts_cusum: mean + running-sum windows share one user_id shuffle") {
+    val p = plan("ts_cusum")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("win_deciles: rank + count windows and the rollup share one exchange") {
+    val p = plan("win_deciles")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("doc_dedup_sorted: neighbor pairing is window-local — no join at all") {
+    val p = plan("doc_dedup_sorted")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("rel_q5/rel_q7: dim chains broadcast; no cartesian anywhere") {
+    for (q <- Seq("rel_q5", "rel_q7")) {
+      val p = plan(q)
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"$q\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+  }
+
+  test("rel_q21: semi and anti both key on the reused orderkey exchange") {
+    val p = plan("rel_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("basket_pairs: per-order pair join, bounded top-k") {
+    val p = plan("basket_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
