@@ -797,10 +797,12 @@ object ExtendedQueries extends QueryPack {
     // overlap join is an O(n²) inequality join, while here every
     // interval EXPLODES into the hour buckets it spans (≤ 4, bounded by
     // the 200-min value cap), pairs equi-join on (event_type, bucket) —
-    // a plain hash shuffle, no theta join — then the true-overlap
-    // predicate filters and pair-level distinct dedups multi-bucket
-    // matches. Work scales with genuinely-colliding pairs per bucket,
-    // not with n².
+    // a plain hash shuffle, no theta join. Multi-bucket double-counting
+    // is eliminated WITHOUT a pair-level distinct (which was a second
+    // full shuffle of the pair set): an overlapping pair is counted only
+    // in the REPORTING bucket — the one holding the later of the two
+    // starts, which both intervals provably span — so each pair survives
+    // the filter exactly once and the count aggregates directly.
     Q("join_interval",
       (s, dir) => {
         val iv = t(s, dir, "events").select(
@@ -817,8 +819,8 @@ object ExtendedQueries extends QueryPack {
           col("event_id").as("b_id"), col("ts").as("b_ts"), col("te").as("b_te"))
         a.join(b, Seq("event_type", "bk"))
           .filter(col("a_id") < col("b_id") &&
-            col("a_ts") <= col("b_te") && col("b_ts") <= col("a_te"))
-          .select(col("event_type"), col("a_id"), col("b_id")).distinct()
+            col("a_ts") <= col("b_te") && col("b_ts") <= col("a_te") &&
+            date_trunc("hour", greatest(col("a_ts"), col("b_ts"))) === col("bk"))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_overlaps"))
           .orderBy("event_type")

@@ -56,6 +56,27 @@ object TextQueries extends QueryPack {
         SharedShingleIndex(s, dir, n).filter(col("doc_id") % 10 >= 8).count())
   }
 
+  /** Learned BPE merge table per (session, fixture, steps): the trainer
+    * (`text_bpe_train`) and the encoder (`text_bpe_encode`) replay the
+    * SAME merges — without sharing, the encoder re-runs the 8-step
+    * Lloyd's-style learn the trainer just finished. A Seq of k case
+    * classes, so the pin is trivially small and needs no eviction hook.
+    */
+  private object SharedBpeMerges {
+    private val memo =
+      new SessionMemo[(String, Int), Seq[graft.text.Bpe.Merge]]()
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String, steps: Int)
+        : Seq[graft.text.Bpe.Merge] =
+      memo(s, (dir, steps)) {
+        val words = graft.Tables.table(s, dir, "documents")
+          .select(explode(graft.text.TextFunctions.tokens(
+            graft.text.TextFunctions.normalize(col("text")))).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        graft.text.Bpe.learn(s, words, steps)
+      }
+  }
+
   /** The 0.8-Jaccard pair table both `doc_dedup_ngram` and
     * `doc_dedup_clusters` consume, memoized like the index above (one
     * small pinned pair table per fixture): clusters then costs only its
@@ -1278,16 +1299,46 @@ object TextQueries extends QueryPack {
     // same dict, plus tie-break determinism.
     Q("text_bpe_train",
       (s, dir) => {
-        val words = t(s, dir, "documents")
-          .select(explode(TextFunctions.tokens(
-            TextFunctions.normalize(col("text")))).as("word"))
-          .filter(length(col("word")) > 0)
-          .groupBy("word").agg(count(lit(1)).as("freq"))
-        val merges = graft.text.Bpe.learn(s, words, steps = 8)
+        val merges = SharedBpeMerges(s, dir, 8)
         import s.implicits._
         merges.toDF()
           .select(col("step"), col("left"), col("right"), col("merged"), col("freq"))
           .orderBy("step")
+      },
+      None),
+
+    // Tokenizer APPLY — the other half of the train/encode loop and the
+    // single most-run op in a training-data pipeline (every document of
+    // every crawl snapshot gets tokenized). The corpus-scale shape is
+    // encode-the-vocab: the merge replay (a per-word loop, necessarily a
+    // UDF) runs over the DISTINCT words only, the (word → subword count)
+    // table broadcasts, and the corpus pays one explode + broadcast hash
+    // join + partial-aggregated rollup — the merge loop never sees a
+    // fact row, and codegen breaks only on the vocab-sized side. Shares
+    // the learned merges with text_bpe_train via [[SharedBpeMerges]]
+    // (one Lloyd's-style learn per fixture, however many queries replay
+    // it). Rows-only like the trainer (8 chained learned rewrites are
+    // not SQL-mirrorable); BpeSpec pins encodeWord's merge-order
+    // semantics and the concat invariant.
+    Q("text_bpe_encode",
+      (s, dir) => {
+        val merges = SharedBpeMerges(s, dir, 8)
+        val nSub = udf((w: String) => graft.text.Bpe.encodeWord(w, merges).length)
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(TextFunctions.tokens(TextFunctions.normalize(col("text"))))
+              .as("word"))
+          .filter(length(col("word")) > 0)
+        val vocab = toks.select("word").distinct()
+          .withColumn("n_sub", nSub(col("word")))
+          .withColumn("n_chars", length(col("word")))
+        toks.join(broadcast(vocab), "word")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum("n_sub").as("n_subtokens"),
+            round(sum("n_chars").cast("double") / sum("n_sub"), 4)
+              .as("chars_per_token"))
+          .orderBy("lang")
       },
       None),
 

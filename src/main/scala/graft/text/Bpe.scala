@@ -97,6 +97,19 @@ object Bpe {
     } finally dict.unpersist()
   }
 
+  /** Tokenizer APPLY step: encode one word by replaying the learned
+    * merges in order (standard BPE inference). Corpus-scale contract:
+    * encode the VOCAB (unique words), never the token stream — the
+    * result broadcasts back onto the corpus as a plain (word → subwords)
+    * join, so 100 TB of text pays one vocab-sized UDF pass plus a
+    * broadcast hash join, and the merge loop never touches a fact row.
+    */
+  def encodeWord(word: String, merges: Seq[Merge]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString)
+    merges.sortBy(_.step).foreach(m => syms = mergeOnce(syms, m.left, m.right))
+    syms
+  }
+
   /** Plain single-threaded reference implementation over an in-memory
     * word-freq map — the parity oracle for [[learn]] (BpeSpec).
     */

@@ -57,4 +57,33 @@ class BpeSpec extends SparkSpec {
     assert(rows.length === 8)
     assert(rows.map(_.getInt(0)).toSeq === (1 to 8))
   }
+
+  test("encodeWord replays merges IN ORDER and preserves content") {
+    // order matters: (a,b)→ab then (ab,c)→abc only works in step order;
+    // replaying (ab,c) first would find no "ab" symbol yet
+    val merges = Seq(
+      Bpe.Merge(1, "a", "b", "ab", 10),
+      Bpe.Merge(2, "ab", "c", "abc", 5))
+    assert(Bpe.encodeWord("abcab", merges) === Seq("abc", "ab"))
+    // shuffled input order must not change the result (sorted by step)
+    assert(Bpe.encodeWord("abcab", merges.reverse) === Seq("abc", "ab"))
+    // concat invariant on learned merges over the real dict
+    val dict = wordDict
+    val learned = Bpe.learn(spark, dict, steps = 8)
+    dict.collect().take(50).foreach { r =>
+      val w = r.getString(0)
+      assert(Bpe.encodeWord(w, learned).mkString === w)
+    }
+  }
+
+  test("declared encode query compresses: subtokens <= word chars") {
+    val rows = SparkEntry.queries("text_bpe_encode")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nWords, nSub) = (r.getLong(1), r.getLong(2))
+      val charsPerTok = r.getDouble(3)
+      assert(nSub >= nWords, "a word encodes to at least one symbol")
+      assert(charsPerTok >= 1.0, "merges only ever shrink the symbol count")
+    }
+  }
 }
