@@ -1073,5 +1073,55 @@ object ExtendedQueries extends QueryPack {
                      (rn * 10 + cnt - 1) // cnt AS decile,
                      round(max(value), 3) AS upper_bound,
                      count(*) AS n_rows
-              FROM r GROUP BY 1, 2 ORDER BY event_type, decile""")))
+              FROM r GROUP BY 1, 2 ORDER BY event_type, decile""")),
+
+    // Trailing exponentially-weighted moving average (adjusted EWMA over
+    // the last 24 hourly points) — the smoothing pass behind every
+    // monitoring dashboard. The fact collapses to the compact hourly
+    // series in ONE partial-agg shuffle; the trailing window materializes
+    // as a ≤24-element array and the decay fold runs IN-ROW as a
+    // higher-order `aggregate` (chronological fold order ⇒ the float
+    // sum is sequence-identical in both engines; DuckDB's list_reduce
+    // seeds with the first element, which equals folding from 0.0).
+    // No pow over unbounded exponents anywhere — the closed-form
+    // denominator uses 0.9^m with m ≤ 24, so a decade of history can't
+    // overflow/underflow the weights.
+    Q("ts_ewma",
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(sum("value").as("x"))
+        val frame = Window.partitionBy("event_type").orderBy("hour")
+          .rowsBetween(-23, Window.currentRow)
+        val seq0 = Window.partitionBy("event_type").orderBy("hour")
+        val all = Window.partitionBy("event_type")
+        hourly
+          .withColumn("l", collect_list("x").over(frame))
+          .withColumn("rn", row_number().over(seq0))
+          .withColumn("cnt", count(lit(1)).over(all))
+          .filter(col("rn") === col("cnt")) // report the latest smoothed point
+          .select(col("event_type"),
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("rn").cast("long").as("n_hours"),
+            round(
+              expr("aggregate(l, CAST(0.0 AS DOUBLE), (acc, x) -> acc * 0.9 + x)") /
+                ((lit(1.0) - pow(lit(0.9), size(col("l")))) / 0.1), 3).as("ewma"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       sum(value) AS x
+                FROM events GROUP BY 1, 2),
+              ew AS (
+                SELECT event_type, hour,
+                       list(x) OVER (PARTITION BY event_type ORDER BY hour
+                                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS l,
+                       row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS cnt
+                FROM hourly)
+              SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+                     rn AS n_hours,
+                     round(list_reduce(l, (acc, x) -> acc * 0.9 + x)
+                           / ((1 - pow(0.9, len(l))) / 0.1), 3) AS ewma
+              FROM ew WHERE rn = cnt ORDER BY event_type""")))
 }

@@ -176,6 +176,30 @@ object VectorQueries extends QueryPack {
 
     // Exact top-10 cosine neighbors of one probe vector: one corpus pass,
     // codegen'd cosine, TakeOrderedAndProject top-k — zero shuffle.
+    // RANGE (radius) search — the non-top-k retrieval contract: ALL
+    // vectors within a similarity radius, however many there are (dedup
+    // thresholds, recall-critical filters). Same single-scan shape as
+    // vec_knn but the selection is a pushed filter on the ROUNDED
+    // similarity (both engines compare the identical 6-dp double), not
+    // a heap — result size is data-dependent by design, zero shuffle.
+    Q("vec_range",
+      (s, dir) => {
+        val probeCol = typedLit(SharedProbe(s, dir, ProbeId))
+        t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            round(cosine_similarity(col("embedding"), probeCol), 6).as("sim"))
+          .filter(col("sim") >= 0.3)
+          .orderBy(col("sim").desc, col("vec_id"))
+      },
+      Some(s"""WITH sims AS (
+                 SELECT vec_id,
+                        round(list_dot_product(embedding, pv)
+                              / (sqrt(list_dot_product(embedding, embedding))
+                                 * sqrt(list_dot_product(pv, pv))), 6) AS sim
+                 FROM embeddings, ${probeSql("p")})
+               SELECT vec_id, sim FROM sims WHERE sim >= 0.3
+               ORDER BY sim DESC, vec_id""")),
+
     Q("vec_knn",
       (s, dir) => {
         val embs = t(s, dir, "embeddings")
