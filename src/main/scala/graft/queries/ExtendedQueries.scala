@@ -982,17 +982,27 @@ object ExtendedQueries extends QueryPack {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "events")
           .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-          .withColumn("dev", col("value") - avg("value").over(byUser))
+          // float-order hazards are fenced out entirely: the one
+          // order-dependent float (the partition mean) is rounded to 4 dp,
+          // and the deviations are then QUANTIZED to 1e-4 integers so the
+          // cumulative sum is exact 64-bit arithmetic — engines are free
+          // to sum in any order (DuckDB's segment-tree window vs Spark's
+          // sequential fold gave 1e-12 drift on raw doubles) and still
+          // agree bit-for-bit
+          .withColumn("dev",
+            round((col("value") - round(avg("value").over(byUser), 4)) * 10000, 0)
+              .cast("long"))
           .withColumn("cum", sum("dev").over(seq0))
           .groupBy("user_id")
-          .agg(round(max(abs(col("cum"))), 3).as("cusum_max"),
+          .agg(round(max(abs(col("cum"))) / 10000.0, 3).as("cusum_max"),
             count(lit(1)).as("n_events"))
           .filter(col("cusum_max") > 350)
           .orderBy("user_id")
       },
       Some("""WITH dev AS (
                 SELECT user_id, ts, event_id,
-                       value - avg(value) OVER (PARTITION BY user_id) AS dev
+                       CAST(round((value - round(avg(value) OVER (PARTITION BY user_id), 4))
+                                  * 10000, 0) AS BIGINT) AS dev
                 FROM events),
               cum AS (
                 SELECT user_id,
@@ -1000,10 +1010,10 @@ object ExtendedQueries extends QueryPack {
                                       ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS cum
                 FROM dev)
-              SELECT user_id, round(max(abs(cum)), 3) AS cusum_max,
+              SELECT user_id, round(max(abs(cum)) / 10000.0, 3) AS cusum_max,
                      count(*) AS n_events
               FROM cum GROUP BY user_id
-              HAVING round(max(abs(cum)), 3) > 350
+              HAVING round(max(abs(cum)) / 10000.0, 3) > 350
               ORDER BY user_id""")),
 
     // Robust anomaly detection via median absolute deviation — the
