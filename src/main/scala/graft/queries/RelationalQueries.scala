@@ -835,20 +835,23 @@ object RelationalQueries extends QueryPack {
               GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 20""")),
 
     // Market-basket pair mining over orders: which part pairs co-occur
-    // in the same order? The pair generator is the per-order self-join —
-    // bounded by lines-per-order (≤7 in TPC-H data), NEVER part×part —
-    // so pair volume is Σ k_i·(k_i−1)/2 ≈ 21·|orders| worst case, and
-    // the whole query is two hash shuffles (orderkey join, pair count).
-    // Support counting + deterministic top-k; the integer (p1, p2) tie
-    // break keeps the limit boundary exact.
+    // in the same order? The pair generator is IN-ROW — each order's
+    // distinct parts collapse to one sorted array (map-side partial
+    // collect_set, ONE shuffle) and the ≤ k_i·(k_i−1)/2 pairs explode
+    // from it with higher-order functions, so there is no self-join and
+    // pair volume is bounded by lines-per-order (≤7 in TPC-H data),
+    // NEVER part×part. Support counting partial-aggregates;
+    // deterministic top-k with the integer (p1, p2) tie break.
     Q("basket_pairs",
       (s, dir) => {
-        val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-        val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
-        val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
-        a.join(b, Seq("l_orderkey"))
-          .filter(col("p1") < col("p2"))
-          .groupBy("p1", "p2")
+        t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set("l_partkey")).as("parts"))
+          .select(explode(expr(
+            """flatten(transform(parts, (x, i) ->
+                 transform(slice(parts, i + 2, size(parts)), y ->
+                   struct(x AS p1, y AS p2))))""")).as("pr"))
+          .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
           .agg(count(lit(1)).as("support"))
           .filter(col("support") >= 2)
           .orderBy(col("support").desc, col("p1"), col("p2"))
