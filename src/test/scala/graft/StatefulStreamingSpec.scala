@@ -169,6 +169,44 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming heavy hitters: bounded state, MG guarantee across epochs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val k = 8
+      val input = MemoryStream[graft.streaming.StreamingHeavyHitters.Item]
+      val sketches =
+        graft.streaming.StreamingHeavyHitters.heavyHitters(input.toDS(), k)
+      val q = sketches.toDF().writeStream.format("memory").queryName("hh_out")
+        .outputMode("update").start()
+
+      def item(t: String) = graft.streaming.StreamingHeavyHitters.Item("t", t)
+      // skewed stream across TWO epochs: the fold must carry state over
+      input.addData(Seq.fill(30)(item("hot")) ++
+        (1 to 10).flatMap(i => Seq.fill(2)(item(s"cold_$i"))): _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(30)(item("hot")) ++
+        (11 to 20).flatMap(i => Seq.fill(2)(item(s"cold_$i"))): _*)
+      q.processAllAvailable()
+      q.stop()
+
+      val last = spark.table("hh_out").orderBy(col("n").desc).head()
+      val n = last.getLong(1)
+      assert(n === 100L) // 60 hot + 40 cold, both epochs folded
+      val items = last.getSeq[org.apache.spark.sql.Row](2)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // state boundedness: never more than k counters survive
+      assert(items.size <= k, items)
+      // MG guarantee: any item with true freq > n/(k+1) is retained and
+      // undercounts by at most n/(k+1); hot has 60 > 100/9
+      val bound = n / (k + 1)
+      assert(items.contains("hot"))
+      assert(items("hot") >= 60L - bound && items("hot") <= 60L, items)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming SCD2 emits each closed version once; dups collapse, deletes clear") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
