@@ -1133,5 +1133,91 @@ object ExtendedQueries extends QueryPack {
                      rn AS n_hours,
                      round(list_reduce(l, (acc, x) -> acc * 0.9 + x)
                            / ((1 - pow(0.9, len(l))) / 0.1), 3) AS ewma
-              FROM ew WHERE rn = cnt ORDER BY event_type""")))
+              FROM ew WHERE rn = cnt ORDER BY event_type""")),
+
+    // Lagged cross-correlation between the click and purchase hourly
+    // series (does engagement lead conversion, and by how many hours?).
+    // The fact collapses to ONE compact hourly grid in a single
+    // conditional-sum shuffle; the lag alignment and the four corr
+    // moments then run over ~700 rows whatever the corpus size — the
+    // lead windows share one global-hour sort, which is fine precisely
+    // BECAUSE the series is time-bounded, not corpus-bounded.
+    Q("ts_xcorr",
+      (s, dir) => {
+        val grid = t(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(
+            sum(when(col("event_type") === "click", col("value")).otherwise(0.0))
+              .as("x"),
+            sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
+              .as("y"))
+        val w = Window.orderBy("hour")
+        grid
+          .withColumn("y1", lead("y", 1).over(w))
+          .withColumn("y2", lead("y", 2).over(w))
+          .withColumn("y3", lead("y", 3).over(w))
+          .agg(
+            round(corr("x", "y"), 4).as("lag0"),
+            round(corr("x", "y1"), 4).as("lag1"),
+            round(corr("x", "y2"), 4).as("lag2"),
+            round(corr("x", "y3"), 4).as("lag3"))
+      },
+      Some("""WITH grid AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS x,
+                       sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS y
+                FROM events WHERE event_type IN ('click', 'purchase')
+                GROUP BY 1),
+              lagged AS (
+                SELECT x, y,
+                       lead(y, 1) OVER (ORDER BY hour) AS y1,
+                       lead(y, 2) OVER (ORDER BY hour) AS y2,
+                       lead(y, 3) OVER (ORDER BY hour) AS y3
+                FROM grid)
+              SELECT round(corr(x, y), 4) AS lag0,
+                     round(corr(x, y1), 4) AS lag1,
+                     round(corr(x, y2), 4) AS lag2,
+                     round(corr(x, y3), 4) AS lag3
+              FROM lagged""")),
+
+    // Theil–Sen trend estimate per event type — the outlier-robust
+    // slope (median of all pairwise slopes) that least-squares isn't.
+    // The all-pairs stage looks quadratic but runs on the COMPACT hourly
+    // series: ~700 points per type at every corpus scale, so the pair
+    // count is fixed by the time span, not the row count — collapsing
+    // first is exactly what makes a robust estimator affordable at
+    // 100 TB. Slopes are identical rational arithmetic in both engines;
+    // the median uses the same interpolated-percentile semantics as
+    // agg_median.
+    Q("ts_trend",
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("h"))
+          .agg(round(sum("value"), 4).as("v"))
+        val a = hourly.select(col("event_type"), col("h").as("h1"), col("v").as("v1"))
+        val b = hourly.select(col("event_type"), col("h").as("h2"), col("v").as("v2"))
+        a.join(b, Seq("event_type"))
+          .filter(col("h1") < col("h2"))
+          .select(col("event_type"),
+            ((col("v2") - col("v1")) / (col("h2") - col("h1"))).as("slope"))
+          .groupBy("event_type")
+          .agg(round(expr("percentile(slope, 0.5)"), 4).as("theil_sen_slope"),
+            count(lit(1)).as("n_pairs"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hourly AS (
+                SELECT event_type,
+                       epoch(date_trunc('hour', ts)) // 3600 AS h,
+                       round(sum(value), 4) AS v
+                FROM events GROUP BY 1, 2),
+              slopes AS (
+                SELECT a.event_type, (b.v - a.v) / (b.h - a.h) AS slope
+                FROM hourly a JOIN hourly b
+                  ON a.event_type = b.event_type AND a.h < b.h)
+              SELECT event_type,
+                     round(quantile_cont(slope, 0.5), 4) AS theil_sen_slope,
+                     count(*) AS n_pairs
+              FROM slopes GROUP BY 1 ORDER BY event_type""")))
 }
