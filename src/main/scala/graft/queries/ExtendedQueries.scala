@@ -1198,7 +1198,13 @@ object ExtendedQueries extends QueryPack {
           .agg(round(sum("value"), 4).as("v"))
         val a = hourly.select(col("event_type"), col("h").as("h1"), col("v").as("v1"))
         val b = hourly.select(col("event_type"), col("h").as("h2"), col("v").as("v2"))
-        a.join(b, Seq("event_type"))
+        // the b-side is the compact series itself — BROADCAST it so the
+        // pair stage parallelizes over (type, h1) rows instead of
+        // landing all pairs of a type on one of |types| shuffle
+        // partitions (the 5-key join skew this query would otherwise
+        // have; same cure as join_salted, but free because one side is
+        // tiny by construction)
+        a.join(broadcast(b), Seq("event_type"))
           .filter(col("h1") < col("h2"))
           .select(col("event_type"),
             ((col("v2") - col("v1")) / (col("h2") - col("h1"))).as("slope"))

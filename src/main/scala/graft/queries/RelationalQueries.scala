@@ -864,6 +864,26 @@ object RelationalQueries extends QueryPack {
               GROUP BY 1, 2 HAVING count(*) >= 2
               ORDER BY support DESC, p1, p2 LIMIT 25""")),
 
+    // TPC-H Q6 shape (forecasting revenue change): the pure-scan
+    // aggregate — every predicate pushes into the parquet scan
+    // (PushedFilters, plan-asserted family), no join, no shuffle
+    // beyond the 1-row global combine. The canonical "is the scan
+    // path clean" canary.
+    Q("rel_q6",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"), count(lit(1)).as("n")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                     count(*) AS n
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+                AND l_discount BETWEEN 0.05 AND 0.07
+                AND l_quantity < 24""")),
+
     // TPC-H Q4 shape (order-priority checking): orders with at least one
     // lineitem shipped >30 days after the order date, counted by
     // priority. The correlated EXISTS becomes a LEFT SEMI join whose
