@@ -148,6 +148,62 @@ object Multimodal {
         col("st._2").as("sum_r"), col("st._3").as("sum_g"),
         col("st._4").as("sum_b"))
 
+  /** RESIZE: 2×2 average-pool thumbnail from the full pixel decode —
+    * the downsample step of an image-preprocessing pipeline, in exact
+    * integer arithmetic (each output channel is the floor-average of
+    * its 4 source pixels; odd trailing rows/columns are cropped, the
+    * conventional floor(w/2)×floor(h/2) pooling contract). Returns the
+    * pooled dimensions and the channel sums OVER THE THUMBNAIL, which
+    * an oracle reproduces from the fixture's pixel formula bit-for-bit
+    * — certifying the resize arithmetic, not just the decode.
+    */
+  def pngThumbStats(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val ow = w / 2
+        val oh = h / 2
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            var cr = 0; var cg = 0; var cb = 0
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                val p = px((2 * y + dy) * w + (2 * x + dx))
+                cr += (p >> 16) & 255; cg += (p >> 8) & 255; cb += p & 255
+                dx += 1
+              }
+              dy += 1
+            }
+            sr += cr / 4; sg += cg / 4; sb += cb / 4
+            x += 1
+          }
+          y += 1
+        }
+        Some((ow, oh, sr, sg, sb))
+      }
+    } catch { case _: Exception => None }
+
+  private val pngThumbUdf = udf(pngThumbStats _)
+
+  /** Per-image thumbnail (2×2 average-pool) statistics — the resize
+    * transform over the media frame; narrow, integer-exact end to end.
+    */
+  def imageThumbStats(media: DataFrame): DataFrame =
+    media.filter(col("kind") === "image")
+      .withColumn("st", pngThumbUdf(col("bytes")))
+      .select(col("media_id"), col("st._1").as("thumb_w"),
+        col("st._2").as("thumb_h"), col("st._3").as("sum_r"),
+        col("st._4").as("sum_g"), col("st._5").as("sum_b"))
+
   // ---------------------------------------------------------------- audio
 
   /** The deterministic parameters fixture audio is encoded with:

@@ -212,4 +212,39 @@ object MultimodalQueries extends QueryPack {
                      sum((p >> 8) & 255)::BIGINT AS sum_g,
                      sum(p & 255)::BIGINT AS sum_b
               FROM pix GROUP BY media_id, w, h ORDER BY media_id""")))
+
+    // RESIZE — the remaining op of the mandated multimodal quartet
+    // (decode / feature-extract / RESIZE / frame-sample): a 2×2
+    // average-pool thumbnail computed from the real decoded pixels,
+    // floor-average per channel, odd edges cropped (the conventional
+    // floor(w/2)×floor(h/2) pooling contract). All-integer end to end,
+    // so the oracle regenerates the pooled sums from the fixture's
+    // pixel formula and must agree bit-for-bit — the resize ARITHMETIC
+    // is certified, not just the decode underneath it.
+    .appended(Q("mm_resize",
+      (s, dir) => Multimodal.imageThumbStats(SharedMedia(s, dir))
+        .orderBy("media_id"),
+      Some("""WITH img AS (
+                SELECT doc_id AS media_id,
+                       16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 48 AS h
+                FROM documents WHERE doc_id % 3 = 0),
+              tiles AS (SELECT media_id, w, w // 2 AS ow, h // 2 AS oh FROM img),
+              oidx AS (
+                SELECT media_id, w, ow, oh, unnest(range(0, ow * oh)) AS i
+                FROM tiles),
+              pix AS (
+                SELECT media_id, ow, oh,
+                       (media_id * 2654435761 + (2*(i % ow)    )*31 + (2*(i // ow)    )*17) & 16777215 AS p00,
+                       (media_id * 2654435761 + (2*(i % ow) + 1)*31 + (2*(i // ow)    )*17) & 16777215 AS p01,
+                       (media_id * 2654435761 + (2*(i % ow)    )*31 + (2*(i // ow) + 1)*17) & 16777215 AS p10,
+                       (media_id * 2654435761 + (2*(i % ow) + 1)*31 + (2*(i // ow) + 1)*17) & 16777215 AS p11
+                FROM oidx)
+              SELECT media_id, min(ow) AS thumb_w, min(oh) AS thumb_h,
+                     sum((((p00 >> 16) & 255) + ((p01 >> 16) & 255)
+                          + ((p10 >> 16) & 255) + ((p11 >> 16) & 255)) // 4)::BIGINT AS sum_r,
+                     sum((((p00 >> 8) & 255) + ((p01 >> 8) & 255)
+                          + ((p10 >> 8) & 255) + ((p11 >> 8) & 255)) // 4)::BIGINT AS sum_g,
+                     sum(((p00 & 255) + (p01 & 255)
+                          + (p10 & 255) + (p11 & 255)) // 4)::BIGINT AS sum_b
+              FROM pix GROUP BY media_id ORDER BY media_id""")))
 }
