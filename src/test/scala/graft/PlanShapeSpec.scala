@@ -442,10 +442,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("basket_pairs: per-order pair join, bounded top-k") {
+  test("basket_pairs: in-row pair generation — no join anywhere") {
     val p = plan("basket_pairs")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate"), p) // the in-row pair explode
     assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("rel_q6: pure scan — predicates pushed, no join, no key shuffle") {
+    val p = plan("rel_q6")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("ts_trend: the compact series broadcasts into the pair stage") {
+    val p = plan("ts_trend")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ts_xcorr/ts_ewma: one fact scan collapsing to a compact series") {
+    for (q <- Seq("ts_xcorr", "ts_ewma")) {
+      val p = plan(q)
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$q\n$p")
+      assert(!p.contains("Join"), s"$q\n$p")
+    }
+  }
+
+  test("text_bpe_encode: vocab broadcasts back onto the token stream") {
+    val p = plan("text_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("mm_resize: narrow decode+pool projection — no join, no key shuffle") {
+    val p = plan("mm_resize")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
   }
 }
