@@ -323,6 +323,67 @@ object CdcQueries extends QueryPack {
                      CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS is_current
               FROM versioned ORDER BY user_id, version_id""")),
 
+    // POINT-IN-TIME enrichment against the SCD2 history — the
+    // feature-store primitive (training-serving skew dies here): each
+    // purchase picks the dimension version that was VALID AT ITS
+    // TIMESTAMP, never a later one. The relational statement is an
+    // interval join (ts ∈ [valid_from, valid_to)), which is what the
+    // oracle runs — but the Spark plan is the union-and-last-non-null
+    // trick: version starts and facts interleave in ONE (user_id)
+    // window sort (kind orders a version before a same-µs fact, so a
+    // state change and the purchase that caused it resolve like the
+    // interval semantics say), and the running last-non-null carries
+    // the current version onto every fact. One key shuffle, NO join at
+    // all — the interval join's O(facts × versions-per-key) probe work
+    // becomes a linear merge, which is why feature stores backfill this
+    // way at scale. Zero-width versions (two changes at one µs) drop
+    // out naturally: the later change overwrites before any fact reads.
+    Q("cdc_pit_enrich",
+      (s, dir) => {
+        val byKey = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val ev = t(s, dir, "events")
+        val versions = ev
+          .withColumn("prev_state", lag("event_type", 1).over(byKey))
+          .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+          .select(col("user_id"), col("ts"), lit(0).as("kind"),
+            col("event_id"), col("event_id").as("version_id"),
+            col("event_type").as("state"))
+        val facts = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("kind"),
+            col("event_id"), lit(null).cast("long").as("version_id"),
+            lit(null).cast("string").as("state"))
+        val merged = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("kind"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        versions.unionByName(facts)
+          .withColumn("cur_version",
+            last("version_id", ignoreNulls = true).over(merged))
+          .withColumn("cur_state", last("state", ignoreNulls = true).over(merged))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("user_id"),
+            col("cur_version").as("version_id"), col("cur_state").as("state"))
+          .orderBy("event_id")
+      },
+      Some("""WITH changes AS (
+                SELECT user_id, event_id, event_type, ts
+                FROM (SELECT *, lag(event_type) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                      FROM events)
+                WHERE prev IS NULL OR prev <> event_type),
+              versions AS (
+                SELECT user_id, event_id AS version_id, event_type AS state,
+                       ts AS vf,
+                       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         AS vt
+                FROM changes),
+              p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase')
+              SELECT p.event_id, p.user_id, v.version_id, v.state
+              FROM p JOIN versions v
+                ON p.user_id = v.user_id AND p.ts >= v.vf
+               AND (v.vt IS NULL OR p.ts < v.vt)
+              ORDER BY p.event_id""")),
+
     // Incremental view maintenance with retractions — the aggregate a
     // downstream keeps current WITHOUT ever recomputing it from the
     // latest-state table. Each change event emits up to two delta rows

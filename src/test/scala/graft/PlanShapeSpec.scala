@@ -476,6 +476,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("cdc_pit_enrich: point-in-time semantics WITHOUT an interval join") {
+    val p = plan("cdc_pit_enrich")
+    assert(!p.contains("Join"), p) // union + last-non-null, one key window
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 2, p)
+  }
+
   test("mm_resize: narrow decode+pool projection — no join, no key shuffle") {
     val p = plan("mm_resize")
     assert(!p.contains("Join"), p)
