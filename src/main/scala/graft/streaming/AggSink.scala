@@ -56,8 +56,20 @@ object AggSink {
         if (java.nio.file.Files.exists(epochFile))
           java.nio.file.Files.readString(epochFile).trim.toLong
         else -1L
-      if (batchId < applied) return // both snapshots already past this epoch
+      // batchId < applied ⇒ a LATER epoch already folded, which implies
+      // this epoch's state upsert also completed (state publishes before
+      // the next epoch can run) — nothing to do
+      if (batchId >= applied) applyOnce(spark, statePath, stateDir, aggPath,
+        aggDir, batch, batchId, applied, keyCol, grpCol, valueCol, opCol,
+        deleteOp)
+    }
+  }
 
+  private def applyOnce(spark: SparkSession,
+      statePath: java.nio.file.Path, stateDir: String,
+      aggPath: java.nio.file.Path, aggDir: String, batch: DataFrame,
+      batchId: Long, applied: Long, keyCol: String, grpCol: String,
+      valueCol: String, opCol: String, deleteOp: String): Unit = {
       val stateCols = Seq(keyCol, grpCol, valueCol)
       val state =
         if (java.nio.file.Files.exists(statePath))
@@ -104,6 +116,5 @@ object AggSink {
       val nextStatePath = java.nio.file.Paths.get(stateDir + ".next")
       nextState.write.mode("overwrite").parquet(nextStatePath.toString)
       graft.operators.Artifacts.swapInto(statePath, nextStatePath)
-    }
   }
 }
