@@ -449,6 +449,33 @@ object RelationalQueries extends QueryPack {
                        AS n_users
               FROM h ORDER BY hour""")),
 
+    // The APPROXIMATE twin of ts_sliding_distinct for windows where the
+    // exact per-hour user sets stop fitting: one DataSketches HLL
+    // sketch per hour (mergeable, constant-size — the same partials
+    // agg_sketch_reuse banks), then the 3-hour window MERGES sketches
+    // in-row (hll_union fold over the collected window) instead of
+    // unioning raw user sets — per-row window state is 3 sketches, not
+    // 3 user lists, so a 30-day reach window costs the same as a
+    // 3-hour one. Rows-only by design (sketch internals are partition-
+    // dependent); SketchSpec bounds it against the exact twin.
+    Q("ts_sliding_distinct_approx",
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        val w = Window.orderBy("hour").rowsBetween(-2, 0)
+        hourly
+          .withColumn("sks", collect_list(col("sk")).over(w))
+          .select(
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            expr("""hll_sketch_estimate(
+                      aggregate(slice(sks, 2, size(sks) - 1), sks[0],
+                                (acc, x) -> hll_union(acc, x)))""")
+              .cast("long").as("n_users_approx"))
+          .orderBy("hour")
+      },
+      None),
+
     // FLAGSHIP COMPOSITE (TPC-H Q3 shape): segment-filtered customers ⋈
     // open orders ⋈ pending lineitems → revenue per order → top-10.
     // Every filter sits before its join so the scans prune server-side;

@@ -36,6 +36,19 @@ class SketchSpec extends SparkSpec {
       s"HLL estimate $est vs exact $exact")
   }
 
+  test("sliding-window HLL fold tracks the exact sliding distinct within 5%") {
+    val exact = SparkEntry.queries("ts_sliding_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("ts_sliding_distinct_approx")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet) // same hourly grid
+    for ((hour, est) <- approx) {
+      val truth = exact(hour).toDouble
+      assert(math.abs(est - truth) <= math.max(3.0, 0.05 * truth),
+        s"$hour: approx $est vs exact $truth")
+    }
+  }
+
   test("Misra–Gries: heavy items always survive reduces+merges within the bound") {
     val k = 10
     // skewed synthetic stream: three genuinely heavy items buried in noise
