@@ -988,7 +988,13 @@ object RelationalQueries extends QueryPack {
     // supplier dim and the customer side before the join fans out.
     Q("rel_q7",
       (s, dir) => {
-        val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev")
+        // revenue QUANTIZED to 1e-4 integers before the sum: each term is
+        // bit-identical in both engines (same product arithmetic), so the
+        // 64-bit sum is exact under ANY accumulation order — the raw
+        // double sum landed a half-ulp from a cent boundary at sf0.1
+        val rev = expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)")
+          .as("rev")
         val n1 = t(s, dir, "nation").filter(col("n_nationkey").isin(3, 12))
           .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
         val n2 = t(s, dir, "nation").filter(col("n_nationkey").isin(3, 12))
@@ -1007,12 +1013,14 @@ object RelationalQueries extends QueryPack {
           .join(cust, col("o_custkey") === col("c_custkey"))
           .filter(col("supp_nation") =!= col("cust_nation"))
           .groupBy("supp_nation", "cust_nation", "l_year")
-          .agg(round(sum("rev"), 2).as("revenue"))
+          .agg(round(sum("rev") / 10000.0, 2).as("revenue"))
           .orderBy("supp_nation", "cust_nation", "l_year")
       },
       Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                      year(l_shipdate) AS l_year,
-                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                     round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                          * 10000, 0) AS BIGINT)) / 10000.0, 2)
+                       AS revenue
               FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
               JOIN orders ON o_orderkey = l_orderkey
               JOIN customer ON c_custkey = o_custkey
