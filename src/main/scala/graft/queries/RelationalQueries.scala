@@ -281,6 +281,47 @@ object RelationalQueries extends QueryPack {
               SELECT o_custkey FROM orders
               ORDER BY custkey""")),
 
+    // MULTISET set ops — the bag semantics the distinct variants above
+    // can't express (EXCEPT ALL keeps the multiplicity DIFFERENCE,
+    // INTERSECT ALL the minimum): per-customer order multiplicities
+    // survive, so "orders beyond the first two per customer" falls out
+    // of a bag difference with a constant-side two-copy table. Both
+    // plan as hash-partitioned joins on the value, no sort, no
+    // materialized duplicates beyond the inputs'.
+    Q("set_except_all",
+      (s, dir) => {
+        val a = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        val twice = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        a.exceptAll(twice.unionAll(twice))
+          .groupBy("custkey").agg(count(lit(1)).as("n_extra"))
+          .orderBy("custkey")
+      },
+      Some("""WITH extra AS (
+                SELECT o_custkey AS custkey FROM orders
+                EXCEPT ALL
+                (SELECT c_custkey FROM customer
+                 UNION ALL SELECT c_custkey FROM customer))
+              SELECT custkey, count(*) AS n_extra
+              FROM extra GROUP BY custkey ORDER BY custkey""")),
+
+    Q("set_intersect_all",
+      (s, dir) => {
+        val a = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        val b = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("custkey"))
+        a.intersectAll(b)
+          .groupBy("custkey").agg(count(lit(1)).as("n_common"))
+          .orderBy("custkey").limit(100)
+      },
+      Some("""WITH common AS (
+                SELECT o_custkey AS custkey FROM orders
+                INTERSECT ALL
+                SELECT o_custkey FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey)
+              SELECT custkey, count(*) AS n_common
+              FROM common GROUP BY custkey ORDER BY custkey LIMIT 100""")),
+
     // Tumbling event-time window (batch analog of the streaming window;
     // the streaming twin lives in graft.streaming). Bucket rendered as a
     // string so µs/ns timestamp encodings can't skew the compare.
