@@ -1071,6 +1071,86 @@ object RelationalQueries extends QueryPack {
                 AND n1.n_nationkey <> n2.n_nationkey
               GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
+    // TPC-H Q8 shape (national market share): one supplier-nation's
+    // share of a region's promo-part market by year. The biggest join
+    // tree in the suite — two fact shuffles (orderkey, custkey) and
+    // FOUR broadcast dims (nation twice under different roles, region,
+    // part, supplier); revenue terms quantize to 1e-4 integers so the
+    // share ratio divides exact sums and can't wobble on a rounding
+    // boundary under partial-agg reordering (the rel_q7 lesson).
+    Q("rel_q8",
+      (s, dir) => {
+        val revInt = expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)")
+        val custRegion = t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")
+            .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey").as("cn_key"))),
+            col("c_nationkey") === col("cn_key"))
+          .select("c_custkey")
+        val supp = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey").as("supp_nation"))
+        val promo = t(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select("p_partkey")
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
+            revInt.as("rev"))
+          .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("o_year")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(custRegion, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("o_year")
+          .agg(round(
+            sum(when(col("supp_nation") === 12, col("rev")).otherwise(0L))
+              .cast("double") / sum("rev"), 4).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""WITH vol AS (
+                SELECT year(o_orderdate) AS o_year,
+                       CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                            AS BIGINT) AS rev,
+                       n2.n_nationkey AS supp_nation
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                JOIN part ON l_partkey = p_partkey
+                WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+              SELECT o_year,
+                     round(CAST(sum(CASE WHEN supp_nation = 12 THEN rev
+                                         ELSE 0 END) AS DOUBLE)
+                           / sum(rev), 4) AS mkt_share
+              FROM vol GROUP BY o_year ORDER BY o_year""")),
+
+    // TPC-H Q13 shape (customer order-count distribution): the LEFT
+    // OUTER join that must keep zero-order customers, then a double
+    // aggregation (count per customer → histogram of counts). Both
+    // aggs partial-combine; all-integer output so the DESC ordering is
+    // exact.
+    Q("rel_q13",
+      (s, dir) => t(s, dir, "customer").select("c_custkey")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+        .limit(25),
+      Some("""WITH co AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey)
+              SELECT c_count, count(*) AS custdist
+              FROM co GROUP BY c_count
+              ORDER BY custdist DESC, c_count DESC LIMIT 25""")),
+
     // TPC-H Q10 shape (returned-item reporting): top-20 customers by
     // revenue lost to returns in a half-year. Both fact filters
     // (returnflag, date window) push into their scans BEFORE the
