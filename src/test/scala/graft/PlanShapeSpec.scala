@@ -487,4 +487,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("rel_q8: four-dim join tree stays broadcast; facts shuffle at most twice") {
+    val p = plan("rel_q8")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rel_q13: zero-order customers survive the outer join") {
+    val p = plan("rel_q13")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
