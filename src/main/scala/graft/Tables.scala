@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture-table loaders (TESTDATA.md): one parquet file per table under
   * an sf directory. Kept trivial on purpose — the scan is the plan leaf
@@ -13,16 +14,27 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    // default (PARQUET_TYPE_ILLEGAL). Read it as a long and floor-divide to
-    // micros — the same truncation DuckDB applies when it reads ns into its
-    // µs TIMESTAMP, so oracle comparisons stay exact. `div` (integer
-    // division) rather than `/`: epoch-ns ≈ 1.7e18 exceeds a double's 2^53
-    // integer range, a float division would corrupt low digits.
+    // events.ts normalizes to session-local TIMESTAMP micros whatever the
+    // fixture generation encoded it as:
+    //  - parquet TIMESTAMP(NANOS) (older fixtures): Spark 4 refuses it by
+    //    default (PARQUET_TYPE_ILLEGAL), so read as a long and floor-divide
+    //    to micros — the same truncation DuckDB applies reading ns into its
+    //    µs TIMESTAMP. `div` (integer division), not `/`: epoch-ns ≈ 1.7e18
+    //    exceeds a double's 2^53 integer range.
+    //  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) (current
+    //    fixtures): arrives as TIMESTAMP_NTZ; the session timezone is
+    //    pinned to UTC everywhere (Bench/Verify/tests), so the cast to
+    //    TIMESTAMP is a value-exact re-tag, matching DuckDB's naive read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     else df
   }
 }

@@ -1239,5 +1239,56 @@ object RelationalQueries extends QueryPack {
                  OR (p_brand = 'Brand#20' AND p_size BETWEEN 5 AND 25
                      AND l_quantity BETWEEN 10 AND 35)
                  OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 30
-                     AND l_quantity BETWEEN 1 AND 25)""")))
+                     AND l_quantity BETWEEN 1 AND 25)""")),
+
+    // LAST-TOUCH attribution — the conversion-credit query every
+    // event-pipeline consumer runs: each purchase is credited to the
+    // user's most recent PRIOR click/view within a 24 h lookback, else
+    // 'direct'. Both carry-forward windows (touch type + touch time)
+    // share ONE (user_id, ts) partitioning, so the whole per-user
+    // journey walk is a single key shuffle of a narrow projection —
+    // no self-join of purchases against touches (the join form
+    // re-shuffles the event table twice and still needs a per-pair
+    // max). Revenue folds as exact integer cents (the rel_q8 move), so
+    // the per-channel sums are engine-identical; the ≤3-row channel
+    // report aggregates with map-side partials.
+    Q("ts_attribution",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val touch = when(col("event_type").isin("click", "view"), col("event_type"))
+        val touchTs = when(col("event_type").isin("click", "view"), col("ts"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+          .withColumn("lt_type", last(touch, ignoreNulls = true).over(w))
+          .withColumn("lt_ts", last(touchTs, ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .withColumn("channel",
+            when(col("lt_ts").isNotNull &&
+              col("lt_ts") >= col("ts") - expr("INTERVAL 24 HOURS"), col("lt_type"))
+              .otherwise(lit("direct")))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_purchases"),
+            round(sum("cents").cast("double") / 100.0, 2).as("revenue"))
+          .orderBy("channel")
+      },
+      Some("""WITH att AS (
+                SELECT event_type, ts, value,
+                       last_value(CASE WHEN event_type IN ('click','view')
+                                       THEN event_type END IGNORE NULLS)
+                         OVER w AS lt_type,
+                       last_value(CASE WHEN event_type IN ('click','view')
+                                       THEN ts END IGNORE NULLS)
+                         OVER w AS lt_ts
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+              SELECT CASE WHEN lt_ts IS NOT NULL AND lt_ts >= ts - INTERVAL 24 HOUR
+                          THEN lt_type ELSE 'direct' END AS channel,
+                     count(*) AS n_purchases,
+                     round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2)
+                       AS revenue
+              FROM att WHERE event_type = 'purchase'
+              GROUP BY 1 ORDER BY channel""")))
 }
