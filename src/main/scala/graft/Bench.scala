@@ -25,18 +25,33 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Queries run grouped by family (name prefix up to the first '_'),
+    // with every SessionMemo pin for the session evicted at each family
+    // boundary. Without this, 167 queries accumulate dozens of
+    // MEMORY_AND_DISK fixture pins (shingle/pair/minhash indexes,
+    // adjacency lists, decoded frames) in one storage pool, and late
+    // families pay block-eviction + recompute + GC churn that a real
+    // per-job cluster run never would. The pin set is now bounded by one
+    // family's fixtures; names stay sorted so the report order and the
+    // driver contract are unchanged.
+    val families = selected.groupBy(_._1.takeWhile(_ != '_')).toSeq
+      .sortBy(_._1).map(_._2)
     def runAll(timed: Boolean): Seq[(String, Double)] =
-      selected.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          if (timed) System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          // -1 marks a FAILED query so the 2x gate can't mistake broken
-          // for fast
-          name -> -1.0
+      families.flatMap { family =>
+        val res = family.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            name -> (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            if (timed) System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            // -1 marks a FAILED query so the 2x gate can't mistake broken
+            // for fast
+            name -> -1.0
+          }
         }
+        graft.queries.SessionMemo.evictAll(spark)
+        res
       }
     // one untimed warm-up pass (JIT + codegen + page cache), then TWO
     // timed passes reporting the per-query MINIMUM: steady-state engine

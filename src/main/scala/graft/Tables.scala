@@ -32,6 +32,12 @@ object Tables {
         case LongType =>
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case TimestampNTZType =>
+          // The NTZ→TIMESTAMP cast is value-exact ONLY under a UTC
+          // session; a session built without the pin would silently
+          // shift every ts by the host offset. Fail loudly instead.
+          require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+            "graft.Tables requires spark.sql.session.timeZone=UTC " +
+              "(the events.ts NTZ->TIMESTAMP cast is only value-exact under UTC)")
           df.withColumn("ts", col("ts").cast(TimestampType))
         case _ => df
       }

@@ -92,6 +92,102 @@ object WeightedQuantile {
         max(col("totw")).as("total_weight"))
   }
 
+  /** Exact INTERPOLATED percentiles (the `percentile`/`quantile_cont`
+    * definition: value at fractional rank r = q·(n−1), linear between the
+    * two straddling order statistics) without ever buffering a whole
+    * group — the at-scale replacement for `expr("percentile(v, q)")`,
+    * whose `ObjectHashAggregate` buffer holds EVERY value of a group (a
+    * 100 TB group OOMs one task; ts_trend's slope set grows quadratically
+    * with the time span).
+    *
+    * Same bucket-histogram scheme as [[weightedQuantile]], generalized to
+    * rank selection: pass A takes per-group (count, min, max) and turns
+    * each q into its two target ranks ⌊r⌋/⌈r⌉; pass B builds the compact
+    * per-bucket COUNT histogram (shuffle rows ≤ groups×buckets, constant
+    * size) and finds, per target rank, the bucket whose cumulative count
+    * straddles it; pass C sorts ONLY those cut buckets (expected n/buckets
+    * rows each), reads the order statistics by global rank = bucket prefix
+    * + local row_number, and interpolates with Spark Percentile's exact
+    * formula, so results are bit-identical to the buffering form
+    * (WeightedQuantileSpec proves it). Equal values always bucket
+    * together, so rank→value is tiebreak-free.
+    *
+    * Input rows with null `valueCol` are skipped (the built-in's
+    * semantics). Output: one row per (group, q): (groupCol, q, pctl, n)
+    * — `n` is the group's non-null count, free from pass A, so callers
+    * like ts_trend don't pay a fourth scan for it.
+    */
+  def exactPercentiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      qs: Seq[Double],
+      buckets: Int = 1024): DataFrame = {
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val in = df.select(g, v).filter(v.isNotNull)
+
+    // pass A: bounds + per-q target ranks (tiny: groups × qs rows)
+    val bounds = in.groupBy(g).agg(
+      count(lit(1)).as("n"), min(v).as("mn"), max(v).as("mx"))
+    val ranks = bounds
+      .select(g, col("n"), col("mn"), col("mx"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .withColumn("r", col("q") * (col("n") - 1))
+      .withColumn("k_lo", floor(col("r")).cast("long"))
+      .withColumn("k_hi", ceil(col("r")).cast("long"))
+    val targets = ranks
+      .select(g, explode(array(col("k_lo"), col("k_hi"))).as("k"))
+      .distinct()
+
+    def bucketOf(value: Column): Column = least(
+      lit(buckets - 1),
+      floor((value - col("mn")) * buckets /
+        when(col("mx") > col("mn"), col("mx") - col("mn")).otherwise(lit(1)))
+        .cast("int"))
+
+    val bucketed = in.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("bkt", bucketOf(v))
+
+    // pass B: count histogram; a bucket is CUT iff it straddles a target
+    // rank (pre ≤ k < cum) — at most 2·|qs| buckets per group survive
+    val hist = bucketed.groupBy(g, col("bkt")).agg(count(lit(1)).as("hc"))
+    val byBkt = Window.partitionBy(g).orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scanned = hist
+      .withColumn("cum", sum("hc").over(byBkt))
+      .withColumn("pre", col("cum") - col("hc"))
+    val cuts = scanned.join(broadcast(targets), Seq(groupCol))
+      .filter(col("pre") <= col("k") && col("k") < col("cum"))
+      .select(g, col("bkt"), col("pre")).distinct()
+
+    // pass C: sort only the cut buckets; pick the target order statistics
+    val rn = Window.partitionBy(g, col("bkt")).orderBy(v)
+    val rankValue = bucketed.select(g, col("bkt"), v)
+      .join(broadcast(cuts), Seq(groupCol, "bkt"))
+      .withColumn("grank", col("pre") + row_number().over(rn) - 1)
+      .join(broadcast(targets.withColumnRenamed("k", "grank")),
+        Seq(groupCol, "grank"))
+      .select(g, col("grank"), v.as("rv"))
+
+    // Spark Percentile's exact interpolation form, mirrored term for term
+    // — (⌈r⌉−r)·v_lo + (r−⌊r⌋)·v_hi with an integer-rank short-circuit —
+    // because any algebraically equal rewrite (lower + delta·frac,
+    // v_lo·(1−f)+v_hi·f) differs in the last ulp on real doubles
+    ranks
+      .join(broadcast(rankValue
+          .withColumnRenamed("grank", "k_lo").withColumnRenamed("rv", "v_lo")),
+        Seq(groupCol, "k_lo"))
+      .join(broadcast(rankValue
+          .withColumnRenamed("grank", "k_hi").withColumnRenamed("rv", "v_hi")),
+        Seq(groupCol, "k_hi"))
+      .select(g, col("q"),
+        when(col("k_lo") === col("k_hi"), col("v_lo"))
+          .otherwise(col("v_lo") * (col("k_hi") - col("r")) +
+            col("v_hi") * (col("r") - col("k_lo"))).as("pctl"),
+        col("n"))
+  }
+
   /** The textbook one-window formulation — the ≥-cores-groups regime's
     * shape and the spec's equality reference.
     */

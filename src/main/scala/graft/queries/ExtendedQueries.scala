@@ -335,14 +335,19 @@ object ExtendedQueries extends QueryPack {
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
     // Ordered-statistics aggregation: exact interpolated percentiles
-    // (median/p90). Spark plans a sort-based aggregate per group; both
-    // engines use the standard linear-interpolation definition.
+    // (median/p90) via the bucket-histogram rank selection in
+    // `WeightedQuantile.exactPercentiles` — bit-identical to
+    // `percentile(value, q)` but with constant-size shuffle rows instead
+    // of an agg buffer holding every value of the group (the form that
+    // OOMs one task per huge group at corpus scale).
     Q("agg_median",
-      (s, dir) => t(s, dir, "events")
+      (s, dir) => graft.operators.WeightedQuantile
+        .exactPercentiles(t(s, dir, "events"), "event_type", "value",
+          Seq(0.5, 0.9))
         .groupBy("event_type")
         .agg(
-          round(expr("percentile(value, 0.5)"), 4).as("median_value"),
-          round(expr("percentile(value, 0.9)"), 4).as("p90_value"))
+          round(max(when(col("q") === 0.5, col("pctl"))), 4).as("median_value"),
+          round(max(when(col("q") === 0.9, col("pctl"))), 4).as("p90_value"))
         .orderBy("event_type"),
       Some("""SELECT event_type,
                      round(quantile_cont(value, 0.5), 4) AS median_value,
@@ -1020,18 +1025,23 @@ object ExtendedQueries extends QueryPack {
     // outlier filter that survives the outliers it hunts (stddev-based
     // z-scores don't; ts_zscore is the fragile twin). Two exact-median
     // passes (value, then |value − median|) with the ≤5-row per-type
-    // medians BROADCAST back between them — the fact table shuffles on
-    // event_type twice and never more, and both medians use the same
-    // exact interpolated-percentile semantics in both engines, so the
-    // 3×MAD cut compares identical doubles.
+    // medians BROADCAST back between them; each median runs the bucketed
+    // rank-selection path (constant-size shuffle rows, no whole-group
+    // buffer) with the same interpolated-percentile semantics in both
+    // engines, so the 3×MAD cut compares identical doubles.
     Q("ts_anomaly_mad",
       (s, dir) => {
         val ev = t(s, dir, "events").select("event_type", "value")
-        val med = ev.groupBy("event_type")
-          .agg(expr("percentile(value, 0.5)").as("med"))
-        val mad = ev.join(broadcast(med), "event_type")
-          .groupBy("event_type")
-          .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+        val med = graft.operators.WeightedQuantile
+          .exactPercentiles(ev, "event_type", "value", Seq(0.5))
+          .select(col("event_type"), col("pctl").as("med"))
+        val mad = graft.operators.WeightedQuantile
+          .exactPercentiles(
+            ev.join(broadcast(med), "event_type")
+              .select(col("event_type"),
+                abs(col("value") - col("med")).as("adev")),
+            "event_type", "adev", Seq(0.5))
+          .select(col("event_type"), col("pctl").as("mad"))
         ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
           .groupBy("event_type")
           .agg(round(first("med"), 3).as("median_value"),
@@ -1047,8 +1057,8 @@ object ExtendedQueries extends QueryPack {
                       FROM events e JOIN med m USING (event_type) GROUP BY 1)
               SELECT e.event_type, round(min(m.med), 3) AS median_value,
                      round(min(d.mad), 3) AS mad,
-                     sum(CASE WHEN abs(e.value - m.med) > d.mad * 3
-                              THEN 1 ELSE 0 END) AS n_anomalies
+                     CAST(sum(CASE WHEN abs(e.value - m.med) > d.mad * 3
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
               FROM events e JOIN med m USING (event_type)
                             JOIN mad d USING (event_type)
               GROUP BY 1 ORDER BY e.event_type""")),
@@ -1204,13 +1214,20 @@ object ExtendedQueries extends QueryPack {
         // partitions (the 5-key join skew this query would otherwise
         // have; same cure as join_salted, but free because one side is
         // tiny by construction)
-        a.join(broadcast(b), Seq("event_type"))
+        val slopes = a.join(broadcast(b), Seq("event_type"))
           .filter(col("h1") < col("h2"))
           .select(col("event_type"),
             ((col("v2") - col("v1")) / (col("h2") - col("h1"))).as("slope"))
-          .groupBy("event_type")
-          .agg(round(expr("percentile(slope, 0.5)"), 4).as("theil_sen_slope"),
-            count(lit(1)).as("n_pairs"))
+        // the slope median runs the bucketed rank-selection path: the
+        // slope multiset grows QUADRATICALLY with the time span (~3.8 B
+        // per type for a 10-year corpus), exactly the regime where a
+        // buffer-everything percentile agg OOMs its task; `n` rides along
+        // from the operator's bounds pass for free
+        graft.operators.WeightedQuantile
+          .exactPercentiles(slopes, "event_type", "slope", Seq(0.5))
+          .select(col("event_type"),
+            round(col("pctl"), 4).as("theil_sen_slope"),
+            col("n").as("n_pairs"))
           .orderBy("event_type")
       },
       Some("""WITH hourly AS (

@@ -180,7 +180,7 @@ object GraphQueries extends QueryPack {
                        FROM e e1 JOIN e e2 ON e2.u = e1.v
                        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
                degs AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
-               w AS (SELECT sum(d * (d - 1) // 2) AS wedges FROM degs)
+               w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges FROM degs)
                SELECT triangles, wedges,
                       round(3.0 * triangles / wedges, 6) AS clustering
                FROM tri, w"""))

@@ -53,6 +53,8 @@ import org.apache.spark.sql.SparkSession
   */
 final class SessionMemo[K, V](onEvict: V => Unit = (_: V) => ()) {
 
+  SessionMemo.register(this)
+
   /** Lazily-forced value cell: at most one compute, evictable only if
     * actually forced. (An eviction racing a thread inside `compute`
     * skips the in-flight value here; `apply` re-checks after forcing and
@@ -168,4 +170,32 @@ object SessionMemo {
     */
   val unpersistDf: org.apache.spark.sql.DataFrame => Unit = df =>
     if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false)
+
+  /** Weak registry of every memo instance, so a harness can drop ALL of a
+    * session's pins at once without knowing which query packs exist.
+    * Weak refs: the registry must never keep an otherwise-dead memo (and
+    * its entries) alive.
+    */
+  private val registry =
+    TrieMap[Int, WeakReference[SessionMemo[_, _]]]()
+  private val nextId = new AtomicInteger(0)
+
+  private def register(m: SessionMemo[_, _]): Unit =
+    registry.put(nextId.incrementAndGet(), new WeakReference(m))
+
+  /** Evict `s`'s entries from every live memo. The bench calls this
+    * between query families: with 167 queries in one JVM, dozens of
+    * accumulated MEMORY_AND_DISK pins (shingle/pair/minhash indexes,
+    * adjacency lists, decoded frames) otherwise squeeze the storage pool
+    * and late families pay eviction + recompute churn. Per-family
+    * eviction bounds the live pin set to one family's fixtures — the
+    * steady state a real per-job cluster run would see.
+    */
+  def evictAll(s: SparkSession): Unit =
+    registry.foreach { case (id, ref) =>
+      ref.get() match {
+        case null => registry.remove(id)
+        case m    => m.evict(s)
+      }
+    }
 }

@@ -1409,5 +1409,132 @@ object TextQueries extends QueryPack {
                     FROM pairs WHERE len(sx) > 0 AND len(sy) > 0)
               SELECT a_id, b_id, round(CAST(i AS DOUBLE) / u, 4) AS jaccard
               FROM j WHERE i * 5 >= u * 4
-              ORDER BY a_id, b_id""")))
+              ORDER BY a_id, b_id""")),
+
+    // HTML/boilerplate stripping — the markup-removal pass every web
+    // corpus runs BEFORE quality scoring (doc_quality_filter downstream).
+    // The fixture has no markup column, so each doc's HTML is synthesized
+    // deterministically (title + nav + content-with-inline-tags-and-
+    // entities + cookie banner + footer) by IDENTICAL expressions in both
+    // engines; the operator (TextFunctions.stripHtml) then line-ifies
+    // block closers, strips tags, decodes entities, and drops short
+    // boilerplate lines (nav/cookie/footer/title are short; content is
+    // long — the classic length heuristic). Pure narrow projection: zero
+    // shuffle beyond the deterministic output sort, plan-asserted.
+    Q("text_clean_html",
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title></head><body><nav><a href=\"/\">Home</a> | " +
+            "<a href=\"/about\">About</a></nav>\n<p>"),
+          expr("replace(text, ' the ', ' <b>the</b> ')"),
+          lit(" &amp; fin</p>\n<div class=\"cookie\">Accept cookies</div>\n" +
+            "<footer>&copy; 2026 Example</footer></body></html>"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), html.as("html"))
+          .select(col("doc_id"),
+            graft.text.TextFunctions.stripHtml(col("html")).as("clean_text"))
+          .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (
+                SELECT doc_id,
+                       '<html><head><title>Doc ' || doc_id ||
+                       '</title></head><body><nav><a href="/">Home</a> | ' ||
+                       '<a href="/about">About</a></nav>' || chr(10) || '<p>' ||
+                       replace(text, ' the ', ' <b>the</b> ') ||
+                       ' &amp; fin</p>' || chr(10) ||
+                       '<div class="cookie">Accept cookies</div>' || chr(10) ||
+                       '<footer>&copy; 2026 Example</footer></body></html>' AS html
+                FROM documents),
+              lined AS (SELECT doc_id,
+                               regexp_replace(html,
+                                 '</(title|p|div|nav|footer|h[1-6]|li)>',
+                                 chr(10), 'g') AS s
+                        FROM raw),
+              untag AS (SELECT doc_id,
+                               regexp_replace(s, '<[^>]*>', '', 'g') AS s
+                        FROM lined),
+              deent AS (SELECT doc_id,
+                               replace(replace(replace(replace(replace(replace(s,
+                                 '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                                 '&quot;', '"'), '&#39;', ''''),
+                                 '&nbsp;', ' ') AS s
+                        FROM untag),
+              debo AS (SELECT doc_id,
+                              regexp_replace(s, '(?m)^.{0,19}$\n?', '', 'g') AS s
+                       FROM deent),
+              clean AS (SELECT doc_id,
+                               trim(regexp_replace(s, '\s+', ' ', 'g')) AS clean_text
+                        FROM debo)
+              SELECT doc_id, clean_text,
+                     length(clean_text) AS n_chars_clean
+              FROM clean ORDER BY doc_id""")),
+
+    // URL canonicalization + URL-level dedup — corpus curation's cheapest
+    // first pass: collapse scheme/host case, default ports, fragments,
+    // and tracking params, then the doc_dedup_exact shape on the
+    // canonical key. The fixture has no URL column, so raw URLs are
+    // synthesized deterministically with exactly the variance the
+    // canonicalizer must collapse (host case × default port × tracking
+    // params × fragment over a doc_id%100 path): 5 docs per canonical
+    // URL at sf0.01. One narrow projection + one hash groupBy — the same
+    // shape/scaling as doc_dedup_exact.
+    Q("doc_dedup_url",
+      (s, dir) => {
+        val rawUrl = concat(
+          lit("HTTPS://"),
+          when(col("doc_id") % 3 === 0, "WWW.Example.COM")
+            .when(col("doc_id") % 3 === 1, "www.example.com")
+            .otherwise("www.EXAMPLE.com"),
+          when(col("doc_id") % 2 === 0, ":443").otherwise(""),
+          concat(lit("/articles/"), col("doc_id") % 100),
+          when(col("doc_id") % 4 === 0, "?utm_source=feed&utm_campaign=x")
+            .when(col("doc_id") % 4 === 1, "?ref=home")
+            .otherwise(""),
+          when(col("doc_id") % 5 === 0, "#section-2").otherwise(""))
+        t(s, dir, "documents")
+          .select(col("doc_id"), rawUrl.as("raw_url"))
+          .withColumn("canonical_url",
+            graft.text.TextFunctions.canonicalUrl(col("raw_url")))
+          .groupBy("canonical_url")
+          .agg(min("doc_id").as("keeper_doc_id"),
+            count(lit(1)).as("n_urls"))
+          .orderBy("canonical_url")
+      },
+      Some("""WITH raw AS (
+                SELECT doc_id,
+                       'HTTPS://' ||
+                       CASE doc_id % 3 WHEN 0 THEN 'WWW.Example.COM'
+                                       WHEN 1 THEN 'www.example.com'
+                                       ELSE 'www.EXAMPLE.com' END ||
+                       CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+                       '/articles/' || (doc_id % 100) ||
+                       CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
+                                       WHEN 1 THEN '?ref=home'
+                                       ELSE '' END ||
+                       CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END AS raw_url
+                FROM documents),
+              pre AS (SELECT doc_id, raw_url,
+                             regexp_extract(raw_url,
+                               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS prefix
+                      FROM raw),
+              canon AS (
+                SELECT doc_id,
+                       regexp_replace(lower(prefix), ':(443|80)$', '') ||
+                       regexp_replace(
+                         replace(
+                           regexp_replace(
+                             regexp_replace(
+                               substr(raw_url, length(prefix) + 1,
+                                      length(raw_url)),
+                               '#.*', '', 'g'),
+                             '([?&])(utm_[a-z]+|ref)=[^&#]*', '\1', 'g'),
+                           '?&', '?'),
+                         '[?&]+$', '', 'g') AS canonical_url
+                FROM pre)
+              SELECT canonical_url, min(doc_id) AS keeper_doc_id,
+                     count(*) AS n_urls
+              FROM canon GROUP BY canonical_url
+              ORDER BY canonical_url""")))
 }

@@ -82,6 +82,64 @@ object TextFunctions {
       regexp_replace(text, EmailRe, "[EMAIL]"),
       PhoneRe, "[PHONE]")
 
+  /** HTML entity decodes applied after tag stripping, in this order (the
+    * order is part of the contract — `&amp;lt;` decodes to `&lt;` then
+    * stays, the standard single-pass semantics).
+    */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+
+  /** HTML/boilerplate stripping — the markup-removal pass every web
+    * corpus runs before quality scoring. Four stages, all codegen'd
+    * built-ins, zero shuffle:
+    *
+    *  1. block-level closers (`</p>`, `</div>`, `</nav>`, …) become
+    *     newlines, so the document's LINE structure survives tag removal;
+    *  2. every remaining tag is stripped;
+    *  3. entities decode ([[HtmlEntities]]);
+    *  4. the boilerplate heuristic drops SHORT lines (< `minLineChars`
+    *     chars): nav bars, cookie banners, footers and titles are short,
+    *     content paragraphs are long — the classic length-based
+    *     boilerplate filter — then whitespace collapses to single spaces.
+    *
+    * Every regex is character-class + bounded-repeat only, valid and
+    * identical in Java regex and RE2 (the DuckDB oracle runs the same
+    * pattern strings verbatim).
+    */
+  def stripHtml(html: Column, minLineChars: Int = 20): Column = {
+    val lined = regexp_replace(html, "</(title|p|div|nav|footer|h[1-6]|li)>", "\n")
+    val untagged = regexp_replace(lined, "<[^>]*>", "")
+    val decoded = HtmlEntities.foldLeft(untagged) {
+      case (c, (e, r)) => replace(c, lit(e), lit(r))
+    }
+    val deboiler =
+      regexp_replace(decoded, s"(?m)^.{0,${minLineChars - 1}}$$\\n?", "")
+    trim(regexp_replace(deboiler, "\\s+", " "))
+  }
+
+  /** URL canonicalization — the key for URL-level dedup, the cheapest
+    * first pass of corpus curation (dedup by normalized URL before any
+    * content dedup): lowercase the scheme+host, strip default ports
+    * (`:80`/`:443`), the fragment, and tracking params (`utm_*`, `ref`),
+    * then tidy dangling separators. Pure narrow projection.
+    *
+    * RE2 has no lookbehind, so the tracking-param strip keeps its leading
+    * `?`/`&` via a capture group — the one place the Spark (`$1`) and
+    * DuckDB (`\1`) REPLACEMENT strings differ by dialect; every pattern
+    * string is shared verbatim.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val prefix = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val rest = url.substr(length(prefix) + 1, length(url))
+    val canonPrefix = regexp_replace(lower(prefix), ":(443|80)$", "")
+    val noFrag = regexp_replace(rest, "#.*", "")
+    val noTrack =
+      regexp_replace(noFrag, "([?&])(utm_[a-z]+|ref)=[^&#]*", "$1")
+    val tidy = regexp_replace(replace(noTrack, lit("?&"), lit("?")), "[?&]+$", "")
+    concat(canonPrefix, tidy)
+  }
+
   /** Marker-stopword + script-range language-ID heuristic. Deterministic
     * and cheap (no model); the CASE order is part of the contract.
     */

@@ -499,4 +499,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftOuter") || p.contains("RightOuter"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("text_clean_html: narrow projection — no join, no key shuffle, 2-col scan") {
+    val p = plan("text_clean_html")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("doc_dedup_url: one scan into a partial-then-final hash agg, no join") {
+    val p = plan("doc_dedup_url")
+    assert(!p.contains("Join"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("exact percentiles never buffer a whole group (no ObjectHashAggregate)") {
+    // agg_median/ts_trend/ts_anomaly_mad run the bucketed rank-selection
+    // path; the buffering built-in `percentile` would plan an
+    // ObjectHashAggregate holding every value of a group — the one
+    // OOM-shaped operator at 100 TB group sizes
+    for (q <- Seq("agg_median", "ts_trend", "ts_anomaly_mad")) {
+      val p = plan(q)
+      assert(!p.contains("ObjectHashAggregate"), s"$q\n$p")
+      assert(!p.contains("percentile"), s"$q\n$p")
+    }
+  }
 }

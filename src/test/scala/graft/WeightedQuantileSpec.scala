@@ -61,4 +61,45 @@ class WeightedQuantileSpec extends SparkSpec {
     assert(largestBucket * 20 < groupSize,
       s"largest bucket $largestBucket vs smallest group $groupSize")
   }
+
+  // ---- exactPercentiles: the interpolated (percentile/quantile_cont)
+  // rank-selection variant must be BIT-equal to the buffering built-in
+
+  private def ev = Tables.table(spark, sfDir, "events")
+
+  test("exactPercentiles == percentile() bit-for-bit on events") {
+    val qs = Seq(0.1, 0.5, 0.9, 0.25)
+    val got = WeightedQuantile
+      .exactPercentiles(ev, "event_type", "value", qs)
+      .groupBy("event_type")
+      .pivot("q", qs).agg(first("pctl"))
+      .orderBy("event_type").collect()
+    val want = ev.groupBy("event_type")
+      .agg(qs.map(q => expr(s"percentile(value, $q)").as(q.toString)).head,
+        qs.map(q => expr(s"percentile(value, $q)").as(q.toString)).tail: _*)
+      .orderBy("event_type").collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("exactPercentiles handles ties, nulls, and 1-row groups like the built-in") {
+    val df = spark.range(2000).selectExpr(
+      "concat('g', id % 7) AS g",
+      // heavy ties (11 distinct values), plus nulls, plus one singleton group
+      "CASE WHEN id % 13 = 0 THEN NULL ELSE CAST(id % 11 AS DOUBLE) END AS v")
+      .union(spark.range(1).selectExpr("'solo' AS g", "CAST(3.5 AS DOUBLE) AS v"))
+    for (q <- Seq(0.0, 0.5, 0.77, 1.0)) {
+      val got = WeightedQuantile.exactPercentiles(df, "g", "v", Seq(q), buckets = 16)
+        .select("g", "pctl").orderBy("g").collect()
+      val want = df.groupBy("g").agg(expr(s"percentile(v, $q)").as("pctl"))
+        .orderBy("g").collect()
+      assert(got.toSeq === want.toSeq, s"q=$q")
+    }
+  }
+
+  test("exactPercentiles reports the non-null count as n") {
+    val df = spark.range(100).selectExpr(
+      "'a' AS g", "CASE WHEN id < 10 THEN NULL ELSE CAST(id AS DOUBLE) END AS v")
+    val r = WeightedQuantile.exactPercentiles(df, "g", "v", Seq(0.5)).collect()
+    assert(r.length === 1 && r.head.getLong(r.head.fieldIndex("n")) === 90L)
+  }
 }

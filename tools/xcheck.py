@@ -63,6 +63,29 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {gc} != {ec}")
             n_fail += 1
             continue
+        # Type-FAMILY check, mirroring the driver's typed-value hash: the
+        # driver converts both sides to native values before hashing, so
+        # INTEGER vs BIGINT is fine (both plain ints) but HUGEINT is not
+        # (no native 128-bit int -> it converts to Decimal/float and the
+        # hash diverges even when the Python values compare equal). The
+        # classic trap is DuckDB sum(int) widening to HUGEINT: CAST those
+        # oracle columns to BIGINT. Same for DECIMAL vs DOUBLE.
+        def fam(t):
+            t = str(t)
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER"):
+                return "int"
+            if t.startswith("DECIMAL"):
+                return "decimal"
+            return t
+        order_g = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+        order_e = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
+        gt = [fam(got_rel.types[i]) for i in order_g]
+        et = [fam(exp_rel.types[i]) for i in order_e]
+        if gt != et:
+            print(f"FAIL {name}: types {list(zip(gc, gt))} != {list(zip(ec, et))}")
+            n_fail += 1
+            continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_fail += 1
