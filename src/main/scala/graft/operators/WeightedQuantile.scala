@@ -127,9 +127,19 @@ object WeightedQuantile {
     val v = col(valueCol)
     val in = df.select(g, v).filter(v.isNotNull)
 
+    // Lineage truncation on the TINY per-group frames (groups × qs rows):
+    // without it, `bounds` appears three times in the final plan and
+    // `cuts` twice, and when calls COMPOSE (ts_anomaly_mad feeds one
+    // percentile's output into the next one's input) the input subtree
+    // re-executes multiplicatively — ~17 fact scans instead of the 3 the
+    // algorithm needs. Lazy local checkpoints materialize each small
+    // frame once on first use; losing one (executor loss) costs a
+    // recompute of a tiny aggregate, never correctness.
+    def tiny(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+
     // pass A: bounds + per-q target ranks (tiny: groups × qs rows)
-    val bounds = in.groupBy(g).agg(
-      count(lit(1)).as("n"), min(v).as("mn"), max(v).as("mx"))
+    val bounds = tiny(in.groupBy(g).agg(
+      count(lit(1)).as("n"), min(v).as("mn"), max(v).as("mx")))
     val ranks = bounds
       .select(g, col("n"), col("mn"), col("mx"),
         explode(array(qs.map(lit): _*)).as("q"))
@@ -157,18 +167,18 @@ object WeightedQuantile {
     val scanned = hist
       .withColumn("cum", sum("hc").over(byBkt))
       .withColumn("pre", col("cum") - col("hc"))
-    val cuts = scanned.join(broadcast(targets), Seq(groupCol))
+    val cuts = tiny(scanned.join(broadcast(targets), Seq(groupCol))
       .filter(col("pre") <= col("k") && col("k") < col("cum"))
-      .select(g, col("bkt"), col("pre")).distinct()
+      .select(g, col("bkt"), col("pre")).distinct())
 
     // pass C: sort only the cut buckets; pick the target order statistics
     val rn = Window.partitionBy(g, col("bkt")).orderBy(v)
-    val rankValue = bucketed.select(g, col("bkt"), v)
+    val rankValue = tiny(bucketed.select(g, col("bkt"), v)
       .join(broadcast(cuts), Seq(groupCol, "bkt"))
       .withColumn("grank", col("pre") + row_number().over(rn) - 1)
       .join(broadcast(targets.withColumnRenamed("k", "grank")),
         Seq(groupCol, "grank"))
-      .select(g, col("grank"), v.as("rv"))
+      .select(g, col("grank"), v.as("rv")))
 
     // Spark Percentile's exact interpolation form, mirrored term for term
     // — (⌈r⌉−r)·v_lo + (r−⌊r⌋)·v_hi with an integer-rank short-circuit —

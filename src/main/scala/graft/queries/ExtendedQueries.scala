@@ -1242,5 +1242,118 @@ object ExtendedQueries extends QueryPack {
               SELECT event_type,
                      round(quantile_cont(slope, 0.5), 4) AS theil_sen_slope,
                      count(*) AS n_pairs
-              FROM slopes GROUP BY 1 ORDER BY event_type""")))
+              FROM slopes GROUP BY 1 ORDER BY event_type""")),
+
+    // Hour-of-day SEASONAL DECOMPOSITION per type — the deseasonalization
+    // pass behind every telemetry anomaly pipeline (a spike at 9am means
+    // nothing until the 9am baseline is subtracted). The seasonal profile
+    // (24 × |types| rows) aggregates from the COMPACT hourly series and
+    // broadcasts back onto it; the fact table shuffles once, for the
+    // hourly collapse. Float order is fenced the ts_cusum way, one step
+    // further: hourly values quantize to exact 1e-4 integers AND the
+    // profile mean is floor-quantized to the same grid (integer div of
+    // exact long sums — values are positive, so floor ≡ truncate in both
+    // engines), so every output lands ON the 1e-4 grid and the final
+    // 4-dp round can never sit at a half boundary (the raw-mean version
+    // diverged at exactly one: 137.10875).
+    Q("ts_seasonal",
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("h"))
+          .agg(round(sum("value"), 4).as("v"))
+          .withColumn("v_l", round(col("v") * 10000, 0).cast("long"))
+          .withColumn("hod", col("h") % 24)
+        val profile = hourly.groupBy("event_type", "hod")
+          .agg(sum("v_l").as("s_sum"), count(lit(1)).as("s_cnt"))
+        hourly.join(broadcast(profile), Seq("event_type", "hod"))
+          .withColumn("seas_l", expr("s_sum div s_cnt"))
+          .select(col("event_type"), col("h"), col("v"),
+            round(col("seas_l") / 10000.0, 4).as("seasonal"),
+            round((col("v_l") - col("seas_l")) / 10000.0, 4).as("resid"))
+          .orderBy("event_type", "h")
+      },
+      Some("""WITH hourly AS (
+                SELECT event_type,
+                       CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS h,
+                       round(sum(value), 4) AS v
+                FROM events GROUP BY 1, 2),
+              q AS (SELECT event_type, h, v,
+                           CAST(round(v * 10000, 0) AS BIGINT) AS v_l,
+                           h % 24 AS hod
+                    FROM hourly),
+              profile AS (SELECT event_type, hod,
+                                 (sum(v_l)::BIGINT // count(*)) AS seas_l
+                          FROM q GROUP BY 1, 2)
+              SELECT q.event_type, q.h, q.v,
+                     round(p.seas_l / 10000.0, 4) AS seasonal,
+                     round((q.v_l - p.seas_l) / 10000.0, 4) AS resid
+              FROM q JOIN profile p USING (event_type, hod)
+              ORDER BY q.event_type, q.h""")),
+
+    // Per-type OLS trend + next-hour forecast over the hourly series —
+    // the least-squares twin of ts_trend's robust Theil–Sen (OLS is the
+    // cheap default; Theil–Sen is what you run when outliers poison it).
+    // Closed-form from five EXACT integer sums (x centered to the
+    // series start so x·y products stay far inside 2^53; values
+    // quantized to 1e-4 longs): the only doubles are the final
+    // numerator/denominator ratio, evaluated in one fixed op sequence in
+    // both engines. One fact shuffle (the hourly collapse); everything
+    // after runs on ≤720 rows per type.
+    Q("ts_forecast_ols",
+      (s, dir) => {
+        val byType = Window.partitionBy("event_type")
+        val xy = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("h"))
+          .agg(round(sum("value"), 4).as("v"))
+          .withColumn("y", round(col("v") * 10000, 0).cast("long"))
+          .withColumn("x", col("h") - min("h").over(byType))
+        val sums = xy.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+          max("x").as("xmax"))
+        sums.select(col("event_type"), col("n").as("n_hours"),
+            ((col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")))
+              .as("b"))
+          .join(sums.select(col("event_type"), col("sy"), col("sx"), col("n"),
+            col("xmax")), "event_type")
+          .select(col("event_type"), col("n_hours"),
+            round(col("b") / 10000.0, 4).as("slope_per_hour"),
+            round(((col("sy").cast("double") - col("b") * col("sx").cast("double"))
+              / col("n").cast("double") + col("b") * (col("xmax") + 1).cast("double"))
+              / 10000.0, 4).as("forecast_next"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hourly AS (
+                SELECT event_type,
+                       epoch(date_trunc('hour', ts)) // 3600 AS h,
+                       round(sum(value), 4) AS v
+                FROM events GROUP BY 1, 2),
+              xy AS (SELECT event_type,
+                            CAST(round(v * 10000, 0) AS BIGINT) AS y,
+                            h - min(h) OVER (PARTITION BY event_type) AS x
+                     FROM hourly),
+              sums AS (SELECT event_type, count(*) AS n,
+                              sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                              sum(x * y)::BIGINT AS sxy,
+                              sum(x * x)::BIGINT AS sxx,
+                              max(x) AS xmax
+                       FROM xy GROUP BY 1),
+              fit AS (SELECT event_type, n, sx, sy, xmax,
+                             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+                      FROM sums)
+              SELECT event_type, n AS n_hours,
+                     round(b / 10000.0, 4) AS slope_per_hour,
+                     round(((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+                            / CAST(n AS DOUBLE)
+                            + b * CAST(xmax + 1 AS DOUBLE)) / 10000.0, 4)
+                       AS forecast_next
+              FROM fit ORDER BY event_type""")))
 }

@@ -44,7 +44,7 @@ object GraphQueries extends QueryPack {
     * (session, fixture) so the iterative consumers never rebuild it.
     */
   private object SharedEdges {
-    private val memo = new SessionMemo[String, DataFrame](SessionMemo.unpersistDf)
+    private val memo = new SessionMemo[String, DataFrame](SessionMemo.unpersistDf, pinsExecutorStorage = true)
     def apply(s: SparkSession, dir: String): DataFrame =
       memo(s, dir) {
         val pairs = graft.Tables.table(s, dir, "lineitem")
@@ -183,6 +183,72 @@ object GraphQueries extends QueryPack {
                w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges FROM degs)
                SELECT triangles, wedges,
                       round(3.0 * triangles / wedges, 6) AS clustering
-               FROM tri, w"""))
+               FROM tri, w""")),
+
+    // Connected components over the REPEAT co-purchase graph (parts
+    // linked only when they share ≥ MinRepeat orders — the weight
+    // threshold is what makes communities real: the unthresholded graph
+    // is one giant component, a single repeated co-purchase is noise).
+    // Components via the library's checkpointed min-label propagation
+    // (`Dedup.duplicateClusters` — the same operator that labels dedup
+    // clusters, run here on a part graph): per iteration only the
+    // (node, label) vector shuffles, lineage truncates per round, and
+    // convergence is REQUIRED, not assumed — a diameter over the round
+    // budget throws instead of returning split components. Edge build is
+    // the in-row basket-pair pattern (no positional self-join); the
+    // weight filter runs on the map-side-combined pair counts. Oracle:
+    // DuckDB recursive-CTE transitive closure — the semantic statement
+    // of the same contract.
+    Q("graph_components",
+      (s, dir) => {
+        val pairs = graft.Tables.table(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(collect_set(col("l_partkey")).as("basket"))
+          .filter(size(col("basket")) <= MaxBasket)
+          .select(explode(expr(
+            """flatten(transform(basket, x ->
+                 transform(filter(basket, y -> y > x), y ->
+                   struct(x AS src, y AS dst))))""")).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= MinRepeat)
+          .select(col("src").as("a_id"), col("dst").as("b_id"))
+        val labels = graft.dedup.Dedup.duplicateClusters(pairs)
+          .select(col("doc_id").as("part_id"), col("cluster_id").as("component_id"))
+        val sizes = labels.groupBy("component_id")
+          .agg(count(lit(1)).as("component_size"))
+        labels.join(broadcast(sizes), "component_id")
+          .select("part_id", "component_id", "component_size")
+          .orderBy("part_id")
+      },
+      Some("""WITH RECURSIVE
+               ep0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+               ok AS (SELECT l_orderkey FROM ep0 GROUP BY 1 HAVING count(*) <= 16),
+               ep AS (SELECT ep0.* FROM ep0 JOIN ok USING (l_orderkey)),
+               wpairs AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                                 count(*) AS w
+                          FROM ep a JOIN ep b
+                          ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+                          GROUP BY 1, 2),
+               edges0 AS (SELECT src, dst FROM wpairs WHERE w >= 3),
+               edges AS (SELECT src, dst FROM edges0
+                         UNION SELECT dst, src FROM edges0),
+               reach(s, d) AS (
+                 SELECT src, dst FROM edges
+                 UNION
+                 SELECT r.s, e.dst FROM reach r JOIN edges e ON r.d = e.src),
+               lab AS (SELECT s AS part_id, least(s, min(d)) AS component_id
+                       FROM reach GROUP BY s),
+               sz AS (SELECT component_id, count(*) AS component_size
+                      FROM lab GROUP BY 1)
+               SELECT part_id, component_id, component_size
+               FROM lab JOIN sz USING (component_id)
+               ORDER BY part_id"""))
   )
+
+  /** Repeat-co-purchase threshold for [[graph_components]]: an edge needs
+    * this many shared orders to count as a real community signal.
+    */
+  private val MinRepeat = 3
 }

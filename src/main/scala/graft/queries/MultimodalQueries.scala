@@ -19,7 +19,7 @@ object MultimodalQueries extends QueryPack {
     */
   private object SharedMedia {
     private val memo = new SessionMemo[String, org.apache.spark.sql.DataFrame](
-      SessionMemo.unpersistDf)
+      SessionMemo.unpersistDf, pinsExecutorStorage = true)
     def apply(s: org.apache.spark.sql.SparkSession, dir: String)
         : org.apache.spark.sql.DataFrame =
       memo(s, dir)(
@@ -34,7 +34,7 @@ object MultimodalQueries extends QueryPack {
     */
   private object SharedMediaWithTwins {
     private val memo = new SessionMemo[String, org.apache.spark.sql.DataFrame](
-      SessionMemo.unpersistDf)
+      SessionMemo.unpersistDf, pinsExecutorStorage = true)
     def apply(s: org.apache.spark.sql.SparkSession, dir: String)
         : org.apache.spark.sql.DataFrame =
       memo(s, dir)(

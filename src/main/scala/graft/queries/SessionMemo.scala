@@ -51,7 +51,15 @@ import org.apache.spark.sql.SparkSession
   * evictors must be idempotent (unpersist and delete-if-exists are; a
   * refcount decrement would not be).
   */
-final class SessionMemo[K, V](onEvict: V => Unit = (_: V) => ()) {
+final class SessionMemo[K, V](
+    onEvict: V => Unit = (_: V) => (),
+    /** True for memos whose values PIN EXECUTOR STORAGE (persisted
+      * DataFrames): only these participate in [[SessionMemo.evictAll]] —
+      * driver-side-only values (codebooks, merge tables, paths, probe
+      * vectors) occupy no storage pool, so evicting them between bench
+      * families would buy nothing and cost a rebuild.
+      */
+    val pinsExecutorStorage: Boolean = false) {
 
   SessionMemo.register(this)
 
@@ -183,19 +191,21 @@ object SessionMemo {
   private def register(m: SessionMemo[_, _]): Unit =
     registry.put(nextId.incrementAndGet(), new WeakReference(m))
 
-  /** Evict `s`'s entries from every live memo. The bench calls this
-    * between query families: with 167 queries in one JVM, dozens of
-    * accumulated MEMORY_AND_DISK pins (shingle/pair/minhash indexes,
-    * adjacency lists, decoded frames) otherwise squeeze the storage pool
-    * and late families pay eviction + recompute churn. Per-family
-    * eviction bounds the live pin set to one family's fixtures — the
-    * steady state a real per-job cluster run would see.
+  /** Evict `s`'s entries from every live STORAGE-PINNING memo. The bench
+    * calls this between query families: with 170 queries in one JVM,
+    * dozens of accumulated MEMORY_AND_DISK pins (shingle/pair/minhash
+    * indexes, adjacency lists, decoded frames) otherwise squeeze the
+    * storage pool and late families pay eviction + recompute churn.
+    * Per-family eviction bounds the live pin set to one family's
+    * fixtures — the steady state a real per-job cluster run would see.
+    * Driver-side-only memos (no executor storage) are left alone.
     */
   def evictAll(s: SparkSession): Unit =
     registry.foreach { case (id, ref) =>
       ref.get() match {
-        case null => registry.remove(id)
-        case m    => m.evict(s)
+        case null                       => registry.remove(id)
+        case m if m.pinsExecutorStorage => m.evict(s)
+        case _                          => ()
       }
     }
 }

@@ -35,7 +35,7 @@ object TextQueries extends QueryPack {
   private object SharedShingleIndex {
     private val memo =
       new SessionMemo[(String, Int), org.apache.spark.sql.DataFrame](
-        SessionMemo.unpersistDf)
+        SessionMemo.unpersistDf, pinsExecutorStorage = true)
     def apply(s: org.apache.spark.sql.SparkSession, dir: String, n: Int)
         : org.apache.spark.sql.DataFrame =
       memo(s, (dir, n))(
@@ -85,7 +85,7 @@ object TextQueries extends QueryPack {
   private object SharedJaccardPairs {
     private val memo =
       new SessionMemo[(String, Int, Double), org.apache.spark.sql.DataFrame](
-        SessionMemo.unpersistDf)
+        SessionMemo.unpersistDf, pinsExecutorStorage = true)
     def apply(s: org.apache.spark.sql.SparkSession, dir: String, n: Int,
         minJaccard: Double): org.apache.spark.sql.DataFrame =
       memo(s, (dir, n, minJaccard))(
@@ -103,7 +103,7 @@ object TextQueries extends QueryPack {
   private object SharedMinHashSigs {
     private val memo =
       new SessionMemo[(String, Int, Int), org.apache.spark.sql.DataFrame](
-        SessionMemo.unpersistDf)
+        SessionMemo.unpersistDf, pinsExecutorStorage = true)
     def apply(s: org.apache.spark.sql.SparkSession, dir: String, n: Int, k: Int)
         : org.apache.spark.sql.DataFrame =
       memo(s, (dir, n, k))(

@@ -116,4 +116,20 @@ class SessionMemoSpec extends SparkSpec {
         "a racing getOrElseUpdate must not run compute twice (lazy-cell contract)")
     } finally pool.shutdown()
   }
+
+  test("evictAll drops only STORAGE-PINNING memos (driver-side values survive)") {
+    val evicted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val heavy = new SessionMemo[String, String](
+      _ => evicted.incrementAndGet(), pinsExecutorStorage = true)
+    val light = new SessionMemo[String, String](_ => evicted.incrementAndGet())
+    heavy(spark, "k")("h1")
+    light(spark, "k")("l1")
+    SessionMemo.evictAll(spark)
+    assert(heavy.pinnedFor(spark) === 0, "storage-pinning memo must evict")
+    assert(light.pinnedFor(spark) === 1, "driver-side memo must survive evictAll")
+    assert(evicted.get() === 1, "only the heavy memo's evictor runs")
+    // the heavy memo recomputes on next access; the light one serves the memo
+    assert(heavy(spark, "k")("h2") === "h2")
+    assert(light(spark, "k")("l2") === "l1")
+  }
 }
