@@ -514,6 +514,21 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("ts_seasonal: one fact collapse, profile broadcasts back (no SMJ)") {
+    val p = plan("ts_seasonal")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the fact table shuffles once (hourly collapse); the profile agg
+    // and its broadcast run on the compact series
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("ts_forecast_ols: single fact scan; the 5-row fit self-join broadcasts") {
+    val p = plan("ts_forecast_ols")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("exact percentiles never buffer a whole group (no ObjectHashAggregate)") {
     // agg_median/ts_trend/ts_anomaly_mad run the bucketed rank-selection
     // path; the buffering built-in `percentile` would plan an
