@@ -1536,5 +1536,126 @@ object TextQueries extends QueryPack {
               SELECT canonical_url, min(doc_id) AS keeper_doc_id,
                      count(*) AS n_urls
               FROM canon GROUP BY canonical_url
-              ORDER BY canonical_url""")))
+              ORDER BY canonical_url""")),
+
+    // Duplicated-span REMOVAL — the step after text_dup_spans in the
+    // span-level dedup pipeline (Lee et al., "Deduplicating Training
+    // Data Makes Language Models Better"): every token covered by a
+    // corpus-duplicated 10-gram is cut from every doc EXCEPT the span's
+    // keeper (min doc id containing it), so exactly one copy of each
+    // duplicated span survives the corpus. Shape: the dup-span table is
+    // the text_dup_spans aggregate; covered START positions come from
+    // one postings-style join of per-doc indexed shingles against it
+    // (shuffles scale with span-occurrence count, never doc×doc); the
+    // rewrite itself is IN-ROW — a nested higher-order filter marks
+    // token j removed iff some covered start i has i ≤ j ≤ i+9 — so the
+    // corpus pays one narrow pass to reassemble.
+    Q("doc_despan",
+      (s, dir) => {
+        val n = 10
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.tokens(TextFunctions.normalize(col("text"))).as("toks"))
+        val dups = Dedup.shingleIndex(t(s, dir, "documents"), "doc_id", "text", n)
+          .groupBy("shingle")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+          .filter(col("n_docs") >= 2)
+          .select(col("shingle"), col("first_doc"))
+        val covered = docs
+          .select(col("doc_id"),
+            posexplode(TextFunctions.allShingles(col("toks"), n)))
+          .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("shingle"))
+          .join(dups, "shingle")
+          .filter(col("doc_id") =!= col("first_doc"))
+          .groupBy("doc_id")
+          .agg(sort_array(collect_set(col("i"))).as("cov"))
+        docs.join(covered, Seq("doc_id"), "left")
+          .withColumn("cov", coalesce(col("cov"), expr("CAST(array() AS array<int>)")))
+          .withColumn("kept", expr(
+            s"""filter(transform(toks, (tk, j0) -> struct(tk AS tk, j0 + 1 AS j)),
+                x -> size(filter(cov, i -> i <= x.j AND x.j <= i + ${n - 1})) = 0)"""))
+          .select(col("doc_id"),
+            concat_ws(" ", expr("transform(kept, x -> x.tk)")).as("clean_text"),
+            expr("size(kept)").cast("long").as("n_kept"),
+            (size(col("toks")) - expr("size(kept)")).cast("long").as("n_removed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+                FROM documents),
+              shd AS (
+                SELECT doc_id, unnest(list_distinct(
+                         [array_to_string(t[i:i+9], ' ')
+                          for i in range(1, len(t) - 8)])) AS shingle
+                FROM d),
+              dups AS (SELECT shingle, min(doc_id) AS first_doc
+                       FROM shd GROUP BY 1 HAVING count(*) >= 2),
+              st AS (SELECT doc_id,
+                            unnest([{'i': i, 's': array_to_string(t[i:i+9], ' ')}
+                                    for i in range(1, len(t) - 8)]) AS u
+                     FROM d),
+              cov AS (SELECT st.doc_id,
+                             list_sort(list_distinct(list(u.i))) AS cov
+                      FROM st JOIN dups ON u.s = dups.shingle
+                      WHERE st.doc_id <> dups.first_doc
+                      GROUP BY st.doc_id),
+              fin AS (SELECT d.doc_id, d.t, coalesce(c.cov, []) AS cov
+                      FROM d LEFT JOIN cov c USING (doc_id)),
+              kept AS (SELECT doc_id, len(t) AS nt,
+                              [t[j] for j in range(1, len(t) + 1)
+                               if len(list_filter(cov, i -> i <= j AND j <= i + 9)) = 0] AS k
+                       FROM fin)
+              SELECT doc_id,
+                     coalesce(array_to_string(k, ' '), '') AS clean_text,
+                     len(k)::BIGINT AS n_kept,
+                     (nt - len(k))::BIGINT AS n_removed
+              FROM kept ORDER BY doc_id""")),
+
+    // WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken 2003
+    // — the MOSS algorithm): hash every 5-gram, slide a w=8 window over
+    // the hash sequence, keep each window's MINIMUM — guarantees any
+    // shared run of ≥ w+k-1 tokens between two docs shares a
+    // fingerprint, at ~2/w the density of the full k-gram set. The
+    // local-fingerprint family's third member beside MinHash (global
+    // sketch) and SimHash (global bit vector): winnowing localizes, so
+    // matching fingerprints point at POSITIONS of overlap, the
+    // contamination/plagiarism primitive. Entirely IN-ROW per doc
+    // (hash → sliding min → distinct): zero shuffle before the output
+    // sort, scales as a narrow pass. Ties need no break rule because
+    // fingerprints are VALUES, not positions — equal hashes in a window
+    // yield the same minimum either way. Docs shorter than one window
+    // emit the minimum of what they have (the k≤|doc|<k+w-1 contract);
+    // md5-derived 32-bit hashes keep both engines bit-identical.
+    Q("text_winnow",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.tokens(TextFunctions.normalize(col("text"))).as("toks"))
+        docs
+          .withColumn("hs",
+            transform(TextFunctions.allShingles(col("toks"), 5),
+              g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")))
+          .withColumn("fps", expr(
+            """CASE WHEN size(hs) < 1 THEN CAST(array() AS array<bigint>)
+                    ELSE array_distinct(transform(
+                           sequence(1, greatest(size(hs) - 7, 1)),
+                           i -> array_min(slice(hs, i, 8)))) END"""))
+          .select(col("doc_id"), explode(col("fps")).as("fp"))
+          .orderBy("doc_id", "fp")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+                FROM documents),
+              h AS (SELECT doc_id,
+                           [('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 8))::BIGINT
+                            for i in range(1, len(t) - 3)] AS hs
+                    FROM d WHERE len(t) >= 5),
+              w AS (SELECT doc_id,
+                           list_distinct([list_min(hs[i:i+7])
+                                          for i in range(1, greatest(len(hs) - 7, 1) + 1)]) AS fps
+                    FROM h WHERE len(hs) >= 1)
+              SELECT doc_id, unnest(fps) AS fp
+              FROM w ORDER BY doc_id, fp""")))
 }

@@ -529,6 +529,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("text_winnow: in-row fingerprinting — no join, no key shuffle") {
+    val p = plan("text_winnow")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("doc_despan: one postings join on shingle, never doc×doc") {
+    val p = plan("doc_despan")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("exact percentiles never buffer a whole group (no ObjectHashAggregate)") {
     // agg_median/ts_trend/ts_anomaly_mad run the bucketed rank-selection
     // path; the buffering built-in `percentile` would plan an
