@@ -100,6 +100,44 @@ object TextQueries extends QueryPack {
     * 16-permutation aggregation the previous one just did. k rows per
     * doc-count, so the pin is small; bounded by distinct fixtures.
     */
+  /** Winnowed fingerprints (doc_id, fp), exploded: 5-gram md5-derived
+    * hashes under a sliding w=8 minimum (Schleimer et al. 2003).
+    *
+    * The hash array is LAZILY LOCAL-CHECKPOINTED before the sliding
+    * minimum runs — load-bearing, not a cache nicety. Spark evaluates
+    * higher-order-function lambdas INTERPRETED, and a lambda body that
+    * references an INLINED expression re-evaluates that whole tree per
+    * element: with `hs` inlined, `slice(hs, i, 8)` re-derived the hash
+    * array — including per-gram re-tokenization — once per window,
+    * an O(windows × grams × regex) blowup that measured ~170 ms/doc
+    * (minutes per partition) at sf0.1. Checkpointing makes `hs` a real
+    * column, so the window lambda reads an array VALUE and the cost
+    * drops to the O(windows × w) the algorithm promises. The explicit
+    * repartition spreads the narrow compute across cores (the fixture
+    * is one parquet split); the second checkpoint lets the match
+    * query's three consumers (df filter, both self-join sides) read
+    * materialized rows instead of recomputing.
+    */
+  private def winnowFingerprints(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hs = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        transform(
+          TextFunctions.allShingles(
+            TextFunctions.tokens(TextFunctions.normalize(col("text"))), 5),
+          g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("hs"))
+      .localCheckpoint(eager = false)
+    hs
+      .withColumn("fps", expr(
+        """CASE WHEN size(hs) < 1 THEN CAST(array() AS array<bigint>)
+                ELSE array_distinct(transform(
+                       sequence(1, greatest(size(hs) - 7, 1)),
+                       i -> array_min(slice(hs, i, 8)))) END"""))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .localCheckpoint(eager = false)
+  }
+
   private object SharedMinHashSigs {
     private val memo =
       new SessionMemo[(String, Int, Int), org.apache.spark.sql.DataFrame](
@@ -1547,9 +1585,13 @@ object TextQueries extends QueryPack {
     // the text_dup_spans aggregate; covered START positions come from
     // one postings-style join of per-doc indexed shingles against it
     // (shuffles scale with span-occurrence count, never doc×doc); the
-    // rewrite itself is IN-ROW — a nested higher-order filter marks
-    // token j removed iff some covered start i has i ≤ j ≤ i+9 — so the
-    // corpus pays one narrow pass to reassemble.
+    // rewrite is a TOKEN-LEVEL ANTI-JOIN — covered starts expand to
+    // covered positions, tokens anti-join them by (doc, position), and
+    // docs reassemble with one position-sorted collect. All codegen'd
+    // relational ops: the first cut ran an in-row nested higher-order
+    // filter instead, and its INTERPRETED O(tokens × covered-starts)
+    // lambda ground single-threaded on heavily-duplicated docs — the
+    // corpus-rewrite shuffle is the honest, parallel price.
     Q("doc_despan",
       (s, dir) => {
         val n = 10
@@ -1561,23 +1603,31 @@ object TextQueries extends QueryPack {
           .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
           .filter(col("n_docs") >= 2)
           .select(col("shingle"), col("first_doc"))
-        val covered = docs
+        val coveredPos = docs
           .select(col("doc_id"),
             posexplode(TextFunctions.allShingles(col("toks"), n)))
           .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("shingle"))
           .join(dups, "shingle")
           .filter(col("doc_id") =!= col("first_doc"))
-          .groupBy("doc_id")
-          .agg(sort_array(collect_set(col("i"))).as("cov"))
-        docs.join(covered, Seq("doc_id"), "left")
-          .withColumn("cov", coalesce(col("cov"), expr("CAST(array() AS array<int>)")))
-          .withColumn("kept", expr(
-            s"""filter(transform(toks, (tk, j0) -> struct(tk AS tk, j0 + 1 AS j)),
-                x -> size(filter(cov, i -> i <= x.j AND x.j <= i + ${n - 1})) = 0)"""))
           .select(col("doc_id"),
-            concat_ws(" ", expr("transform(kept, x -> x.tk)")).as("clean_text"),
-            expr("size(kept)").cast("long").as("n_kept"),
-            (size(col("toks")) - expr("size(kept)")).cast("long").as("n_removed"))
+            explode(sequence(col("i"), col("i") + (n - 1))).as("j"))
+          .distinct()
+        val kept = docs
+          .select(col("doc_id"), posexplode(col("toks")))
+          .select(col("doc_id"), (col("pos") + 1).as("j"), col("col").as("tk"))
+          .join(coveredPos, Seq("doc_id", "j"), "left_anti")
+          .groupBy("doc_id")
+          .agg(
+            concat_ws(" ", expr(
+              "transform(array_sort(collect_list(struct(j, tk))), x -> x.tk)"))
+              .as("clean_text"),
+            count(lit(1)).as("n_kept"))
+        docs.select(col("doc_id"), size(col("toks")).cast("long").as("nt"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("nt") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
           .orderBy("doc_id")
       },
       Some("""WITH d AS (
@@ -1628,22 +1678,8 @@ object TextQueries extends QueryPack {
     // emit the minimum of what they have (the k≤|doc|<k+w-1 contract);
     // md5-derived 32-bit hashes keep both engines bit-identical.
     Q("text_winnow",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id"),
-            TextFunctions.tokens(TextFunctions.normalize(col("text"))).as("toks"))
-        docs
-          .withColumn("hs",
-            transform(TextFunctions.allShingles(col("toks"), 5),
-              g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")))
-          .withColumn("fps", expr(
-            """CASE WHEN size(hs) < 1 THEN CAST(array() AS array<bigint>)
-                    ELSE array_distinct(transform(
-                           sequence(1, greatest(size(hs) - 7, 1)),
-                           i -> array_min(slice(hs, i, 8)))) END"""))
-          .select(col("doc_id"), explode(col("fps")).as("fp"))
-          .orderBy("doc_id", "fp")
-      },
+      (s, dir) =>
+        winnowFingerprints(t(s, dir, "documents")).orderBy("doc_id", "fp"),
       Some("""WITH d AS (
                 SELECT doc_id,
                        string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
@@ -1657,5 +1693,48 @@ object TextQueries extends QueryPack {
                                           for i in range(1, greatest(len(hs) - 7, 1) + 1)]) AS fps
                     FROM h WHERE len(hs) >= 1)
               SELECT doc_id, unnest(fps) AS fp
-              FROM w ORDER BY doc_id, fp""")))
+              FROM w ORDER BY doc_id, fp""")),
+
+    // Winnowing MATCH detection — the consumer of text_winnow's
+    // fingerprints: doc pairs sharing ≥ 3 winnowed fingerprints, i.e.
+    // pairs with at least three distinct ≥ w+k−1-token overlapping
+    // runs' worth of evidence. Same inverted-index shape as the n-gram
+    // dedup path: pairs generate per FINGERPRINT bucket (cost scales
+    // with true-overlap count, never doc×doc), with the hot-fingerprint
+    // guard (df ≤ 50) bounding bucket fan-out the way stop-shingle caps
+    // do. This is the plagiarism/contamination detector MOSS runs,
+    // corpus-scale.
+    Q("text_winnow_matches",
+      (s, dir) => {
+        val fps = winnowFingerprints(t(s, dir, "documents"))
+        val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 50)
+        val bucketed = fps.join(rare.select("fp"), "fp")
+        bucketed.as("a").join(bucketed.as("b"), Seq("fp"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("shared_fps"))
+          .filter(col("shared_fps") >= 3)
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+                FROM documents),
+              h AS (SELECT doc_id,
+                           [('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 8))::BIGINT
+                            for i in range(1, len(t) - 3)] AS hs
+                    FROM d WHERE len(t) >= 5),
+              w AS (SELECT doc_id,
+                           list_distinct([list_min(hs[i:i+7])
+                                          for i in range(1, greatest(len(hs) - 7, 1) + 1)]) AS fps
+                    FROM h WHERE len(hs) >= 1),
+              f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+              rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
+              b AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp))
+              SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+                     count(*) AS shared_fps
+              FROM b a JOIN b b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 3
+              ORDER BY a_id, b_id""")))
 }
