@@ -1736,5 +1736,71 @@ object TextQueries extends QueryPack {
                      count(*) AS shared_fps
               FROM b a JOIN b b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
               GROUP BY 1, 2 HAVING count(*) >= 3
-              ORDER BY a_id, b_id""")))
+              ORDER BY a_id, b_id""")),
+
+    // BM25 top-k retrieval — the LEXICAL retrieval twin of the vector
+    // family (vec_knn et al.): Lucene-form Okapi BM25 (k1=1.2, b=0.75,
+    // idf = ln((N−df+0.5)/(df+0.5)+1)) for a fixed 3-term query over the
+    // token postings. Scale shape: tf rows exist only for docs containing
+    // a query term (the filter pushes before the tf aggregate), df and
+    // the corpus stats broadcast, the one key shuffle joins tf to doc
+    // lengths, and the top-20 plans as TakeOrderedAndProject. Float
+    // fencing: per-term scores QUANTIZE to 1e-6-unit longs before the
+    // per-doc sum (the ts_seasonal trick — engines may sum in any order
+    // over exact integers), so the ranking key is bit-stable; ties break
+    // on doc_id.
+    Q("text_bm25",
+      (s, dir) => {
+        val qterms = Seq("spark", "window", "merge")
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("tok"))
+        val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = broadcast(lens.agg(
+          count(lit(1)).as("n_docs"), sum("dl").as("total_toks")))
+        val tf = toks.filter(col("tok").isin(qterms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dft), "tok")
+          .join(lens, "doc_id")
+          .crossJoin(stats)
+          .withColumn("avgdl",
+            col("total_toks").cast("double") / col("n_docs"))
+          .withColumn("idf",
+            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+          .withColumn("tsm",
+            round(col("idf") * ((col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+              * lit(1e6), 0).cast("long"))
+          .groupBy("doc_id")
+          .agg(sum("tsm").as("score_micro"), count(lit(1)).as("n_terms"))
+          .orderBy(col("score_micro").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+                FROM documents),
+              lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+              stats AS (SELECT count(*) AS n_docs,
+                               CAST(sum(dl) AS BIGINT) AS total_toks
+                        FROM lens),
+              tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                     WHERE tok IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+              dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.doc_id,
+                            CAST(round(
+                              ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
+                              * ((tf.tf * 2.2) /
+                                 (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl /
+                                   (CAST(s.total_toks AS DOUBLE) / s.n_docs))))
+                              * 1000000, 0) AS BIGINT) AS tsm
+                     FROM tf JOIN dft USING (tok)
+                              JOIN lens ON lens.doc_id = tf.doc_id
+                              CROSS JOIN stats s)
+              SELECT doc_id, CAST(sum(tsm) AS BIGINT) AS score_micro,
+                     count(*) AS n_terms
+              FROM sc GROUP BY 1
+              ORDER BY score_micro DESC, doc_id LIMIT 20""")))
 }

@@ -541,6 +541,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("text_bm25: term filter before tf agg, broadcast stats, top-k heap") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p) // the 1-row stats side broadcasts
+  }
+
   test("exact percentiles never buffer a whole group (no ObjectHashAggregate)") {
     // agg_median/ts_trend/ts_anomaly_mad run the bucketed rank-selection
     // path; the buffering built-in `percentile` would plan an
