@@ -138,6 +138,38 @@ object TextQueries extends QueryPack {
       .localCheckpoint(eager = false)
   }
 
+  /** Okapi BM25 per-doc scores for a fixed term query (Lucene-form idf,
+    * k1=1.2, b=0.75), quantized to 1e-6-unit longs before the per-doc
+    * sum so the ranking key is bit-stable across engines (the
+    * ts_seasonal integer-grid trick). Output: (doc_id, score_micro,
+    * n_terms). Shared by `text_bm25` and `text_rank_fusion`.
+    */
+  private def bm25Scores(docs: org.apache.spark.sql.DataFrame,
+      qterms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("tok"))
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = broadcast(lens.agg(
+      count(lit(1)).as("n_docs"), sum("dl").as("total_toks")))
+    val tf = toks.filter(col("tok").isin(qterms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dft), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(stats)
+      .withColumn("avgdl",
+        col("total_toks").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("tsm",
+        round(col("idf") * ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          * lit(1e6), 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("tsm").as("score_micro"), count(lit(1)).as("n_terms"))
+  }
+
   private object SharedMinHashSigs {
     private val memo =
       new SessionMemo[(String, Int, Int), org.apache.spark.sql.DataFrame](
@@ -1750,34 +1782,10 @@ object TextQueries extends QueryPack {
     // over exact integers), so the ranking key is bit-stable; ties break
     // on doc_id.
     Q("text_bm25",
-      (s, dir) => {
-        val qterms = Seq("spark", "window", "merge")
-        val toks = t(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("tok"))
-        val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val stats = broadcast(lens.agg(
-          count(lit(1)).as("n_docs"), sum("dl").as("total_toks")))
-        val tf = toks.filter(col("tok").isin(qterms: _*))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        tf.join(broadcast(dft), "tok")
-          .join(lens, "doc_id")
-          .crossJoin(stats)
-          .withColumn("avgdl",
-            col("total_toks").cast("double") / col("n_docs"))
-          .withColumn("idf",
-            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
-          .withColumn("tsm",
-            round(col("idf") * ((col("tf") * lit(2.2)) /
-              (col("tf") + lit(1.2) *
-                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-              * lit(1e6), 0).cast("long"))
-          .groupBy("doc_id")
-          .agg(sum("tsm").as("score_micro"), count(lit(1)).as("n_terms"))
+      (s, dir) =>
+        bm25Scores(t(s, dir, "documents"), Seq("spark", "window", "merge"))
           .orderBy(col("score_micro").desc, col("doc_id"))
-          .limit(20)
-      },
+          .limit(20),
       Some("""WITH toks AS (
                 SELECT doc_id,
                        unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
@@ -1802,5 +1810,91 @@ object TextQueries extends QueryPack {
               SELECT doc_id, CAST(sum(tsm) AS BIGINT) AS score_micro,
                      count(*) AS n_terms
               FROM sc GROUP BY 1
-              ORDER BY score_micro DESC, doc_id LIMIT 20""")))
+              ORDER BY score_micro DESC, doc_id LIMIT 20""")),
+
+    // Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) — the
+    // standard hybrid-retrieval combiner: fuse two heterogeneous
+    // rankers by 1/(60+rank), score scales never compared. Ranker A is
+    // BM25, ranker B a plain tf·idf sum (same quantized-long trick);
+    // each contributes its top-100 (ranked by its own bit-stable
+    // integer key, doc_id tie-break), the lists FULL-OUTER merge on
+    // doc_id, and the fused ordering breaks ties by doc_id. The rank
+    // windows run on the already-top-100 frames (≤100 rows — the
+    // single-partition sort is serving-sized by construction, never
+    // corpus-sized); rrf itself is a fixed two-term double expression,
+    // identical bits in both engines.
+    Q("text_rank_fusion",
+      (s, dir) => {
+        val qterms = Seq("spark", "window", "merge")
+        val docs = t(s, dir, "documents")
+        val wA = Window.orderBy(col("score_micro").desc, col("doc_id"))
+        val ra = bm25Scores(docs, qterms)
+          .orderBy(col("score_micro").desc, col("doc_id")).limit(100)
+          .withColumn("ra", row_number().over(wA))
+          .select("doc_id", "ra")
+        val toks = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("tok"))
+        val tf = toks.filter(col("tok").isin(qterms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val nd = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+        val tfidf = tf.join(broadcast(dft), "tok").crossJoin(nd)
+          .withColumn("tsm",
+            round(col("tf") * log(col("n_docs").cast("double") / col("df"))
+              * lit(1e6), 0).cast("long"))
+          .groupBy("doc_id").agg(sum("tsm").as("tscore_micro"))
+        val wB = Window.orderBy(col("tscore_micro").desc, col("doc_id"))
+        val rb = tfidf
+          .orderBy(col("tscore_micro").desc, col("doc_id")).limit(100)
+          .withColumn("rb", row_number().over(wB))
+          .select("doc_id", "rb")
+        ra.join(rb, Seq("doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60) + col("ra")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+          .select(col("doc_id"), col("ra"), col("rb"), col("rrf"))
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+                FROM documents),
+              lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+              stats AS (SELECT count(*) AS n_docs,
+                               CAST(sum(dl) AS BIGINT) AS total_toks
+                        FROM lens),
+              tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                     WHERE tok IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+              dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+              bm AS (SELECT tf.doc_id,
+                            CAST(sum(CAST(round(
+                              ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
+                              * ((tf.tf * 2.2) /
+                                 (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl /
+                                   (CAST(s.total_toks AS DOUBLE) / s.n_docs))))
+                              * 1000000, 0) AS BIGINT)) AS BIGINT) AS score_micro
+                     FROM tf JOIN dft USING (tok)
+                              JOIN lens ON lens.doc_id = tf.doc_id
+                              CROSS JOIN stats s
+                     GROUP BY 1),
+              ra AS (SELECT doc_id,
+                            row_number() OVER (ORDER BY score_micro DESC, doc_id) AS ra
+                     FROM (SELECT * FROM bm
+                           ORDER BY score_micro DESC, doc_id LIMIT 100)),
+              nd AS (SELECT count(*) AS n_docs FROM documents),
+              ti AS (SELECT tf.doc_id,
+                            CAST(sum(CAST(round(
+                              tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / dft.df)
+                              * 1000000, 0) AS BIGINT)) AS BIGINT) AS tscore_micro
+                     FROM tf JOIN dft USING (tok) CROSS JOIN nd
+                     GROUP BY 1),
+              rb AS (SELECT doc_id,
+                            row_number() OVER (ORDER BY tscore_micro DESC, doc_id) AS rb
+                     FROM (SELECT * FROM ti
+                           ORDER BY tscore_micro DESC, doc_id LIMIT 100))
+              SELECT doc_id, ra, rb,
+                     coalesce(CAST(1.0 AS DOUBLE) / (60 + ra), CAST(0.0 AS DOUBLE)) +
+                     coalesce(CAST(1.0 AS DOUBLE) / (60 + rb), CAST(0.0 AS DOUBLE)) AS rrf
+              FROM ra FULL OUTER JOIN rb USING (doc_id)
+              ORDER BY rrf DESC, doc_id LIMIT 20""")))
 }
