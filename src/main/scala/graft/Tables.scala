@@ -35,8 +35,14 @@ object Tables {
           // The NTZ→TIMESTAMP cast is value-exact ONLY under a UTC
           // session; a session built without the pin would silently
           // shift every ts by the host offset. Fail loudly instead.
-          require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
-            "graft.Tables requires spark.sql.session.timeZone=UTC " +
+          // Accept any zero-offset fixed zone (UTC, Etc/UTC, GMT, Z,
+          // +00:00 all normalize to ZoneOffset.UTC rules) — the cast is
+          // exact under all of them, not just the literal string "UTC".
+          val zone = java.time.ZoneId
+            .of(spark.conf.get("spark.sql.session.timeZone"))
+            .normalized()
+          require(zone == java.time.ZoneOffset.UTC,
+            "graft.Tables requires a UTC session timezone " +
               "(the events.ts NTZ->TIMESTAMP cast is only value-exact under UTC)")
           df.withColumn("ts", col("ts").cast(TimestampType))
         case _ => df

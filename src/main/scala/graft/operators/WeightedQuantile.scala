@@ -113,9 +113,13 @@ object WeightedQuantile {
     * together, so rank→value is tiebreak-free.
     *
     * Input rows with null `valueCol` are skipped (the built-in's
-    * semantics). Output: one row per (group, q): (groupCol, q, pctl, n)
-    * — `n` is the group's non-null count, free from pass A, so callers
-    * like ts_trend don't pay a fourth scan for it.
+    * semantics); a group whose values are ALL null still emits one row
+    * per q with a NULL pctl and n=0, matching `percentile()` and DuckDB
+    * `quantile_cont` (the all-null keys come free from pass A's
+    * null-tolerant count/min/max — no extra scan). Output: one row per
+    * (group, q): (groupCol, q, pctl, n) — `n` is the group's non-null
+    * count, free from pass A, so callers like ts_trend don't pay a
+    * fourth scan for it.
     */
   def exactPercentiles(
       df: DataFrame,
@@ -125,7 +129,8 @@ object WeightedQuantile {
       buckets: Int = 1024): DataFrame = {
     val g = col(groupCol)
     val v = col(valueCol)
-    val in = df.select(g, v).filter(v.isNotNull)
+    val in0 = df.select(g, v)
+    val in = in0.filter(v.isNotNull)
 
     // Lineage truncation on the TINY per-group frames (groups × qs rows):
     // without it, `bounds` appears three times in the final plan and
@@ -137,9 +142,17 @@ object WeightedQuantile {
     // recompute of a tiny aggregate, never correctness.
     def tiny(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
 
-    // pass A: bounds + per-q target ranks (tiny: groups × qs rows)
-    val bounds = tiny(in.groupBy(g).agg(
-      count(lit(1)).as("n"), min(v).as("mn"), max(v).as("mx")))
+    // pass A: bounds + per-q target ranks (tiny: groups × qs rows).
+    // count(v)/min(v)/max(v) all skip nulls, so scanning in0 gets the
+    // all-null groups' keys (n=0, mn/mx NULL) in the same single pass.
+    val boundsAll = tiny(in0.groupBy(g).agg(
+      count(v).as("n"), min(v).as("mn"), max(v).as("mx")))
+    val bounds = boundsAll.filter(col("n") > 0)
+    // all-null groups: one NULL-pctl row per q, like percentile()/
+    // quantile_cont (they never reach passes B/C — no values to bucket)
+    val nullRows = boundsAll.filter(col("n") === 0)
+      .select(g, explode(array(qs.map(lit): _*)).as("q"),
+        lit(null).cast("double").as("pctl"), col("n"))
     val ranks = bounds
       .select(g, col("n"), col("mn"), col("mx"),
         explode(array(qs.map(lit): _*)).as("q"))
@@ -196,6 +209,7 @@ object WeightedQuantile {
           .otherwise(col("v_lo") * (col("k_hi") - col("r")) +
             col("v_hi") * (col("r") - col("k_lo"))).as("pctl"),
         col("n"))
+      .unionByName(nullRows)
   }
 
   /** The textbook one-window formulation — the ≥-cores-groups regime's

@@ -1251,9 +1251,9 @@ object ExtendedQueries extends QueryPack {
     // broadcasts back onto it; the fact table shuffles once, for the
     // hourly collapse. Float order is fenced the ts_cusum way, one step
     // further: hourly values quantize to exact 1e-4 integers AND the
-    // profile mean is floor-quantized to the same grid (integer div of
-    // exact long sums — values are positive, so floor ≡ truncate in both
-    // engines), so every output lands ON the 1e-4 grid and the final
+    // profile mean is floor-quantized to the same grid (explicit FLOOR
+    // division of exact long sums, sign-safe — see the seas_l comment),
+    // so every output lands ON the 1e-4 grid and the final
     // 4-dp round can never sit at a half boundary (the raw-mean version
     // diverged at exactly one: 137.10875).
     Q("ts_seasonal",
@@ -1267,7 +1267,13 @@ object ExtendedQueries extends QueryPack {
         val profile = hourly.groupBy("event_type", "hod")
           .agg(sum("v_l").as("s_sum"), count(lit(1)).as("s_cnt"))
         hourly.join(broadcast(profile), Seq("event_type", "hod"))
-          .withColumn("seas_l", expr("s_sum div s_cnt"))
+          // exact long FLOOR division (s_cnt > 0 always): Spark `div`
+          // truncates toward zero, DuckDB `//` floors — they differ on
+          // negative sums, so make the floor explicit instead of relying
+          // on the fixture's positivity
+          .withColumn("seas_l", expr(
+            "s_sum div s_cnt - (CASE WHEN s_sum % s_cnt != 0" +
+              " AND s_sum < 0 THEN 1 ELSE 0 END)"))
           .select(col("event_type"), col("h"), col("v"),
             round(col("seas_l") / 10000.0, 4).as("seasonal"),
             round((col("v_l") - col("seas_l")) / 10000.0, 4).as("resid"))

@@ -61,8 +61,6 @@ final class SessionMemo[K, V](
       */
     val pinsExecutorStorage: Boolean = false) {
 
-  SessionMemo.register(this)
-
   /** Lazily-forced value cell: at most one compute, evictable only if
     * actually forced. (An eviction racing a thread inside `compute`
     * skips the in-flight value here; `apply` re-checks after forcing and
@@ -82,6 +80,12 @@ final class SessionMemo[K, V](
   private val nextTag = new AtomicInteger(0)
   /** Contexts that already carry our application-end listener. */
   private val hookedContexts = TrieMap[Int, Unit]()
+
+  // Publish to the global registry only AFTER every field above is
+  // initialized: registering first would leak a half-constructed `this`,
+  // and a concurrent SessionMemo.evictAll could NPE inside evict() on
+  // the not-yet-assigned maps.
+  SessionMemo.register(this)
 
   private def tagOf(s: SparkSession): Int = tags.synchronized {
     val t = tags.get(s)
