@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.dedup.Dedup
-import graft.text.TextFunctions
+import graft.text.{QualityModel, TextFunctions}
 
 /** Text-analysis + document-dedup capabilities over the `documents`
   * fixture (the north-star LLM-pipeline operators). Each query drives the
@@ -100,43 +100,15 @@ object TextQueries extends QueryPack {
     * 16-permutation aggregation the previous one just did. k rows per
     * doc-count, so the pin is small; bounded by distinct fixtures.
     */
-  /** Winnowed fingerprints (doc_id, fp), exploded: 5-gram md5-derived
-    * hashes under a sliding w=8 minimum (Schleimer et al. 2003).
-    *
-    * The hash array is LAZILY LOCAL-CHECKPOINTED before the sliding
-    * minimum runs — load-bearing, not a cache nicety. Spark evaluates
-    * higher-order-function lambdas INTERPRETED, and a lambda body that
-    * references an INLINED expression re-evaluates that whole tree per
-    * element: with `hs` inlined, `slice(hs, i, 8)` re-derived the hash
-    * array — including per-gram re-tokenization — once per window,
-    * an O(windows × grams × regex) blowup that measured ~170 ms/doc
-    * (minutes per partition) at sf0.1. Checkpointing makes `hs` a real
-    * column, so the window lambda reads an array VALUE and the cost
-    * drops to the O(windows × w) the algorithm promises. The explicit
-    * repartition spreads the narrow compute across cores (the fixture
-    * is one parquet split); the second checkpoint lets the match
-    * query's three consumers (df filter, both self-join sides) read
-    * materialized rows instead of recomputing.
+  /** Winnowed fingerprints (doc_id, fp), exploded — the library
+    * pipeline ([[graft.text.Winnow.fingerprintsDf]]; the checkpoint
+    * rationale lives on its scaladoc), shared here by the fingerprint
+    * and matcher queries and, in scalar form, by the streaming
+    * contamination guard.
     */
   private def winnowFingerprints(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val hs = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        transform(
-          TextFunctions.allShingles(
-            TextFunctions.tokens(TextFunctions.normalize(col("text"))), 5),
-          g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("hs"))
-      .localCheckpoint(eager = false)
-    hs
-      .withColumn("fps", expr(
-        """CASE WHEN size(hs) < 1 THEN CAST(array() AS array<bigint>)
-                ELSE array_distinct(transform(
-                       sequence(1, greatest(size(hs) - 7, 1)),
-                       i -> array_min(slice(hs, i, 8)))) END"""))
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
-      .localCheckpoint(eager = false)
-  }
+      : org.apache.spark.sql.DataFrame =
+    graft.text.Winnow.fingerprintsDf(docs)
 
   /** Okapi BM25 per-doc scores for a fixed term query (Lucene-form idf,
     * k1=1.2, b=0.75), quantized to 1e-6-unit longs before the per-doc
@@ -702,6 +674,78 @@ object TextQueries extends QueryPack {
               SELECT doc_id, count(*) AS n_tokens,
                      round(avg(ln(cnt / total)), 4) AS avg_logp
               FROM toks JOIN vocab USING (token), tot
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Interpolated BIGRAM LM perplexity — the CCNet/Wikipedia-reference
+    // quality filter proper (text_ngram_lm is the unigram degenerate):
+    // p(v|u) = 0.75·c(uv)/c(u·) + 0.25·c(v)/N, per-doc perplexity
+    // exp(−mean ln p). The per-BIGRAM log-prob is precomputed once into
+    // a compact dictionary (vocab²-bounded, df-capped in practice by the
+    // corpus itself) and quantized to 1e-6 micro-longs — the text_bm25
+    // trick — so the per-doc SUM is exact integer arithmetic, immune to
+    // engine/partition summation order; the only floats are one ln per
+    // DICT entry (model-size) and one exp per doc on engine-identical
+    // exact inputs. Shapes: two partial-aggregated count passes (bigram,
+    // unigram), dictionary broadcasts back onto the bigram stream, one
+    // doc-key shuffle for the per-doc sum.
+    Q("text_bigram_lm",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.tokens(TextFunctions.normalize(col("text"))).as("tk"))
+        val bigt = base.select(col("doc_id"),
+          explode(TextFunctions.allShingles(col("tk"), 2)).as("bg"))
+        val cbi = bigt.groupBy("bg").agg(count(lit(1)).as("cb"))
+        val cctx = bigt
+          .groupBy(split(col("bg"), " ").getItem(0).as("u"))
+          .agg(count(lit(1)).as("cu"))
+        val toks = base.select(explode(col("tk")).as("token"))
+        val uni = toks.groupBy("token").agg(count(lit(1)).as("cw"))
+        val nn = toks.agg(count(lit(1)).as("n"))
+        val dict = cbi
+          .join(cctx, split(col("bg"), " ").getItem(0) === col("u"))
+          .join(uni, split(col("bg"), " ").getItem(1) === col("token"))
+          .crossJoin(broadcast(nn))
+          .select(col("bg"),
+            round(log(lit(0.75) * (col("cb") / col("cu")) +
+              lit(0.25) * (col("cw") / col("n"))) * 1e6, 0)
+              .cast("long").as("lp"))
+        bigt.join(broadcast(dict), "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("logp_micro"))
+          .select(col("doc_id"), col("n_bigrams"), col("logp_micro"),
+            round(exp(-(col("logp_micro") / lit(1000000.0)) /
+              col("n_bigrams")), 4).as("ppl"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS tk
+                FROM documents),
+              bigt AS (SELECT doc_id,
+                              unnest([tk[i] || ' ' || tk[i+1]
+                                      for i in range(1, len(tk))]) AS bg
+                       FROM t),
+              cbi AS (SELECT bg, count(*) AS cb FROM bigt GROUP BY 1),
+              cctx AS (SELECT string_split(bg, ' ')[1] AS u, count(*) AS cu
+                       FROM bigt GROUP BY 1),
+              toks AS (SELECT unnest(tk) AS token FROM t),
+              uni AS (SELECT token, count(*) AS cw FROM toks GROUP BY 1),
+              nn AS (SELECT count(*) AS n FROM toks),
+              dict AS (SELECT cbi.bg,
+                              CAST(round(ln(
+                                0.75 * (cbi.cb / cctx.cu) +
+                                0.25 * (uni.cw / nn.n)) * 1000000, 0)
+                                AS BIGINT) AS lp
+                       FROM cbi
+                       JOIN cctx ON cctx.u = string_split(cbi.bg, ' ')[1]
+                       JOIN uni ON uni.token = string_split(cbi.bg, ' ')[2]
+                       CROSS JOIN nn)
+              SELECT doc_id, count(*) AS n_bigrams,
+                     CAST(sum(lp) AS BIGINT) AS logp_micro,
+                     round(exp(-(CAST(sum(lp) AS BIGINT) / 1000000.0)
+                       / count(*)), 4) AS ppl
+              FROM bigt JOIN dict USING (bg)
               GROUP BY doc_id ORDER BY doc_id""")),
 
     // INCREMENTAL dedup — how a 100 TB pipeline actually runs: dedup
@@ -1800,8 +1844,8 @@ object TextQueries extends QueryPack {
               sc AS (SELECT tf.doc_id,
                             CAST(round(
                               ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
-                              * ((tf.tf * 2.2) /
-                                 (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl /
+                              * ((tf.tf * CAST(2.2 AS DOUBLE)) /
+                                 (tf.tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * lens.dl /
                                    (CAST(s.total_toks AS DOUBLE) / s.n_docs))))
                               * 1000000, 0) AS BIGINT) AS tsm
                      FROM tf JOIN dft USING (tok)
@@ -1869,8 +1913,8 @@ object TextQueries extends QueryPack {
               bm AS (SELECT tf.doc_id,
                             CAST(sum(CAST(round(
                               ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
-                              * ((tf.tf * 2.2) /
-                                 (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl /
+                              * ((tf.tf * CAST(2.2 AS DOUBLE)) /
+                                 (tf.tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * lens.dl /
                                    (CAST(s.total_toks AS DOUBLE) / s.n_docs))))
                               * 1000000, 0) AS BIGINT)) AS BIGINT) AS score_micro
                      FROM tf JOIN dft USING (tok)
@@ -1896,5 +1940,110 @@ object TextQueries extends QueryPack {
                      coalesce(CAST(1.0 AS DOUBLE) / (60 + ra), CAST(0.0 AS DOUBLE)) +
                      coalesce(CAST(1.0 AS DOUBLE) / (60 + rb), CAST(0.0 AS DOUBLE)) AS rrf
               FROM ra FULL OUTER JOIN rb USING (doc_id)
-              ORDER BY rrf DESC, doc_id LIMIT 20""")))
+              ORDER BY rrf DESC, doc_id LIMIT 20""")),
+
+    // TRAINED quality classifier (GPT-3/LLaMA-style curation filter): a
+    // linear model over hashed bag-of-words features — multinomial Naive
+    // Bayes with Laplace smoothing, trained on the doc_quality_filter
+    // rule's weak labels and applied to every document as a soft score.
+    // Training is one partially-aggregated sufficient-statistics pass
+    // (per-bucket class counts, ≤128 rows shuffled per partition);
+    // scoring is a ZERO-SHUFFLE projection folding each doc's tokens
+    // through the broadcast literal weight array (QualityModelSpec
+    // asserts no Exchange). All score arithmetic is exact micro-longs,
+    // so score_micro/pred_keep are bit-stable; the only doubles are the
+    // 129 model-size ln calls, evaluated on engine-identical inputs
+    // with a fixed op sequence (two divides then multiply — raw count
+    // products would leave 2^53 at corpus scale).
+    Q("doc_quality_model",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .withColumn("label", QualityModel.weakLabel(col("toks")))
+          .withColumn("ftoks", QualityModel.featureTokens(col("toks")))
+        val m = QualityModel.fit(docs, "ftoks", "label", d = 128)
+        docs.select(col("doc_id"),
+            QualityModel.score(docs, "ftoks", m).as("score_micro"),
+            col("label"))
+          .withColumn("pred_keep", col("score_micro") > 0)
+          .select("doc_id", "score_micro", "pred_keep", "label")
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              lab AS (
+                SELECT doc_id, toks,
+                       len(toks) AS n,
+                       len(list_distinct(toks)) AS ud,
+                       len(list_filter(toks,
+                         x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS sd,
+                       len(toks) >= 25
+                       AND len(list_distinct(toks))::DOUBLE / len(toks) >= 0.35
+                       AND len(list_filter(toks,
+                             x -> x IN ('the','a','an','of','and','to','in','is','it','for')))::DOUBLE
+                           / len(toks) <= 0.15 AS label
+                FROM docs),
+              aug AS (
+                SELECT doc_id, label,
+                       list_concat(toks,
+                         ['L' || least(n // 5, 12)::VARCHAR,
+                          'U' || ((20 * ud) // n)::VARCHAR,
+                          'S' || ((20 * sd) // n)::VARCHAR]) AS ftoks
+                FROM lab),
+              tk AS (SELECT doc_id, label,
+                            ('0x' || substr(md5(tok), 1, 8))::BIGINT % 128 AS b
+                     FROM (SELECT doc_id, label, unnest(ftoks) AS tok FROM aug)),
+              cnt AS (SELECT b,
+                             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                             CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS cn
+                      FROM tk GROUP BY b),
+              tot AS (SELECT CAST(sum(cp) AS BIGINT) AS tp,
+                             CAST(sum(cn) AS BIGINT) AS tn FROM cnt),
+              w AS (SELECT g.range AS b,
+                           CAST(round(ln(
+                             ((coalesce(cnt.cp, 0) + 1) / (tot.tp + 128)) *
+                             ((tot.tn + 128) / (coalesce(cnt.cn, 0) + 1)))
+                             * 1000000, 0) AS BIGINT) AS w_l
+                    FROM range(128) g LEFT JOIN cnt ON cnt.b = g.range
+                    CROSS JOIN tot),
+              pri AS (SELECT CAST(round(ln(
+                               sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE /
+                               sum(CASE WHEN label THEN 0 ELSE 1 END)::DOUBLE)
+                               * 1000000, 0) AS BIGINT) AS prior_l
+                      FROM lab),
+              sc AS (SELECT tk.doc_id, CAST(sum(w.w_l) AS BIGINT) AS tsum
+                     FROM tk JOIN w USING (b) GROUP BY tk.doc_id)
+              SELECT l.doc_id,
+                     CAST(coalesce(sc.tsum, 0) + pri.prior_l AS BIGINT) AS score_micro,
+                     (coalesce(sc.tsum, 0) + pri.prior_l) > 0 AS pred_keep,
+                     l.label
+              FROM lab l LEFT JOIN sc ON sc.doc_id = l.doc_id
+              CROSS JOIN pri
+              ORDER BY l.doc_id""")),
+
+    // Logistic-regression REFINEMENT of the same model: 3 fixed
+    // full-batch gradient-descent iterations from the NB initialization,
+    // each one pass through the mergeable constant-buffer
+    // LogisticGradientAggregator (per-doc residuals quantized to exact
+    // micro-longs, so training is bit-deterministic under any
+    // partitioning — QualityModelSpec proves 1-partition ≡ 32-partition
+    // and that refinement does not worsen the training log-loss). The
+    // iterative float training has no SQL mirror → rows-only here,
+    // parity-spec'd like the PCA family.
+    Q("doc_quality_model_lr",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .withColumn("label", QualityModel.weakLabel(col("toks")))
+          .withColumn("ftoks", QualityModel.featureTokens(col("toks")))
+        val nb = QualityModel.fit(docs, "ftoks", "label", d = 128)
+        val m = QualityModel.refine(docs, "ftoks", "label", nb, iters = 3)
+        docs.select(col("doc_id"),
+            QualityModel.score(docs, "ftoks", m).as("score_micro"),
+            col("label"))
+          .withColumn("pred_keep", col("score_micro") > 0)
+          .select("doc_id", "score_micro", "pred_keep", "label")
+          .orderBy("doc_id")
+      },
+      None))
 }
