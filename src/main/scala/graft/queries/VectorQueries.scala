@@ -151,6 +151,66 @@ object VectorQueries extends QueryPack {
       }
   }
 
+  /** The INCREMENTALLY MAINTAINED twin of [[SharedIvfIndex]] behind
+    * `vec_index_append`: the index is built on only the base 90% of the
+    * corpus (vec_id % 10 < 9), then the remaining 10% arrives as an
+    * ingest batch through [[graft.similarity.IvfMaintenance.append]] —
+    * assigned to the EXISTING centroids (no re-fit, no corpus rescan)
+    * and parquet-appended under the partition directories, with the
+    * bucket-stats sidecar merged incrementally. Serving reads the
+    * resulting layout exactly like the rebuilt index would be read;
+    * at nprobe = ALL the search is provably brute force over
+    * base ∪ appended = the full table, which is what lets the same
+    * exact-kNN SQL oracle the whole append pipeline
+    * (fit → partition → append → route → scan). Build is
+    * fingerprint-gated and atomic like the primary index.
+    */
+  private[graft] object SharedIvfAppendIndex {
+    final case class Index(centroids: Seq[(Int, Seq[Float])], path: String)
+    private val memo = new SessionMemo[String, Index]()
+
+    private def root(dir: String): java.nio.file.Path = {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_ivfapp_${tag}_k${SharedIvfIndex.K}")
+    }
+
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String): Index =
+      memo(s, dir) {
+        val r = root(dir)
+        val fp = graft.operators.Artifacts.tableFingerprint(dir, "embeddings") +
+          s"|k=${SharedIvfIndex.K}|iters=3|dim=64" +
+          s"|bal=${SharedIvfIndex.MaxBucketFactor}|split=mod10"
+        graft.operators.Artifacts.ensureBuilt(r, fp) { tmp =>
+          val embs = graft.Tables.table(s, dir, "embeddings")
+          val base = embs.filter(col("vec_id") % 10 < 9)
+          val inc = embs.filter(col("vec_id") % 10 >= 9)
+          val cents0 = graft.similarity.KMeans.fit(
+            base, "vec_id", "embedding", k = SharedIvfIndex.K, iters = 3, dim = 64)
+          val maxRows = math.max(1L,
+            SharedIvfIndex.MaxBucketFactor * base.count() / SharedIvfIndex.K)
+          val cents = Similarity.balancedCentroids(base, "vec_id",
+            "embedding", cents0, "cid", "cvec", maxRows, dim = 64)
+          cents.coalesce(1).write.mode("overwrite")
+            .parquet(tmp.resolve("centroids").toString)
+          val corpusPath = tmp.resolve("corpus").toString
+          val assignedBase = Similarity.assignToCentroids(base, "vec_id",
+            "embedding", cents, "cid", "cvec")
+          assignedBase.write.partitionBy("centroid_id").mode("overwrite")
+            .parquet(corpusPath)
+          graft.similarity.IvfMaintenance.initStats(corpusPath, assignedBase)
+          graft.similarity.IvfMaintenance.append(inc, "vec_id", "embedding",
+            cents, "cid", "cvec", corpusPath,
+            SharedIvfIndex.MaxBucketFactor)
+        }
+        val centroids = s.read.parquet(r.resolve("centroids").toString)
+          .collect()
+          .map(row => (row.getInt(0), row.getSeq[Float](1))).toSeq.sortBy(_._1)
+        Index(centroids, r.resolve("corpus").toString)
+      }
+  }
+
   /** kNN through the learned-centroid IVF index ([[SharedIvfIndex]]):
     * route the probe on the k-row centroid table, then scan only the
     * `nprobe` matching partition directories of the materialized corpus —
@@ -556,6 +616,34 @@ object VectorQueries extends QueryPack {
                       round(CAST(list_dot_product(embedding, pv) AS DOUBLE), 6) AS score
                FROM embeddings, ${probeSql("p")}
                ORDER BY list_dot_product(embedding, pv) DESC, vec_id
+               LIMIT 10""")),
+
+    // Incremental IVF maintenance: index built on the base 90%, the new
+    // 10% APPENDED by assignment to the standing centroids — no re-fit,
+    // no corpus rescan, sidecar bucket stats merged incrementally, a
+    // skew-triggered rebalance signal instead of blind per-batch
+    // re-clustering (IvfAppendSpec proves the standing files survive
+    // byte-identical and append+search ≡ rebuild+search). Served at
+    // nprobe = ALL the search covers base ∪ appended = the whole table,
+    // so the exact-kNN SQL oracles the entire append pipeline.
+    Q("vec_index_append",
+      (s, dir) => {
+        val ix = SharedIvfAppendIndex(s, dir)
+        val centroids = s.createDataFrame(ix.centroids).toDF("cid", "cvec")
+        Similarity.ivfKnnPruned(s.read.parquet(ix.path), "vec_id",
+            "embedding", centroids, "cid", "cvec",
+            typedLit(SharedProbe(s, dir, ProbeId)), 10, ix.centroids.length)
+          .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+      },
+      Some(s"""SELECT vec_id,
+                      round(list_dot_product(embedding, pv)
+                            / (sqrt(list_dot_product(embedding, embedding))
+                               * sqrt(list_dot_product(pv, pv))), 6) AS sim
+               FROM embeddings, ${probeSql("p")}
+               ORDER BY list_dot_product(embedding, pv)
+                        / (sqrt(list_dot_product(embedding, embedding))
+                           * sqrt(list_dot_product(pv, pv))) DESC, vec_id
                LIMIT 10""")))
 
   /** Batched IVF serving behind `vec_knn_ivf_batch`: route EVERY probe
