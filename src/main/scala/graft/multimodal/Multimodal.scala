@@ -317,6 +317,11 @@ object Multimodal {
   private val Mp4IdentityMatrix =
     Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
 
+  /** Fixture GOP length: every `Mp4Gop`-th frame is a sync sample
+    * (I-frame), recorded in the encoder's `stss` box.
+    */
+  val Mp4Gop = 4
+
   private def mp4Box(tpe: String, payload: Array[Byte]): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 + payload.length)
     bb.putInt(8 + payload.length)
@@ -391,6 +396,17 @@ object Multimodal {
       sizes.foreach(bb.putInt)
       bb.array()
     })
+    // stss (SyncSampleBox, ISO 14496-12 §8.6.2): the REAL keyframe
+    // signal — 1-BASED sample numbers of the I-frames. The fixture's
+    // GOP is 4: frames 0,4,8,… are sync samples
+    val syncNos = 0 until nF by Mp4Gop
+    val stss = mp4Box("stss", {
+      val bb = ByteBuffer.allocate(8 + 4 * syncNos.length)
+      bb.putInt(0)               // version + flags
+      bb.putInt(syncNos.length)  // entry_count
+      syncNos.foreach(i => bb.putInt(i + 1))
+      bb.array()
+    })
     def stco(chunkOff: Int) = mp4Box("stco", {
       val bb = ByteBuffer.allocate(12)
       bb.putInt(0)           // version + flags
@@ -400,7 +416,7 @@ object Multimodal {
     })
     def moov(chunkOff: Int) = mp4Box("moov", mvhd ++ mp4Box("trak",
       tkhd ++ mp4Box("mdia", mp4Box("minf", mp4Box("stbl",
-        stsz ++ stco(chunkOff))))))
+        stsz ++ stss ++ stco(chunkOff))))))
     // stco stores an ABSOLUTE file offset; the moov size doesn't depend
     // on the offset VALUE, so a two-pass build resolves it exactly
     val mdatPayloadOff = ftyp.length + moov(0).length + 8
@@ -468,17 +484,8 @@ object Multimodal {
     */
   def decodeMp4SampleTable(bytes: Array[Byte])
       : Option[(Array[Long], Array[Int])] = {
-    def findBox(start: Int, end: Int, tpe: String): Option[(Int, Int)] = {
-      var off = start
-      while (off + 8 <= end) {
-        val size = beInt(bytes, off)
-        if (size < 8 || off + size > end) return None
-        if (new String(bytes, off + 4, 4, "US-ASCII") == tpe)
-          return Some((off + 8, off + size))
-        off += size
-      }
-      None
-    }
+    def findBox(start: Int, end: Int, tpe: String): Option[(Int, Int)] =
+      findMp4Box(bytes, start, end, tpe)
     try {
       for {
         (moovS, moovE) <- findBox(0, bytes.length, "moov")
@@ -513,6 +520,47 @@ object Multimodal {
   }
 
   private val mp4SampleTableUdf = udf(decodeMp4SampleTable _)
+
+  /** Child-box scan shared by the MP4 walks: payload bounds of the first
+    * `tpe` box between `start` and `end`, None when absent/malformed.
+    */
+  private def findMp4Box(bytes: Array[Byte], start: Int, end: Int,
+      tpe: String): Option[(Int, Int)] = {
+    var off = start
+    while (off + 8 <= end) {
+      val size = beInt(bytes, off)
+      if (size < 8 || off + size > end) return None
+      if (new String(bytes, off + 4, 4, "US-ASCII") == tpe)
+        return Some((off + 8, off + size))
+      off += size
+    }
+    None
+  }
+
+  /** `stss` (SyncSampleBox) walk: the container's ACTUAL keyframe
+    * signal — 1-based sample numbers of the sync samples (I-frames).
+    * None when the box is absent (per ISO 14496-12 an absent `stss`
+    * means EVERY sample is sync — the caller owns that default) or
+    * malformed. Same physical-bound hygiene as the stsz walk: an entry
+    * count the box cannot contain is malformed, not an allocation.
+    */
+  def decodeMp4SyncSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    try {
+      for {
+        (moovS, moovE) <- findMp4Box(bytes, 0, bytes.length, "moov")
+        (trakS, trakE) <- findMp4Box(bytes, moovS, moovE, "trak")
+        (mdiaS, mdiaE) <- findMp4Box(bytes, trakS, trakE, "mdia")
+        (minfS, minfE) <- findMp4Box(bytes, mdiaS, mdiaE, "minf")
+        (stblS, stblE) <- findMp4Box(bytes, minfS, minfE, "stbl")
+        (stssS, stssE) <- findMp4Box(bytes, stblS, stblE, "stss")
+        if stssE - stssS >= 8
+        count = beInt(bytes, stssS + 4)
+        if count >= 0 && (stssE - stssS).toLong >= 8L + 4L * count
+      } yield Array.tabulate(count)(i => beInt(bytes, stssS + 8 + 4 * i))
+    } catch { case _: Exception => None }
+  }
+
+  private val mp4SyncUdf = udf(decodeMp4SyncSamples _)
 
   /** 64-bit perceptual difference hash (dHash) of an image payload:
     * real decode → grayscale box-average onto a 9×8 grid → one bit per
@@ -731,6 +779,32 @@ object Multimodal {
           .as("byte_off"),
         element_at(col("szs"), (col("frame_idx") + 1).cast("int"))
           .cast("long").as("frame_bytes"))
+
+  /** Keyframe extraction for video rows from the REAL `stss` sync-sample
+    * box (not a size heuristic): each listed 1-based sample number joins
+    * back to the parsed sample table for its 0-based frame index, seek
+    * offset and byte size. Rows whose container carries no `stss` are
+    * dropped here — for the "absent ⇒ all sync" default, sample with
+    * [[sampleFrames]] stride 1 instead; conflating the two would turn a
+    * missing box into "every frame is a keyframe" silently. Narrow
+    * columns only; zero shuffle, like the other decode paths.
+    */
+  def syncFrames(media: DataFrame): DataFrame =
+    media
+      .filter(col("kind") === "video")
+      .select(col("media_id"),
+        mp4SampleTableUdf(col("bytes")).as("st"),
+        mp4SyncUdf(col("bytes")).as("sync"))
+      .filter(col("st").isNotNull && col("sync").isNotNull)
+      .select(col("media_id"), col("st._1").as("offs"),
+        col("st._2").as("szs"), explode(col("sync")).as("sample_no"))
+      // a sync entry pointing outside the sample table is malformed —
+      // drop the entry, keep the file's valid ones
+      .filter(col("sample_no") >= 1 && col("sample_no") <= size(col("offs")))
+      .select(col("media_id"),
+        (col("sample_no") - 1).cast("long").as("frame_idx"),
+        element_at(col("offs"), col("sample_no")).as("byte_off"),
+        element_at(col("szs"), col("sample_no")).cast("long").as("frame_bytes"))
 
   /** DataFrame-level metadata decode — used by the oracled query. Every
     * populated value comes from a real header parse of the payload (PNG

@@ -106,28 +106,31 @@ object MultimodalQueries extends QueryPack {
                 FROM meta)
               SELECT media_id, frame_idx,
                      frame_idx * duration_ms // n_frames AS ts_ms,
-                     312 + 4 * n_frames + 8 * frame_idx
+                     328 + 4 * n_frames + 4 * ((n_frames + 3) // 4)
+                       + 8 * frame_idx
                        + 12 * (frame_idx // 4)
                        + (frame_idx % 4) * ((frame_idx % 4) - 1) AS byte_off,
                      8 + (frame_idx % 4) * 2 AS frame_bytes
               FROM f ORDER BY media_id, frame_idx""")),
 
-    // Keyframe selection entirely from parsed container metadata: the
-    // peak-size frames of each video (stsz size 14, the I-frame analog
-    // in the fixture's 8/10/12/14 cycle — real demuxers use exactly
-    // this size skew to pick seek points without decoding). Counts and
-    // first byte offset per video; the oracle derives both from the
-    // encode arithmetic (frames ≡ 3 mod 4 peak; the first sits at chunk
-    // offset + 8+10+12). One narrow pass over the parsed table.
+    // Keyframe selection from the container's REAL sync-sample signal:
+    // the stss box lists the I-frames' 1-based sample numbers (GOP 4 in
+    // the fixture ⇒ frames 0,4,8,…), exactly how a demuxer finds seek
+    // points — superseding the r7 size-skew heuristic. Counts and first
+    // seek offset per video; the oracle derives both from the encode
+    // arithmetic (⌈nF/4⌉ entries; the first keyframe is frame 0, whose
+    // offset is the chunk offset itself — 328 + stsz entries + stss
+    // entries). One narrow pass over the parsed tables, zero shuffle
+    // before the tiny per-video aggregate.
     Q("mm_keyframes",
-      (s, dir) => Multimodal.sampleFrames(SharedMedia(s, dir), stride = 1)
-        .filter(col("frame_bytes") === 14)
+      (s, dir) => Multimodal.syncFrames(SharedMedia(s, dir))
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_key"), min("byte_off").as("first_off"))
         .orderBy("media_id"),
       Some("""SELECT doc_id AS media_id,
-                     (24 + doc_id % 240) // 4 AS n_key,
-                     312 + 4 * (24 + doc_id % 240) + 30 AS first_off
+                     (24 + doc_id % 240 + 3) // 4 AS n_key,
+                     328 + 4 * (24 + doc_id % 240)
+                         + 4 * ((24 + doc_id % 240 + 3) // 4) AS first_off
               FROM documents WHERE doc_id % 3 = 2
               ORDER BY media_id""")))
 

@@ -134,6 +134,44 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMp4SampleTable("junk".getBytes).isEmpty)
   }
 
+  test("MP4 stss: sync samples round-trip and keyframe offsets seek real bytes") {
+    Seq(2L, 5L, 17L, 23L).foreach { id =>
+      val bytes = Multimodal.encodeMp4(id)
+      val (_, _, _, nF) = Multimodal.videoParams(id)
+      // the encoder's stss lists exactly the GOP-4 I-frames, 1-based
+      val sync = Multimodal.decodeMp4SyncSamples(bytes).get
+      assert(sync.toSeq === (0 until nF by Multimodal.Mp4Gop).map(_ + 1))
+      // and each sync sample's seek offset (via the sample table) lands
+      // on that frame's actual mdat bytes
+      val (offs, _) = Multimodal.decodeMp4SampleTable(bytes).get
+      val chunk = offs(0)
+      sync.take(3).foreach { no =>
+        val off = offs(no - 1)
+        assert((bytes(off.toInt) & 0xff) ===
+          ((id * 31 + (off - chunk) * 131) & 0xff).toInt, s"media $id sync $no")
+      }
+    }
+    // absent box ⇒ None (the "all sync" default belongs to the caller)
+    assert(Multimodal.decodeMp4SyncSamples("junk".getBytes).isEmpty)
+  }
+
+  test("syncFrames emits one narrow row per stss entry") {
+    val media = Multimodal.fakeMediaFromDocs(Tables.table(spark, sfDir, "documents"))
+    val kf = Multimodal.syncFrames(media)
+    assert(kf.columns.toSeq ===
+      Seq("media_id", "frame_idx", "byte_off", "frame_bytes"))
+    val expected = media.filter(col("kind") === "video")
+      .select("media_id").collect().map(_.getLong(0)).map { id =>
+        val (_, _, _, nF) = Multimodal.videoParams(id)
+        id -> ((nF + Multimodal.Mp4Gop - 1) / Multimodal.Mp4Gop)
+      }.toMap
+    val got = kf.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got === expected)
+    // every keyframe is a GOP-aligned frame index
+    assert(kf.filter(col("frame_idx") % Multimodal.Mp4Gop =!= 0).count() === 0)
+  }
+
   test("malformed MP4 sample tables are rejected, never allocated") {
     val good = Multimodal.encodeMp4(7L)
     def patched(uniform: Int, count: Int): Array[Byte] = {
