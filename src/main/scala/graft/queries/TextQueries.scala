@@ -100,6 +100,34 @@ object TextQueries extends QueryPack {
     * 16-permutation aggregation the previous one just did. k rows per
     * doc-count, so the pin is small; bounded by distinct fixtures.
     */
+  /** The labeled+augmented training frame and fitted quality models per
+    * (session, fixture), memoized: `doc_quality_model` and
+    * `doc_quality_model_lr` share one NB sufficient-statistics fit, and
+    * the LR refinement (3 gradient passes) runs once per fixture, not
+    * per invocation. Models are tiny plain values (129 longs) — no
+    * Spark state pinned.
+    */
+  private object SharedQualityModels {
+    private val nbMemo = new SessionMemo[String, graft.text.QualityModel.Model]()
+    private val lrMemo = new SessionMemo[String, graft.text.QualityModel.Model]()
+
+    def docs(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame =
+      graft.Tables.table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("label", QualityModel.weakLabel(col("toks")))
+        .withColumn("ftoks", QualityModel.featureTokens(col("toks")))
+
+    def nb(s: org.apache.spark.sql.SparkSession, dir: String)
+        : graft.text.QualityModel.Model =
+      nbMemo(s, dir)(QualityModel.fit(docs(s, dir), "ftoks", "label", d = 128))
+
+    def lr(s: org.apache.spark.sql.SparkSession, dir: String)
+        : graft.text.QualityModel.Model =
+      lrMemo(s, dir)(QualityModel.refine(
+        docs(s, dir), "ftoks", "label", nb(s, dir), iters = 3))
+  }
+
   /** Winnowed fingerprints (doc_id, fp), exploded — the library
     * pipeline ([[graft.text.Winnow.fingerprintsDf]]; the checkpoint
     * rationale lives on its scaladoc), shared here by the fingerprint
@@ -1957,11 +1985,8 @@ object TextQueries extends QueryPack {
     // products would leave 2^53 at corpus scale).
     Q("doc_quality_model",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-          .withColumn("label", QualityModel.weakLabel(col("toks")))
-          .withColumn("ftoks", QualityModel.featureTokens(col("toks")))
-        val m = QualityModel.fit(docs, "ftoks", "label", d = 128)
+        val docs = SharedQualityModels.docs(s, dir)
+        val m = SharedQualityModels.nb(s, dir)
         docs.select(col("doc_id"),
             QualityModel.score(docs, "ftoks", m).as("score_micro"),
             col("label"))
@@ -2032,12 +2057,8 @@ object TextQueries extends QueryPack {
     // parity-spec'd like the PCA family.
     Q("doc_quality_model_lr",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-          .withColumn("label", QualityModel.weakLabel(col("toks")))
-          .withColumn("ftoks", QualityModel.featureTokens(col("toks")))
-        val nb = QualityModel.fit(docs, "ftoks", "label", d = 128)
-        val m = QualityModel.refine(docs, "ftoks", "label", nb, iters = 3)
+        val docs = SharedQualityModels.docs(s, dir)
+        val m = SharedQualityModels.lr(s, dir)
         docs.select(col("doc_id"),
             QualityModel.score(docs, "ftoks", m).as("score_micro"),
             col("label"))

@@ -644,7 +644,67 @@ object VectorQueries extends QueryPack {
                ORDER BY list_dot_product(embedding, pv)
                         / (sqrt(list_dot_product(embedding, embedding))
                            * sqrt(list_dot_product(pv, pv))) DESC, vec_id
-               LIMIT 10""")))
+               LIMIT 10""")),
+
+    // SemDeDup (Abbas et al. 2023): SEMANTIC dedup = cluster the
+    // embedding space, then drop any vector with a higher-priority
+    // (smaller-id) neighbor above the cosine threshold WITHIN ITS
+    // CLUSTER — the greedy per-cluster rule, no transitive closure.
+    // Pair work is blocked by cluster (repartition co-locates buckets;
+    // the self-join never crosses them): at corpus scale the CLUSTER
+    // COUNT is the dial — SemDeDup runs ~10⁵ clusters so buckets stay
+    // bounded and in-bucket pairwise stays tractable; the fixture uses
+    // the 8 SQL-expressible fixed centroids so the ORACLE can mirror
+    // the assignment exactly (the learned-centroid path is the same
+    // code with KMeans.fit centroids — vec_embed_clusters). Threshold
+    // 0.45 matches vec_near_dup, so the fixture genuinely drops rows.
+    Q("vec_semdedup",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val centroids = embs.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val assigned = Similarity.assignToCentroids(
+            embs, "vec_id", "embedding", centroids, "cid", "cvec")
+          .repartition(col("centroid_id"))
+        val pairsDropped = assigned
+          .select(col("centroid_id"), col("vec_id").as("a_id"),
+            col("embedding").as("a_emb"))
+          .join(assigned.select(col("centroid_id"),
+            col("vec_id").as("b_id"), col("embedding").as("b_emb")),
+            Seq("centroid_id"))
+          .filter(col("a_id") < col("b_id"))
+          .filter(cosine_similarity(col("a_emb"), col("b_emb")) >= 0.45)
+          .select(col("b_id").as("vec_id")).distinct()
+        assigned
+          .join(pairsDropped.withColumn("d", lit(1)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"),
+            col("d").isNull.as("kept"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH cents AS (
+                 SELECT vec_id AS cid, embedding AS cvec
+                 FROM embeddings WHERE vec_id < 8),
+               assigned AS (
+                 SELECT vec_id, embedding, cid FROM (
+                   SELECT e.vec_id, e.embedding, c.cid,
+                          row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_dot_product(e.embedding, c.cvec)
+                                     / (sqrt(list_dot_product(e.embedding, e.embedding))
+                                        * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                                     c.cid) AS rn
+                   FROM embeddings e, cents c)
+                 WHERE rn = 1),
+               dropped AS (
+                 SELECT DISTINCT b.vec_id
+                 FROM assigned a JOIN assigned b
+                   ON a.cid = b.cid AND a.vec_id < b.vec_id
+                 WHERE list_dot_product(a.embedding, b.embedding)
+                       / (sqrt(list_dot_product(a.embedding, a.embedding))
+                          * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.45)
+               SELECT v.vec_id, CAST(v.cid AS BIGINT) AS centroid_id,
+                      d.vec_id IS NULL AS kept
+               FROM assigned v LEFT JOIN dropped d ON d.vec_id = v.vec_id
+               ORDER BY v.vec_id""")))
 
   /** Batched IVF serving behind `vec_knn_ivf_batch`: route EVERY probe
     * on the k-row centroid table, explode probes per routed centroid,
