@@ -1251,8 +1251,8 @@ object ExtendedQueries extends QueryPack {
     // broadcasts back onto it; the fact table shuffles once, for the
     // hourly collapse. Float order is fenced the ts_cusum way, one step
     // further: hourly values quantize to exact 1e-4 integers AND the
-    // profile mean is floor-quantized to the same grid (explicit FLOOR
-    // division of exact long sums, sign-safe — see the seas_l comment),
+    // profile mean is grid-quantized by exact long division (truncating
+    // in BOTH engines at every sign — see the seas_l comment),
     // so every output lands ON the 1e-4 grid and the final
     // 4-dp round can never sit at a half boundary (the raw-mean version
     // diverged at exactly one: 137.10875).
@@ -1267,13 +1267,11 @@ object ExtendedQueries extends QueryPack {
         val profile = hourly.groupBy("event_type", "hod")
           .agg(sum("v_l").as("s_sum"), count(lit(1)).as("s_cnt"))
         hourly.join(broadcast(profile), Seq("event_type", "hod"))
-          // exact long FLOOR division (s_cnt > 0 always): Spark `div`
-          // truncates toward zero, DuckDB `//` floors — they differ on
-          // negative sums, so make the floor explicit instead of relying
-          // on the fixture's positivity
-          .withColumn("seas_l", expr(
-            "s_sum div s_cnt - (CASE WHEN s_sum % s_cnt != 0" +
-              " AND s_sum < 0 THEN 1 ELSE 0 END)"))
+          // exact long division: Spark `div` and DuckDB integer `//`
+          // BOTH truncate toward zero (verified: -7//2 = -3 in DuckDB;
+          // its // floors nothing, even on doubles), so the engines
+          // agree at every sign — no positivity assumption needed
+          .withColumn("seas_l", expr("s_sum div s_cnt"))
           .select(col("event_type"), col("h"), col("v"),
             round(col("seas_l") / 10000.0, 4).as("seasonal"),
             round((col("v_l") - col("seas_l")) / 10000.0, 4).as("resid"))

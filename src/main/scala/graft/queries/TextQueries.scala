@@ -100,6 +100,80 @@ object TextQueries extends QueryPack {
     * 16-permutation aggregation the previous one just did. k rows per
     * doc-count, so the pin is small; bounded by distinct fixtures.
     */
+  /** Per-doc interpolated-bigram-LM scores (doc_id, n_bigrams,
+    * logp_micro), memoized+pinned per (session, fixture): the dictionary
+    * build (two count passes + the dict join) runs once and serves both
+    * the perplexity query and the CCNet bucketing/sampling consumers.
+    * p(v|u) = 0.75·c(uv)/c(u·) + 0.25·c(v)/N; per-bigram log-probs
+    * quantize to 1e-6 micro-longs in a compact broadcast dictionary, so
+    * every per-doc sum downstream is exact integer arithmetic.
+    */
+  private object SharedBigramScores {
+    private val memo = new SessionMemo[String, org.apache.spark.sql.DataFrame](
+      SessionMemo.unpersistDf, pinsExecutorStorage = true)
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame =
+      memo(s, dir) {
+        val base = graft.Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.tokens(TextFunctions.normalize(col("text"))).as("tk"))
+        val bigt = base.select(col("doc_id"),
+          explode(TextFunctions.allShingles(col("tk"), 2)).as("bg"))
+        val cbi = bigt.groupBy("bg").agg(count(lit(1)).as("cb"))
+        val cctx = bigt
+          .groupBy(split(col("bg"), " ").getItem(0).as("u"))
+          .agg(count(lit(1)).as("cu"))
+        val toks = base.select(explode(col("tk")).as("token"))
+        val uni = toks.groupBy("token").agg(count(lit(1)).as("cw"))
+        val nn = toks.agg(count(lit(1)).as("n"))
+        val dict = cbi
+          .join(cctx, split(col("bg"), " ").getItem(0) === col("u"))
+          .join(uni, split(col("bg"), " ").getItem(1) === col("token"))
+          .crossJoin(broadcast(nn))
+          .select(col("bg"),
+            round(log(lit(0.75) * (col("cb") / col("cu")) +
+              lit(0.25) * (col("cw") / col("n"))) * 1e6, 0)
+              .cast("long").as("lp"))
+        bigt.join(broadcast(dict), "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("logp_micro"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+  }
+
+  /** Oracle CTE prefix mirroring [[SharedBigramScores]] — ends in
+    * `sc(doc_id, n_bigrams, logp_micro)`, shared by both LM queries so
+    * the two mirrors cannot drift.
+    */
+  private val BigramScoreSql =
+    """t AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS tk
+                FROM documents),
+              bigt AS (SELECT doc_id,
+                              unnest([tk[i] || ' ' || tk[i+1]
+                                      for i in range(1, len(tk))]) AS bg
+                       FROM t),
+              cbi AS (SELECT bg, count(*) AS cb FROM bigt GROUP BY 1),
+              cctx AS (SELECT string_split(bg, ' ')[1] AS u, count(*) AS cu
+                       FROM bigt GROUP BY 1),
+              toks AS (SELECT unnest(tk) AS token FROM t),
+              uni AS (SELECT token, count(*) AS cw FROM toks GROUP BY 1),
+              nn AS (SELECT count(*) AS n FROM toks),
+              dict AS (SELECT cbi.bg,
+                              CAST(round(ln(
+                                0.75 * (cbi.cb / cctx.cu) +
+                                0.25 * (uni.cw / nn.n)) * 1000000, 0)
+                                AS BIGINT) AS lp
+                       FROM cbi
+                       JOIN cctx ON cctx.u = string_split(cbi.bg, ' ')[1]
+                       JOIN uni ON uni.token = string_split(cbi.bg, ' ')[2]
+                       CROSS JOIN nn),
+              sc AS (SELECT doc_id, count(*) AS n_bigrams,
+                            CAST(sum(lp) AS BIGINT) AS logp_micro
+                     FROM bigt JOIN dict USING (bg)
+                     GROUP BY doc_id)"""
+
   /** The labeled+augmented training frame and fitted quality models per
     * (session, fixture), memoized: `doc_quality_model` and
     * `doc_quality_model_lr` share one NB sufficient-statistics fit, and
@@ -717,64 +791,62 @@ object TextQueries extends QueryPack {
     // unigram), dictionary broadcasts back onto the bigram stream, one
     // doc-key shuffle for the per-doc sum.
     Q("text_bigram_lm",
+      (s, dir) => SharedBigramScores(s, dir)
+        .select(col("doc_id"), col("n_bigrams"), col("logp_micro"),
+          round(exp(-(col("logp_micro") / lit(1000000.0)) /
+            col("n_bigrams")), 4).as("ppl"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $BigramScoreSql
+              SELECT doc_id, n_bigrams, logp_micro,
+                     round(exp(-(logp_micro / 1000000.0)
+                       / n_bigrams), 4) AS ppl
+              FROM sc ORDER BY doc_id""")),
+
+    // CCNet PERPLEXITY BUCKETING — the pipeline stage the bigram LM
+    // exists for: per LANGUAGE, docs split into head/middle/tail by the
+    // LM score terciles (head = most-reference-like; CCNet keeps head+
+    // middle, trains quality-weighted on the mix). The per-doc key is
+    // the exact-long floor mean log-prob per bigram (sign-safe floor
+    // div, the ts_seasonal move); tercile thresholds come from the
+    // at-scale exact-percentile operator (bucketed rank selection,
+    // bit-identical to quantile_cont) over the tiny per-lang groups and
+    // broadcast back. Reuses the pinned per-doc LM scores — the dict
+    // build runs once per fixture across both LM queries.
+    Q("doc_ppl_buckets",
       (s, dir) => {
-        val base = t(s, dir, "documents")
-          .select(col("doc_id"),
-            TextFunctions.tokens(TextFunctions.normalize(col("text"))).as("tk"))
-        val bigt = base.select(col("doc_id"),
-          explode(TextFunctions.allShingles(col("tk"), 2)).as("bg"))
-        val cbi = bigt.groupBy("bg").agg(count(lit(1)).as("cb"))
-        val cctx = bigt
-          .groupBy(split(col("bg"), " ").getItem(0).as("u"))
-          .agg(count(lit(1)).as("cu"))
-        val toks = base.select(explode(col("tk")).as("token"))
-        val uni = toks.groupBy("token").agg(count(lit(1)).as("cw"))
-        val nn = toks.agg(count(lit(1)).as("n"))
-        val dict = cbi
-          .join(cctx, split(col("bg"), " ").getItem(0) === col("u"))
-          .join(uni, split(col("bg"), " ").getItem(1) === col("token"))
-          .crossJoin(broadcast(nn))
-          .select(col("bg"),
-            round(log(lit(0.75) * (col("cb") / col("cu")) +
-              lit(0.25) * (col("cw") / col("n"))) * 1e6, 0)
-              .cast("long").as("lp"))
-        bigt.join(broadcast(dict), "bg")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("logp_micro"))
-          .select(col("doc_id"), col("n_bigrams"), col("logp_micro"),
-            round(exp(-(col("logp_micro") / lit(1000000.0)) /
-              col("n_bigrams")), 4).as("ppl"))
+        val d = SharedBigramScores(s, dir)
+          .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+          // Spark `div` and DuckDB integer `//` BOTH truncate toward
+          // zero (verified: -7//2 = -3 in DuckDB), so the exact-long
+          // mean key agrees at every sign with no correction
+          .withColumn("avg_lp", expr("logp_micro div n_bigrams"))
+        val th = graft.operators.WeightedQuantile.exactPercentiles(
+          d, "lang", "avg_lp", Seq(1.0 / 3, 2.0 / 3))
+        val t33 = th.filter(col("q") === 1.0 / 3)
+          .select(col("lang"), col("pctl").as("t33"))
+        val t67 = th.filter(col("q") === 2.0 / 3)
+          .select(col("lang"), col("pctl").as("t67"))
+        d.join(broadcast(t33), "lang").join(broadcast(t67), "lang")
+          .select(col("doc_id"), col("lang"), col("avg_lp"),
+            when(col("avg_lp") > col("t67"), "head")
+              .when(col("avg_lp") > col("t33"), "middle")
+              .otherwise("tail").as("bucket"))
           .orderBy("doc_id")
       },
-      Some("""WITH t AS (
-                SELECT doc_id,
-                       string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS tk
-                FROM documents),
-              bigt AS (SELECT doc_id,
-                              unnest([tk[i] || ' ' || tk[i+1]
-                                      for i in range(1, len(tk))]) AS bg
-                       FROM t),
-              cbi AS (SELECT bg, count(*) AS cb FROM bigt GROUP BY 1),
-              cctx AS (SELECT string_split(bg, ' ')[1] AS u, count(*) AS cu
-                       FROM bigt GROUP BY 1),
-              toks AS (SELECT unnest(tk) AS token FROM t),
-              uni AS (SELECT token, count(*) AS cw FROM toks GROUP BY 1),
-              nn AS (SELECT count(*) AS n FROM toks),
-              dict AS (SELECT cbi.bg,
-                              CAST(round(ln(
-                                0.75 * (cbi.cb / cctx.cu) +
-                                0.25 * (uni.cw / nn.n)) * 1000000, 0)
-                                AS BIGINT) AS lp
-                       FROM cbi
-                       JOIN cctx ON cctx.u = string_split(cbi.bg, ' ')[1]
-                       JOIN uni ON uni.token = string_split(cbi.bg, ' ')[2]
-                       CROSS JOIN nn)
-              SELECT doc_id, count(*) AS n_bigrams,
-                     CAST(sum(lp) AS BIGINT) AS logp_micro,
-                     round(exp(-(CAST(sum(lp) AS BIGINT) / 1000000.0)
-                       / count(*)), 4) AS ppl
-              FROM bigt JOIN dict USING (bg)
-              GROUP BY doc_id ORDER BY doc_id""")),
+      Some(s"""WITH $BigramScoreSql,
+              d AS (SELECT sc.doc_id, doc.lang,
+                           CAST(logp_micro // n_bigrams AS BIGINT) AS avg_lp
+                    FROM sc JOIN documents doc USING (doc_id)),
+              th AS (SELECT lang,
+                            quantile_cont(avg_lp, 1.0/3) AS t33,
+                            quantile_cont(avg_lp, 2.0/3) AS t67
+                     FROM d GROUP BY lang)
+              SELECT d.doc_id, d.lang, d.avg_lp,
+                     CASE WHEN d.avg_lp > th.t67 THEN 'head'
+                          WHEN d.avg_lp > th.t33 THEN 'middle'
+                          ELSE 'tail' END AS bucket
+              FROM d JOIN th USING (lang)
+              ORDER BY d.doc_id""")),
 
     // INCREMENTAL dedup — how a 100 TB pipeline actually runs: dedup
     // TODAY'S batch (here: doc_id % 10 ≥ 8, the deterministic "new"

@@ -172,10 +172,14 @@ object QualityModel {
     val spark = docs.sparkSession
     import spark.implicits._
     val d = init.buckets
+    // pin the hashed features for the training loop: every iteration
+    // re-reading raw text would pay tokenize+md5 per pass (measured
+    // ~1 s/pass at sf0.1); the bucketed frame is two narrow columns
     val feats = docs.select(
       transform(col(toksCol), t => bucketOf(t, d).cast("int")).as("bkts"),
       col(labelCol).cast("boolean").as("y"))
       .as[graft.functions.LrDoc]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = feats.count()
     var m = init
     for (it <- 0 until iters) {
@@ -195,6 +199,7 @@ object QualityModel {
       }
       m = Model(w2, m.priorMicro - math.round(gp / scale))
     }
+    feats.unpersist(blocking = false)
     m
   }
 }
