@@ -937,6 +937,43 @@ object RelationalQueries extends QueryPack {
     // (PushedFilters, plan-asserted family), no join, no shuffle
     // beyond the 1-row global combine. The canonical "is the scan
     // path clean" canary.
+    // TPC-H Q1 proper (pricing summary report) — the canonical wide
+    // single-table aggregation: one scan, map-side partial aggregation
+    // into 4 groups, every measure a second-stage arithmetic over the
+    // partial sums. The scan reads only the 7 referenced columns
+    // (pruned), the date predicate pushes to parquet, and the shuffle
+    // carries 4 rows per partition. Rounding follows the suite's
+    // double-sum convention (2 dp on sums, 4 dp on means).
+    Q("rel_q1",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     round(sum(l_extendedprice), 2) AS sum_base_price,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                     round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                     round(avg(l_quantity), 4) AS avg_qty,
+                     round(avg(l_extendedprice), 4) AS avg_price,
+                     round(avg(l_discount), 4) AS avg_disc,
+                     count(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
     Q("rel_q6",
       (s, dir) => t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
