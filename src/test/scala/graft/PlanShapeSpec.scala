@@ -548,6 +548,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p) // the 1-row stats side broadcasts
   }
 
+  test("vec_semdedup pairs only within cluster buckets (no all-pairs plan)") {
+    val p = plan("vec_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("vec_index_append serves through static partition pruning") {
+    // the appended layout reads like the rebuilt index: the routed
+    // centroid_id literals land in PartitionFilters, so a pruned probe
+    // lists only its nprobe directories before a row deserializes
+    val p = plan("vec_index_append")
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("mm_keyframes stays narrow until the tiny per-video aggregate") {
+    val p = plan("mm_keyframes")
+    // one partial+final agg pair over the parsed sync table; no join
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("doc_ppl_buckets broadcasts the tercile thresholds back") {
+    val p = plan("doc_ppl_buckets")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("ObjectHashAggregate"), p) // exact-percentile path
+  }
+
   test("exact percentiles never buffer a whole group (no ObjectHashAggregate)") {
     // agg_median/ts_trend/ts_anomaly_mad run the bucketed rank-selection
     // path; the buffering built-in `percentile` would plan an
