@@ -2060,7 +2060,7 @@ object TextQueries extends QueryPack {
         val docs = SharedQualityModels.docs(s, dir)
         val m = SharedQualityModels.nb(s, dir)
         docs.select(col("doc_id"),
-            QualityModel.score(docs, "ftoks", m).as("score_micro"),
+            QualityModel.score("ftoks", m).as("score_micro"),
             col("label"))
           .withColumn("pred_keep", col("score_micro") > 0)
           .select("doc_id", "score_micro", "pred_keep", "label")
@@ -2132,7 +2132,7 @@ object TextQueries extends QueryPack {
         val docs = SharedQualityModels.docs(s, dir)
         val m = SharedQualityModels.lr(s, dir)
         docs.select(col("doc_id"),
-            QualityModel.score(docs, "ftoks", m).as("score_micro"),
+            QualityModel.score("ftoks", m).as("score_micro"),
             col("label"))
           .withColumn("pred_keep", col("score_micro") > 0)
           .select("doc_id", "score_micro", "pred_keep", "label")

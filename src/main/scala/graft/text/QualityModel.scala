@@ -146,12 +146,14 @@ object QualityModel {
     Model(wArr, prior)
   }
 
-  /** Zero-shuffle scoring projection: adds exact-long `score_micro` and
-    * `pred_keep` to `docs` by folding `toksCol` through the literal
-    * weight array in-row. No exchange anywhere in this function's plan
-    * (QualityModelSpec asserts it).
+  /** Zero-shuffle scoring COLUMN: exact-long micro-score of a token
+    * array folded through the literal weight array in-row. Pure
+    * projection — no exchange in any plan it appears in
+    * (QualityModelSpec asserts it), which also makes it directly usable
+    * on a STRUCTURED STREAM in append mode (the online quality filter;
+    * ContaminationGuardSpec drives it through a MemoryStream).
     */
-  def score(docs: DataFrame, toksCol: String, m: Model): Column = {
+  def score(toksCol: String, m: Model): Column = {
     val wLit = array(m.weightsMicro.map(lit): _*)
     lit(m.priorMicro) + aggregate(
       col(toksCol), lit(0L),

@@ -91,6 +91,43 @@ class ContaminationGuardSpec extends SparkSpec {
     assert(!strict.select("contaminated").head().getBoolean(0))
   }
 
+  test("quality-model scoring runs on a stream (online quality filter)") {
+    import graft.text.{QualityModel, TextFunctions}
+    // train on the batch fixture, score a live stream with the broadcast
+    // literal weights — the zero-shuffle projection is stream-legal in
+    // append mode with no state store
+    val fixture = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("label", QualityModel.weakLabel(col("toks")))
+      .withColumn("ftoks", QualityModel.featureTokens(col("toks")))
+    val m = QualityModel.fit(fixture, "ftoks", "label", d = 64)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val scored = input.toDF().toDF("doc_id", "text")
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("ftoks", QualityModel.featureTokens(col("toks")))
+      .select(col("doc_id"),
+        QualityModel.score("ftoks", m).as("score_micro"))
+    val q = scored.writeStream.format("memory").queryName("q_scored").start()
+    try {
+      // replay real fixture docs through the stream: online scores must
+      // be BIT-IDENTICAL to the batch projection (exact-long arithmetic
+      // has no online/offline gap)
+      val batch = fixture
+        .select(col("doc_id"), QualityModel.score("ftoks", m).as("s"))
+        .filter(col("doc_id") < 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val texts = Tables.table(spark, sfDir, "documents")
+        .filter(col("doc_id") < 10).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(texts.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val out = spark.table("q_scored").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === batch)
+    } finally q.stop()
+  }
+
   test("split routes clean and quarantined like the relay dead-letter") {
     val df = Seq(
       (40L, standingDocs.head._2),

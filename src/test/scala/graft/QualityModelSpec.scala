@@ -20,14 +20,14 @@ class QualityModelSpec extends SparkSpec {
 
   test("scoring is a zero-shuffle projection (broadcast-weights apply)") {
     val scored = docs.select(col("doc_id"),
-      QualityModel.score(docs, "ftoks", nb).as("score_micro"))
+      QualityModel.score("ftoks", nb).as("score_micro"))
     val p = scored.queryExecution.executedPlan.toString()
     assert(!p.contains("Exchange"), p)
   }
 
   test("NB model distills the weak-label rule (train agreement >= 90%)") {
     val scored = docs.select(col("label"),
-      (QualityModel.score(docs, "ftoks", nb) > 0).as("pred"))
+      (QualityModel.score("ftoks", nb) > 0).as("pred"))
     val n = scored.count()
     val agree = scored.filter(col("label") === col("pred")).count()
     // guard against a degenerate majority-class fixture: the model must
@@ -58,7 +58,7 @@ class QualityModelSpec extends SparkSpec {
     */
   private def logLoss(m: QualityModel.Model): Double = {
     val rows = docs.select(
-      QualityModel.score(docs, "ftoks", m).as("s"), col("label")).collect()
+      QualityModel.score("ftoks", m).as("s"), col("label")).collect()
     val losses = rows.map { r =>
       val z = r.getLong(0) / 1e6
       val y = if (r.getBoolean(1)) 1.0 else 0.0
