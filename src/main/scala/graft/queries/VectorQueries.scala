@@ -646,6 +646,76 @@ object VectorQueries extends QueryPack {
                            * sqrt(list_dot_product(pv, pv))) DESC, vec_id
                LIMIT 10""")),
 
+    // Recall measurement for the IVF dial — the eval op an ANN
+    // deployment runs before choosing nprobe: recall@10 of the routed
+    // search vs exact brute force, at nprobe ∈ {1,2,4,8}. Completes the
+    // index lifecycle (build → serve → append → MEASURE). One assigned
+    // table feeds all four probes; each candidate set is a pruned scan +
+    // top-k heap; the intersection counts are exact integers so recall
+    // is bit-stable. nprobe=8 (all partitions) must read 1.0 — the
+    // parity anchor inside the result itself.
+    Q("vec_ivf_recall",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val centroids = embs.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val probeCol = typedLit(SharedProbe(s, dir, ProbeId))
+        val assigned = Similarity.assignToCentroids(
+          embs, "vec_id", "embedding", centroids, "cid", "cvec")
+        val brute = Similarity
+          .bruteForceKnn(embs, "vec_id", "embedding", probeCol, 10)
+          .select("vec_id")
+        Seq(1, 2, 4, 8).map { np =>
+          Similarity.ivfKnn(assigned, "vec_id", "embedding",
+              centroids, "cid", "cvec", probeCol, 10, nprobe = np)
+            .select("vec_id")
+            .join(brute, "vec_id")
+            .agg(count(lit(1)).as("hits"))
+            .select(lit(np.toLong).as("nprobe"), col("hits"),
+              round(col("hits") / lit(10.0), 2).as("recall"))
+        }.reduce(_ unionByName _).orderBy("nprobe")
+      },
+      Some({
+        def cos(a: String, b: String) =
+          s"""list_dot_product($a, $b)
+              / (sqrt(list_dot_product($a, $a))
+                 * sqrt(list_dot_product($b, $b)))"""
+        val perNp = Seq(1, 2, 4, 8).map { np =>
+          s"""pc$np AS (
+                SELECT cid FROM cents, ${probeSql("p")}
+                ORDER BY ${cos("cvec", "pv")} DESC, cid LIMIT $np),
+              iv$np AS (
+                SELECT a.vec_id FROM assigned a, ${probeSql("p")}
+                WHERE a.cid IN (SELECT cid FROM pc$np)
+                ORDER BY ${cos("a.embedding", "pv")} DESC, a.vec_id
+                LIMIT 10),
+              r$np AS (
+                SELECT CAST($np AS BIGINT) AS nprobe,
+                       CAST(count(*) AS BIGINT) AS hits
+                FROM iv$np JOIN brute USING (vec_id))"""
+        }.mkString(",\n")
+        s"""WITH cents AS (
+                 SELECT vec_id AS cid, embedding AS cvec
+                 FROM embeddings WHERE vec_id < 8),
+               assigned AS (
+                 SELECT vec_id, embedding, cid FROM (
+                   SELECT e.vec_id, e.embedding, c.cid,
+                          row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY ${cos("e.embedding", "c.cvec")} DESC,
+                                     c.cid) AS rn
+                   FROM embeddings e, cents c)
+                 WHERE rn = 1),
+               brute AS (
+                 SELECT vec_id FROM embeddings, ${probeSql("p")}
+                 ORDER BY ${cos("embedding", "pv")} DESC, vec_id LIMIT 10),
+               $perNp
+               SELECT nprobe, hits,
+                      round(hits / CAST(10.0 AS DOUBLE), 2) AS recall
+               FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+                     UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r8)
+               ORDER BY nprobe"""
+      })),
+
     // SemDeDup (Abbas et al. 2023): SEMANTIC dedup = cluster the
     // embedding space, then drop any vector with a higher-priority
     // (smaller-id) neighbor above the cosine threshold WITHIN ITS
