@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * [[Demo]]: drive the declared operators as one pipeline over the
   * documents fixture and print what each stage decides.
   *
-  *   profile → quality filter → fuzzy dedup → stratified sample → pack
+  *   profile → quality filter → trained classifier → perplexity mix →
+  *   one-pass verdict → fuzzy dedup → stratified sample → pack
   *
   * Every stage is the SAME registered query the driver verifies against
   * DuckDB (`SparkEntry.queries`), so what this demo prints is what the
@@ -37,6 +38,18 @@ object CurationDemo {
     val kept = q("doc_dedup_fuzzy_keep").count()
     println(s"   corpus $total docs -> $kept representatives " +
       f"(${100.0 * (total - kept) / total}%.1f%% removed as near-dups)\n")
+
+    println("== 3b. trained quality classifier (doc_quality_model) ==")
+    q("doc_quality_model").groupBy("pred_keep", "label").count()
+      .orderBy("pred_keep", "label").show(truncate = false)
+
+    println("== 3c. perplexity buckets (doc_ppl_buckets) — CCNet mix ==")
+    q("doc_ppl_buckets").groupBy("lang", "bucket").count()
+      .orderBy("lang", "bucket").show(12, truncate = false)
+
+    println("== 3d. one-pass verdict (pipeline_curate) — fused stages ==")
+    q("pipeline_curate").groupBy("reason").count().orderBy("reason")
+      .show(truncate = false)
 
     println("== 4. stratified sample (doc_sample_stratified) — kept per lang ==")
     q("doc_sample_stratified").groupBy("lang").count().orderBy("lang")

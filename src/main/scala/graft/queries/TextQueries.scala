@@ -2138,5 +2138,84 @@ object TextQueries extends QueryPack {
           .select("doc_id", "score_micro", "pred_keep", "label")
           .orderBy("doc_id")
       },
-      None))
+      None),
+
+    // END-TO-END CURATION VERDICT — the whole cleanup as ONE declared
+    // plan: quality rule → exact-dedup keeper → benchmark
+    // decontamination, with a first-failing-stage reason per corpus doc
+    // (eval set = doc_id < 20, as in doc_contamination). The point is
+    // FUSION: a stage-at-a-time pipeline re-reads the corpus once per
+    // stage; declared together, Catalyst runs the quality signals and
+    // the content fingerprint in the SAME scan, then one fp-key
+    // shuffle (keeper), one broadcast-shingle contamination join, one
+    // verdict projection — the fact table is read once. At 100 TB
+    // "number of corpus passes" is the whole cost model.
+    Q("pipeline_curate",
+      (s, dir) => {
+        val all = t(s, dir, "documents")
+        val corpus = all.filter(col("doc_id") >= 20)
+        val toks = TextFunctions.tokens(col("text"))
+        val nTok = size(toks).cast("long")
+        val uniq = size(array_distinct(toks)).cast("double") / nTok.cast("double")
+        val q = corpus.select(col("doc_id"), nTok.as("n_tokens"),
+          (nTok >= 25 && uniq >= 0.35 &&
+            TextFunctions.stopwordRatio(toks) <= 0.15).as("q_ok"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        val keeper = q.groupBy("fp").agg(min("doc_id").as("keep_id"))
+        def sh(df: org.apache.spark.sql.DataFrame, idAs: String) =
+          df.select(col("doc_id").as(idAs),
+            explode(TextFunctions.shingles(
+              TextFunctions.tokens(TextFunctions.normalize(col("text"))), 5))
+              .as("shingle"))
+        val contam = sh(corpus, "corpus_id")
+          .join(broadcast(sh(all.filter(col("doc_id") < 20), "eval_id")),
+            "shingle")
+          .groupBy("corpus_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .select(col("corpus_id").as("doc_id")).distinct()
+          .withColumn("contam", lit(true))
+        q.join(keeper, "fp")
+          .join(contam, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            when(!col("q_ok"), "low_quality")
+              .when(col("doc_id") =!= col("keep_id"), "exact_dup")
+              .when(col("contam"), "contaminated")
+              .otherwise("keep").as("reason"),
+            (col("q_ok") && col("doc_id") === col("keep_id") &&
+              col("contam").isNull).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+                SELECT doc_id, text, string_split(text, ' ') AS t
+                FROM documents WHERE doc_id >= 20),
+              q AS (SELECT doc_id, len(t) AS n_tokens,
+                           len(t) >= 25
+                           AND len(list_distinct(t))::DOUBLE / len(t) >= 0.35
+                           AND len(list_filter(t,
+                                 x -> x IN ('the','a','an','of','and','to','in','is','it','for')))::DOUBLE
+                               / len(t) <= 0.15 AS q_ok,
+                           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+                    FROM base),
+              keeper AS (SELECT fp, min(doc_id) AS keep_id FROM q GROUP BY fp),
+              sh AS (SELECT doc_id, unnest(
+                       list_distinct([array_to_string(tt[i:i+4], ' ')
+                                      for i in range(1, len(tt) - 3)])) AS shingle
+                     FROM (SELECT doc_id,
+                                  string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS tt
+                           FROM documents)),
+              contam AS (SELECT DISTINCT corpus_id AS doc_id
+                         FROM (SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id
+                               FROM sh c JOIN sh e ON c.shingle = e.shingle
+                               WHERE c.doc_id >= 20 AND e.doc_id < 20
+                               GROUP BY 1, 2 HAVING count(*) >= 3))
+              SELECT q.doc_id, q.n_tokens,
+                     CASE WHEN NOT q.q_ok THEN 'low_quality'
+                          WHEN q.doc_id != k.keep_id THEN 'exact_dup'
+                          WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+                          ELSE 'keep' END AS reason,
+                     (q.q_ok AND q.doc_id = k.keep_id
+                      AND ct.doc_id IS NULL) AS keep
+              FROM q JOIN keeper k USING (fp)
+              LEFT JOIN contam ct ON ct.doc_id = q.doc_id
+              ORDER BY q.doc_id""")))
 }
