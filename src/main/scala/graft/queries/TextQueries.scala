@@ -2145,11 +2145,13 @@ object TextQueries extends QueryPack {
     // decontamination, with a first-failing-stage reason per corpus doc
     // (eval set = doc_id < 20, as in doc_contamination). The point is
     // FUSION: a stage-at-a-time pipeline re-reads the corpus once per
-    // stage; declared together, Catalyst runs the quality signals and
-    // the content fingerprint in the SAME scan, then one fp-key
-    // shuffle (keeper), one broadcast-shingle contamination join, one
-    // verdict projection — the fact table is read once. At 100 TB
-    // "number of corpus passes" is the whole cost model.
+    // stage; declared together, the quality signals and the content
+    // fingerprint compute in the SAME scan with the dedup keeper as a
+    // window over it (min doc_id per fp — a groupBy+rejoin would
+    // rescan the corpus a third time; plan-asserted at 3 scans), the
+    // shingle explode is the second corpus pass, and the eval side is
+    // a pruned 20-doc scan. Two corpus passes for three stages — at
+    // 100 TB "number of corpus passes" is the whole cost model.
     Q("pipeline_curate",
       (s, dir) => {
         val all = t(s, dir, "documents")
@@ -2161,7 +2163,8 @@ object TextQueries extends QueryPack {
           (nTok >= 25 && uniq >= 0.35 &&
             TextFunctions.stopwordRatio(toks) <= 0.15).as("q_ok"),
           TextFunctions.fingerprint(col("text")).as("fp"))
-        val keeper = q.groupBy("fp").agg(min("doc_id").as("keep_id"))
+          .withColumn("keep_id",
+            min("doc_id").over(Window.partitionBy("fp")))
         def sh(df: org.apache.spark.sql.DataFrame, idAs: String) =
           df.select(col("doc_id").as(idAs),
             explode(TextFunctions.shingles(
@@ -2174,8 +2177,7 @@ object TextQueries extends QueryPack {
           .filter(col("n_shared") >= 3)
           .select(col("corpus_id").as("doc_id")).distinct()
           .withColumn("contam", lit(true))
-        q.join(keeper, "fp")
-          .join(contam, Seq("doc_id"), "left")
+        q.join(contam, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_tokens"),
             when(!col("q_ok"), "low_quality")
               .when(col("doc_id") =!= col("keep_id"), "exact_dup")

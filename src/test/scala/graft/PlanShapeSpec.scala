@@ -576,6 +576,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("ObjectHashAggregate"), p) // exact-percentile path
   }
 
+  test("pipeline_curate reads the corpus twice, not once per stage") {
+    val p = plan("pipeline_curate")
+    // scan 1: quality signals + fingerprint + window keeper (fused);
+    // scan 2: the shingle explode; scan 3: the pruned 20-doc eval side.
+    // A groupBy+rejoin keeper or unfused stages would add scans.
+    assert("Scan parquet".r.findAllIn(p).size == 3, p)
+  }
+
   test("exact percentiles never buffer a whole group (no ObjectHashAggregate)") {
     // agg_median/ts_trend/ts_anomaly_mad run the bucketed rank-selection
     // path; the buffering built-in `percentile` would plan an
