@@ -660,11 +660,17 @@ object VectorQueries extends QueryPack {
         val centroids = embs.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
         val probeCol = typedLit(SharedProbe(s, dir, ProbeId))
+        // lazy local checkpoints: the assigned table and the exact
+        // top-10 feed all four nprobe branches — without materializing
+        // they re-derive per branch (12 scans measured; 100 TB would
+        // pay 4 corpus passes for one eval)
         val assigned = Similarity.assignToCentroids(
-          embs, "vec_id", "embedding", centroids, "cid", "cvec")
+            embs, "vec_id", "embedding", centroids, "cid", "cvec")
+          .localCheckpoint(eager = false)
         val brute = Similarity
           .bruteForceKnn(embs, "vec_id", "embedding", probeCol, 10)
           .select("vec_id")
+          .localCheckpoint(eager = false)
         Seq(1, 2, 4, 8).map { np =>
           Similarity.ivfKnn(assigned, "vec_id", "embedding",
               centroids, "cid", "cvec", probeCol, 10, nprobe = np)
@@ -733,9 +739,12 @@ object VectorQueries extends QueryPack {
         val embs = t(s, dir, "embeddings")
         val centroids = embs.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        // materialize the bucketed assignment once: the self-join's two
+        // sides and the verdict join otherwise re-scan + re-assign
         val assigned = Similarity.assignToCentroids(
             embs, "vec_id", "embedding", centroids, "cid", "cvec")
           .repartition(col("centroid_id"))
+          .localCheckpoint(eager = false)
         val pairsDropped = assigned
           .select(col("centroid_id"), col("vec_id").as("a_id"),
             col("embedding").as("a_emb"))
