@@ -96,6 +96,34 @@ class WeightedQuantileSpec extends SparkSpec {
     }
   }
 
+  test("an all-null group emits one NULL-pctl row per q, like percentile()") {
+    val df = spark.range(60).selectExpr(
+      "concat('g', id % 3) AS g",
+      // group g2 is ALL null; g0/g1 carry values
+      "CASE WHEN id % 3 = 2 THEN NULL ELSE CAST(id AS DOUBLE) END AS v")
+    val got = WeightedQuantile
+      .exactPercentiles(df, "g", "v", Seq(0.25, 0.75), buckets = 8)
+      .orderBy("g", "q").collect()
+    val want = df.groupBy("g").agg(
+        expr("percentile(v, 0.25)").as("p25"),
+        expr("percentile(v, 0.75)").as("p75"))
+      .orderBy("g").collect()
+    // 3 groups × 2 qs, g2's pctls NULL with n=0 — the group never vanishes
+    assert(got.length === 6)
+    val byG = got.groupBy(_.getString(0))
+    assert(byG("g2").forall(r => r.isNullAt(r.fieldIndex("pctl"))))
+    assert(byG("g2").forall(r => r.getLong(r.fieldIndex("n")) === 0L))
+    assert(want.filter(_.getString(0) == "g2")
+      .forall(r => r.isNullAt(1) && r.isNullAt(2))) // built-in agrees
+    // and the non-null groups still match the built-in bit-for-bit
+    for (r <- want.filter(_.getString(0) != "g2")) {
+      val g = r.getString(0)
+      val Seq(q25, q75) = byG(g).sortBy(_.getDouble(1)).toSeq
+      assert(q25.getDouble(q25.fieldIndex("pctl")) === r.getDouble(1))
+      assert(q75.getDouble(q75.fieldIndex("pctl")) === r.getDouble(2))
+    }
+  }
+
   test("exactPercentiles reports the non-null count as n") {
     val df = spark.range(100).selectExpr(
       "'a' AS g", "CASE WHEN id < 10 THEN NULL ELSE CAST(id AS DOUBLE) END AS v")
