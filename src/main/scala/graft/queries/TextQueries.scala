@@ -184,13 +184,21 @@ object TextQueries extends QueryPack {
   private object SharedQualityModels {
     private val nbMemo = new SessionMemo[String, graft.text.QualityModel.Model]()
     private val lrMemo = new SessionMemo[String, graft.text.QualityModel.Model]()
+    private val docsMemo = new SessionMemo[String, org.apache.spark.sql.DataFrame](
+      SessionMemo.unpersistDf, pinsExecutorStorage = true)
 
+    /** Tokenized+labeled+augmented frame, pinned: NB fit (two passes),
+      * LR refinement, and both scoring queries all read it — unpinned,
+      * each pass re-pays tokenize + per-token md5 over the corpus.
+      */
     def docs(s: org.apache.spark.sql.SparkSession, dir: String)
         : org.apache.spark.sql.DataFrame =
-      graft.Tables.table(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-        .withColumn("label", QualityModel.weakLabel(col("toks")))
-        .withColumn("ftoks", QualityModel.featureTokens(col("toks")))
+      docsMemo(s, dir)(
+        graft.Tables.table(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .withColumn("label", QualityModel.weakLabel(col("toks")))
+          .withColumn("ftoks", QualityModel.featureTokens(col("toks")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     def nb(s: org.apache.spark.sql.SparkSession, dir: String)
         : graft.text.QualityModel.Model =
