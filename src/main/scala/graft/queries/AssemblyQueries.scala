@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.text.TextFunctions
+
+/** Dataset-ASSEMBLY operators: the stage between the curation verdict
+  * (`pipeline_curate`) and the training run. A real 100 TB pipeline, after
+  * dedup/quality/decontamination, still has to (1) mix domains to a
+  * token-denominated recipe, (2) upsample scarce domains by fractional
+  * epochs, (3) split train/valid/test without content leakage, (4) shuffle
+  * the corpus into a deterministic global order, and (5) plan output shard
+  * files. None of these is in the reference (a 163-line CDC relay,
+  * `main.go`) — they are the BASELINE.json-mandated LLM-pipeline extension
+  * surface, same family as `doc_pack`/`doc_mix_sample`.
+  *
+  * Shared conventions: membership decisions use the suite's md5-bucket
+  * (first 8 hex digits → integer in [0, 1e6)), all arithmetic integer-exact
+  * so both engines agree bit-for-bit; per-domain statistics reduce to
+  * |domains| rows and BROADCAST back — the corpus itself never shuffles for
+  * a mixing/splitting decision.
+  */
+object AssemblyQueries extends QueryPack {
+
+  /** The suite's md5-bucket convention: uniform pseudo-random integer in
+    * [0, 1e6) derived from a key column, identical in Spark and DuckDB.
+    */
+  private def bucket(key: org.apache.spark.sql.Column) =
+    pmod(conv(substring(md5(key), 1, 8), 16, 10).cast("long"), lit(1000000L))
+
+  /** Whitespace token count (the `doc_pack` convention). */
+  private def nTok = size(TextFunctions.tokens(col("text"))).cast("long")
+
+  def queries: Seq[Q] = Seq(
+
+    // TOKEN-budget domain mixture — the training-mix recipe proper.
+    // doc_mix_sample keeps DOCUMENTS to ratio; a training mix is specified
+    // in TOKENS (a zh doc and an en doc are not the same amount of
+    // training signal). Same scale shape: per-domain token totals reduce
+    // to |domains| rows, t_units = the largest per-weight token volume the
+    // corpus supports, and each doc keeps with probability
+    // t_units·wt / tok_n via the md5 bucket — expected kept tokens per
+    // domain = t_units·wt exactly, honoring the ratios. All-integer
+    // predicate (bucket·tok_n < t_units·wt·1e6), zero corpus shuffle:
+    // the decision is a broadcast-join projection.
+    Q("doc_mix_tokens",
+      (s, dir) => {
+        import s.implicits._
+        val weights = Seq(("en", 4L), ("de", 3L), ("fr", 2L),
+          ("es", 2L), ("zh", 1L)).toDF("lang", "wt")
+        val docs = t(s, dir, "documents").withColumn("n_tok", nTok)
+        val toks = docs.groupBy("lang")
+          .agg(sum("n_tok").as("tok_n")) // |domains| rows
+        val rates = toks.join(weights, "lang")
+        val tUnits = rates.agg(min(expr("tok_n div wt")).as("t_units")) // 1 row
+        docs.join(broadcast(rates), "lang")
+          .crossJoin(broadcast(tUnits))
+          .filter(bucket(col("doc_id").cast("string")) * col("tok_n") <
+            col("t_units") * col("wt") * lit(1000000L))
+          .select("doc_id", "lang", "n_tok")
+          .orderBy("doc_id")
+      },
+      Some("""WITH w(lang, wt) AS (VALUES ('en', 4), ('de', 3), ('fr', 2),
+                                          ('es', 2), ('zh', 1)),
+                d AS (SELECT doc_id, lang,
+                             len(string_split(text, ' ')) AS n_tok
+                      FROM documents),
+                toks AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tok_n
+                         FROM d GROUP BY lang),
+                t AS (SELECT min(tok_n // wt) AS t_units
+                      FROM toks JOIN w USING (lang))
+              SELECT doc_id, lang, n_tok
+              FROM d JOIN toks USING (lang) JOIN w USING (lang), t
+              WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)
+                      * tok_n
+                    < t_units * wt * 1000000
+              ORDER BY doc_id""")),
+
+    // FRACTIONAL-epoch upsampling — the other half of the mixture recipe:
+    // scarce high-value domains repeat (LLaMA-style "Wikipedia ×2.5").
+    // Integer micro-weights: every doc emits wt div 1e6 full epochs, plus
+    // one extra epoch for the md5-bucket fraction of docs — expected
+    // repeats = wt/1e6 exactly, deterministic per doc. The fan-out is an
+    // in-row explode(sequence(...)): zero shuffle, output scales with the
+    // epoch-weighted token budget (which is what the training run reads
+    // anyway), never materializing text copies here — downstream stages
+    // join the (doc_id, epoch) plan back to content lazily.
+    Q("doc_upsample",
+      (s, dir) => {
+        import s.implicits._
+        val weights = Seq(("en", 1000000L), ("de", 2000000L),
+          ("fr", 2500000L), ("es", 3250000L), ("zh", 4000000L))
+          .toDF("lang", "wt_micro")
+        t(s, dir, "documents")
+          .join(broadcast(weights), "lang")
+          .withColumn("copies",
+            expr("wt_micro div 1000000") +
+              when(bucket(col("doc_id").cast("string")) <
+                col("wt_micro") % 1000000L, 1L).otherwise(0L))
+          .select(col("doc_id"), col("lang"),
+            explode(sequence(lit(0L), col("copies") - 1)).as("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      Some("""WITH w(lang, wt_micro) AS (VALUES ('en', 1000000), ('de', 2000000),
+                                                ('fr', 2500000), ('es', 3250000),
+                                                ('zh', 4000000)),
+                d AS (SELECT doc_id, lang,
+                             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                               % 1000000 AS b
+                      FROM documents)
+              SELECT doc_id, lang,
+                     unnest(range(wt_micro // 1000000 +
+                                  CASE WHEN b < wt_micro % 1000000
+                                       THEN 1 ELSE 0 END)) AS epoch
+              FROM d JOIN w USING (lang)
+              ORDER BY doc_id, epoch""")),
+
+    // Leakage-safe train/valid/test SPLIT: the split key is the CONTENT
+    // fingerprint (md5 of normalized text), not doc_id — re-crawled or
+    // near-identical duplicates land in the SAME split by construction,
+    // the standard guard against test-set leakage through duplicates
+    // (the reason pipelines split before they finish dedup). 96/2/2 by
+    // md5 bucket of the fingerprint. Pure zero-shuffle projection; at
+    // 100 TB this is a free column on the write path.
+    Q("doc_split",
+      (s, dir) => {
+        val b = bucket(TextFunctions.fingerprint(col("text")))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            when(b < 960000L, "train")
+              .when(b < 980000L, "valid")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     CASE WHEN b < 960000 THEN 'train'
+                          WHEN b < 980000 THEN 'valid'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5(md5(trim(regexp_replace(
+                              lower(text), '[^a-z0-9]+', ' ', 'g')))), 1, 8))::BIGINT
+                             % 1000000 AS b
+                    FROM documents)
+              ORDER BY doc_id""")),
+
+    // Deterministic GLOBAL SHUFFLE with contiguous position assignment —
+    // training reads the corpus in pseudo-random order, and the order must
+    // be reproducible (seeded by the md5 of the key). The naive form is
+    // row_number() over a single global ORDER BY — one reducer sees the
+    // whole corpus. The scale form here is the two-pass range-bucket
+    // assignment (zipWithIndex expressed declaratively): the 32-bit hash's
+    // top bits give 64 range buckets computable per-row; pass 1 counts per
+    // bucket (64 rows out) and prefix-sums the offsets on that tiny frame;
+    // pass 2 ranks WITHIN each bucket (bounded window partitions, ~n/64
+    // rows each) and adds the broadcast offset. Global order by
+    // (bucket, h, doc_id) ≡ order by (h, doc_id) since bucket = h div c.
+    // At 1000 executors the bucket count scales with the cluster, never
+    // with the data.
+    Q("doc_shuffle_index",
+      (s, dir) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") // uniform in [0, 2^32)
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), h.as("h"))
+          .withColumn("bkt", expr("h div 67108864")) // 2^32 / 64 buckets
+        val offs = docs.groupBy("bkt").agg(count(lit(1)).as("n")) // ≤64 rows
+          .withColumn("off",
+            coalesce(sum("n").over(Window.orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .drop("n")
+        docs.join(broadcast(offs), "bkt")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("bkt").orderBy("h", "doc_id")).cast("long"))
+          .select(col("doc_id"), (col("off") + col("rk") - 1).as("pos"))
+          .orderBy("pos")
+      },
+      Some("""SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+                                doc_id) - 1 AS pos
+              FROM documents
+              ORDER BY pos""")),
+
+    // Output SHARD-file planning — the write-path twin of doc_pack: size
+    // each source's output file count from its token volume (budget 2048
+    // tokens/file at fixture scale; the knob that prevents both the
+    // small-file problem and the giant-file problem), then scatter docs
+    // across the files by md5 bucket for size balance. The per-source
+    // totals reduce to |sources| rows and broadcast back; the corpus
+    // never shuffles to be PLANNED (the eventual write repartitions by
+    // (source, file_id) — that shuffle is the write itself, not the plan).
+    Q("doc_shard_plan",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("n_tok", nTok)
+        val files = docs.groupBy("source")
+          .agg(sum("n_tok").as("tok_n"))
+          .withColumn("n_files", expr("(tok_n + 2047) div 2048"))
+          .drop("tok_n")
+        docs.join(broadcast(files), "source")
+          .select(col("doc_id"), col("source"), col("n_files"),
+            pmod(bucket(col("doc_id").cast("string")), col("n_files"))
+              .as("file_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+                                len(string_split(text, ' ')) AS n_tok
+                         FROM documents),
+                f AS (SELECT source,
+                             (CAST(sum(n_tok) AS BIGINT) + 2047) // 2048 AS n_files
+                      FROM d GROUP BY source)
+              SELECT doc_id, source, n_files,
+                     (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)
+                       % n_files AS file_id
+              FROM d JOIN f USING (source)
+              ORDER BY doc_id""")))
+}

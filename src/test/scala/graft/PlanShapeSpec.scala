@@ -595,4 +595,31 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("percentile"), s"$q\n$p")
     }
   }
+
+  test("assembly decisions broadcast domain stats; the corpus never sort-merges") {
+    // mixture, upsample, and shard planning join the corpus only against
+    // |domains|-row broadcast frames — a SortMergeJoin here would mean the
+    // whole corpus shuffles to be *planned*
+    for (q <- Seq("doc_mix_tokens", "doc_upsample", "doc_shard_plan")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q\n$p")
+    }
+  }
+
+  test("doc_split is a zero-shuffle projection") {
+    val p = plan("doc_split")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("doc_shuffle_index ranks within range buckets, never one global window") {
+    val p = plan("doc_shuffle_index")
+    // the corpus-sized window is partitioned by the 64-way range bucket;
+    // the offsets join broadcasts the 64-row frame back
+    assert(p.contains("Window [row_number()"), p)
+    assert(p.contains("windowspecdefinition(bkt"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
