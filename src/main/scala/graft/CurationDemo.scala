@@ -63,6 +63,29 @@ object CurationDemo {
         round(avg("docs"), 1).as("avg_docs_per_bin"))
       .show(truncate = false)
 
+    println("== 6. token-budget mixture (doc_mix_tokens) — kept tokens per lang ==")
+    q("doc_mix_tokens").groupBy("lang")
+      .agg(count(lit(1)).as("docs"), sum("n_tok").as("kept_tokens"))
+      .orderBy("lang").show(10, truncate = false)
+
+    println("== 7. fractional-epoch upsampling (doc_upsample) — mean epochs ==")
+    q("doc_upsample").groupBy("lang")
+      .agg(countDistinct("doc_id").as("docs"),
+        round(count(lit(1)).cast("double") / countDistinct("doc_id"), 3)
+          .as("mean_epochs"))
+      .orderBy("lang").show(10, truncate = false)
+
+    println("== 8. leakage-safe split (doc_split) ==")
+    q("doc_split").groupBy("split").count().orderBy("split")
+      .show(truncate = false)
+
+    println("== 9. shard plan (doc_shard_plan) — files per source ==")
+    q("doc_shard_plan").groupBy("source").agg(max("n_files").as("n_files"),
+      count(lit(1)).as("docs")).orderBy("source").show(10, truncate = false)
+
+    println("== 10. LSH banding eval (doc_dedup_eval) ==")
+    q("doc_dedup_eval").show(truncate = false)
+
     spark.stop()
   }
 }

@@ -2163,7 +2163,13 @@ object TextQueries extends QueryPack {
     Q("pipeline_curate",
       (s, dir) => {
         val all = t(s, dir, "documents")
+        // the verdict's per-doc work (5-gram shingling, md5 fingerprint,
+        // quality signals) is CPU-heavy narrow compute; a single-file
+        // fixture gives ONE input partition — spread it before the
+        // per-row loops (the doc_contamination precedent; an Exchange,
+        // not an extra scan, so the 3-scan plan assertion still holds)
         val corpus = all.filter(col("doc_id") >= 20)
+          .repartition(s.sparkContext.defaultParallelism)
         val toks = TextFunctions.tokens(col("text"))
         val nTok = size(toks).cast("long")
         val uniq = size(array_distinct(toks)).cast("double") / nTok.cast("double")
@@ -2227,5 +2233,80 @@ object TextQueries extends QueryPack {
                       AND ct.doc_id IS NULL) AS keep
               FROM q JOIN keeper k USING (fp)
               LEFT JOIN contam ct ON ct.doc_id = q.doc_id
-              ORDER BY q.doc_id""")))
+              ORDER BY q.doc_id""")),
+
+    // MinHash-LSH banding EVALUATION — the measurement a pipeline runs
+    // before committing a 100 TB dedup pass: at (k=16, bands=4), what do
+    // the LSH candidates cost (precision: how many verify-joins are
+    // wasted on non-dups) and what do they miss (recall vs the exact
+    // Jaccard ≥ 0.8 pair set)? The dedup twin of `vec_ivf_recall`:
+    // build → dedup → MEASURE completes the lifecycle, and the banding
+    // s-curve is the dial this one row tunes. Both pair tables are
+    // pair-count-sized (shared fixture pins, no recompute); the compare
+    // is a join of two small frames + three scalar counts — never
+    // corpus-scale work. All counts exact integers; the two ratios are
+    // single IEEE divisions of exact ints, identical in both engines.
+    Q("doc_dedup_eval",
+      (s, dir) => {
+        val cand = Dedup.minHashCandidatesFromSignatures(
+          SharedMinHashSigs(s, dir, 3, 16), k = 16, bands = 4)
+        val exact = SharedJaccardPairs(s, dir, 3, 0.8).select("a_id", "b_id")
+        val nc = cand.agg(count(lit(1)).as("n_cand"))
+        val nt = exact.agg(count(lit(1)).as("n_true"))
+        val tp = cand.join(exact, Seq("a_id", "b_id"))
+          .agg(count(lit(1)).as("tp"))
+        nc.crossJoin(nt).crossJoin(tp)
+          .select(col("n_cand"), col("n_true"), col("tp"),
+            round(col("tp").cast("double") / greatest(col("n_cand"), lit(1L)), 4)
+              .as("prec"),
+            round(col("tp").cast("double") / greatest(col("n_true"), lit(1L)), 4)
+              .as("recall"))
+      },
+      Some(s"""WITH sh AS (
+                SELECT doc_id, unnest(
+                  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 for i in range(1, len(t) - 1)])) AS shingle
+                FROM (SELECT doc_id,
+                             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+                      FROM documents)),
+              lane AS (
+                SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+                FROM sh),
+              sig AS (
+                SELECT doc_id,
+                       ${minHashSigSql(k = 16)}
+                FROM lane GROUP BY doc_id),
+              buckets AS (
+                SELECT doc_id, band,
+                       CASE band
+                         WHEN 0 THEN md5(concat_ws('|', mh0, mh1, mh2, mh3))
+                         WHEN 1 THEN md5(concat_ws('|', mh4, mh5, mh6, mh7))
+                         WHEN 2 THEN md5(concat_ws('|', mh8, mh9, mh10, mh11))
+                         ELSE md5(concat_ws('|', mh12, mh13, mh14, mh15))
+                       END AS bkey
+                FROM sig, (SELECT unnest([0,1,2,3]) AS band)),
+              cand AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM buckets a JOIN buckets b
+                  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              cnt AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+              pairs AS (
+                SELECT a_id, b_id FROM cnt
+                JOIN sizes sa ON cnt.a_id = sa.doc_id
+                JOIN sizes sb ON cnt.b_id = sb.doc_id
+                WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8),
+              m AS (SELECT
+                      (SELECT count(*) FROM cand) AS n_cand,
+                      (SELECT count(*) FROM pairs) AS n_true,
+                      (SELECT count(*)
+                       FROM cand JOIN pairs USING (a_id, b_id)) AS tp)
+              SELECT n_cand, n_true, tp,
+                     round(tp::DOUBLE / greatest(n_cand, 1), 4) AS prec,
+                     round(tp::DOUBLE / greatest(n_true, 1), 4) AS recall
+              FROM m""")))
 }
