@@ -190,6 +190,54 @@ object AssemblyQueries extends QueryPack {
     // totals reduce to |sources| rows and broadcast back; the corpus
     // never shuffles to be PLANNED (the eventual write repartitions by
     // (source, file_id) — that shuffle is the write itself, not the plan).
+    // Sequence EMISSION — materialize the model-ready packed sequences
+    // that `doc_pack` plans: per (source, shard, bin), concatenate the
+    // member docs in doc_id order with an <eos> separator (the GPT-style
+    // packing boundary). This op IS the write: the one shuffle carries
+    // each token exactly once to its bin's reducer, and a bin holds ≤
+    // budget + one overflowing doc, so no group ever outgrows a reducer
+    // no matter how large the corpus — the same composite-shard bound
+    // doc_pack establishes. The output row carries md5(sequence), not
+    // the sequence: byte-exact assembly is certified without shipping
+    // corpus text into the result.
+    Q("doc_pack_emit",
+      (s, dir) => {
+        // `shard` is materialized as a NAMED column before the window so
+        // the window's hashpartitioning(source, shard) provably satisfies
+        // the aggregation's clustering on (source, shard, bin) — the
+        // token-carrying rows shuffle ONCE, not once for the window and
+        // again for the agg (an inline shard expression gets a fresh
+        // attribute id per use and defeats the co-partitioning proof)
+        val w = Window.partitionBy(col("source"), col("shard"))
+          .orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "documents")
+          .withColumn("n_tok", nTok)
+          .withColumn("shard", floor(col("doc_id") / 1000).cast("long"))
+          .withColumn("cum", sum("n_tok").over(w))
+          .select(col("doc_id"), col("source"), col("shard"),
+            col("text"), col("n_tok"),
+            ((col("cum") - 1) / 512).cast("long").as("bin"))
+          .groupBy("source", "shard", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+            md5(concat_ws(" <eos> ",
+              transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+                x => x.getField("text")))).as("seq_md5"))
+          .orderBy("source", "shard", "bin")
+      },
+      Some("""WITH p AS (SELECT doc_id, source, doc_id // 1000 AS shard, text,
+                                len(string_split(text, ' ')) AS n_tok,
+                                sum(len(string_split(text, ' '))) OVER
+                                  (PARTITION BY source, doc_id // 1000
+                                   ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                         FROM documents)
+              SELECT source, shard, CAST(floor((cum0 - 1) / 512) AS BIGINT) AS bin,
+                     count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                     md5(string_agg(text, ' <eos> ' ORDER BY doc_id)) AS seq_md5
+              FROM (SELECT doc_id, source, shard, text, n_tok, cum AS cum0 FROM p)
+              GROUP BY source, shard, bin
+              ORDER BY source, shard, bin""")),
+
     Q("doc_shard_plan",
       (s, dir) => {
         val docs = t(s, dir, "documents").withColumn("n_tok", nTok)

@@ -607,6 +607,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("doc_pack_emit shuffles the token rows once (window partitioning reused)") {
+    val p = plan("doc_pack_emit")
+    // the shard column is materialized before the window precisely so the
+    // agg's (source, shard, bin) clustering is satisfied by the window's
+    // (source, shard) hashpartitioning — one data shuffle, not two
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("doc_split is a zero-shuffle projection") {
     val p = plan("doc_split")
     assert(!p.contains("Exchange hashpartitioning"), p)
