@@ -140,6 +140,42 @@ object CdcQueries extends QueryPack {
               WHERE rn = 1
               GROUP BY last_type ORDER BY last_type""")),
 
+    // Point-in-time SNAPSHOT from the change log — "what did the table
+    // look like AS OF T?": the time-travel read a CDC-fed lake serves
+    // from its event history (the batch shadow of resuming the reference's
+    // change stream at a token and materializing, main.go:91-95). The cut
+    // here derives from the log itself (midpoint of the observed span, one
+    // tiny agg broadcast back) so the query is scale-free; in production T
+    // is a LITERAL and the ts predicate pushes into the scan — time-
+    // partitioned logs prune to the prefix ≤ T before any row reads.
+    // Integer-µs arithmetic both sides (epoch span ≪ 2^63).
+    Q("cdc_snapshot_at",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val cut = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+            max(unix_micros(col("ts"))).as("mx"))
+          .select(expr("(mn + mx) div 2").as("cut"))
+        ChangeEvents.latestState(
+            ev.crossJoin(broadcast(cut))
+              .filter(unix_micros(col("ts")) <= col("cut")),
+            keyCols = Seq("user_id"),
+            orderDesc = Seq(col("ts"), col("event_id")))
+          .select(
+            col("user_id"),
+            col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"),
+            round(col("value"), 2).as("last_value"))
+          .orderBy("user_id")
+      },
+      Some("""WITH cut AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS c
+                           FROM events)
+              SELECT user_id, event_id AS last_event_id,
+                     event_type AS last_type, round(value, 2) AS last_value
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events, cut WHERE epoch_us(ts) <= c)
+              WHERE rn = 1 ORDER BY user_id""")),
+
     // R2/R4: projection + predicate, pushed into the parquet scan.
     Q("proj_filter",
       (s, dir) => t(s, dir, "events")
