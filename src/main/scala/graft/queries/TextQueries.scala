@@ -117,26 +117,10 @@ object TextQueries extends QueryPack {
         val base = graft.Tables.table(s, dir, "documents")
           .select(col("doc_id"),
             TextFunctions.tokens(TextFunctions.normalize(col("text"))).as("tk"))
-        val bigt = base.select(col("doc_id"),
-          explode(TextFunctions.allShingles(col("tk"), 2)).as("bg"))
-        val cbi = bigt.groupBy("bg").agg(count(lit(1)).as("cb"))
-        val cctx = bigt
-          .groupBy(split(col("bg"), " ").getItem(0).as("u"))
-          .agg(count(lit(1)).as("cu"))
-        val toks = base.select(explode(col("tk")).as("token"))
-        val uni = toks.groupBy("token").agg(count(lit(1)).as("cw"))
-        val nn = toks.agg(count(lit(1)).as("n"))
-        val dict = cbi
-          .join(cctx, split(col("bg"), " ").getItem(0) === col("u"))
-          .join(uni, split(col("bg"), " ").getItem(1) === col("token"))
-          .crossJoin(broadcast(nn))
-          .select(col("bg"),
-            round(log(lit(0.75) * (col("cb") / col("cu")) +
-              lit(0.25) * (col("cw") / col("n"))) * 1e6, 0)
-              .cast("long").as("lp"))
-        bigt.join(broadcast(dict), "bg")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("logp_micro"))
+        // minCount = 1 is the oracled semantics (every observed bigram in
+        // the dict); BigramLm.scores(minCount > 1) is the shipped lever
+        // when a real corpus's bigram vocab outgrows broadcast size
+        graft.text.BigramLm.scores(base, minCount = 1L)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
   }
