@@ -32,6 +32,34 @@ object AssemblyQueries extends QueryPack {
   /** Whitespace token count (the `doc_pack` convention). */
   private def nTok = size(TextFunctions.tokens(col("text"))).cast("long")
 
+  /** The ONE packing plan both `doc_pack` (the planner, TextQueries) and
+    * `doc_pack_emit` (the materializer, below) derive from, so the plan
+    * and its emission cannot drift: composite shard key bounds a window
+    * partition at ≤ [[PackShardDivisor]] docs regardless of source size,
+    * greedy in-order token cumsum, bin = floor((cum−1)/[[PackBudget]]).
+    * `shard` is materialized as a NAMED column before the window so a
+    * downstream aggregation clustered on (source, shard, …) provably
+    * reuses the window's hashpartitioning (an inline shard expression
+    * gets a fresh attribute id per use and defeats the co-partitioning
+    * proof — the emit would shuffle the token rows twice).
+    */
+  private[queries] val PackShardDivisor = 1000
+  private[queries] val PackBudget = 512
+  private[queries] def packPlan(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tok", nTok)
+      .withColumn("shard",
+        floor(col("doc_id") / PackShardDivisor).cast("long"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .select(col("doc_id"), col("source"), col("shard"), col("text"),
+        col("n_tok"),
+        ((col("cum") - 1) / PackBudget).cast("long").as("bin"))
+  }
+
   def queries: Seq[Q] = Seq(
 
     // TOKEN-budget domain mixture — the training-mix recipe proper.
@@ -98,6 +126,11 @@ object AssemblyQueries extends QueryPack {
             expr("wt_micro div 1000000") +
               when(bucket(col("doc_id").cast("string")) <
                 col("wt_micro") % 1000000L, 1L).otherwise(0L))
+          // guard BEFORE the explode: with a down-weight (wt_micro < 1e6)
+          // copies can be 0, and Spark's sequence(0, -1) DESCENDS to
+          // [0, -1] instead of emitting nothing — the doc must drop, the
+          // exact mirror of DuckDB's empty range(0)
+          .filter(col("copies") > 0)
           .select(col("doc_id"), col("lang"),
             explode(sequence(lit(0L), col("copies") - 1)).as("epoch"))
           .orderBy("doc_id", "epoch")
@@ -182,42 +215,19 @@ object AssemblyQueries extends QueryPack {
               FROM documents
               ORDER BY pos""")),
 
-    // Output SHARD-file planning — the write-path twin of doc_pack: size
-    // each source's output file count from its token volume (budget 2048
-    // tokens/file at fixture scale; the knob that prevents both the
-    // small-file problem and the giant-file problem), then scatter docs
-    // across the files by md5 bucket for size balance. The per-source
-    // totals reduce to |sources| rows and broadcast back; the corpus
-    // never shuffles to be PLANNED (the eventual write repartitions by
-    // (source, file_id) — that shuffle is the write itself, not the plan).
     // Sequence EMISSION — materialize the model-ready packed sequences
-    // that `doc_pack` plans: per (source, shard, bin), concatenate the
-    // member docs in doc_id order with an <eos> separator (the GPT-style
-    // packing boundary). This op IS the write: the one shuffle carries
-    // each token exactly once to its bin's reducer, and a bin holds ≤
-    // budget + one overflowing doc, so no group ever outgrows a reducer
-    // no matter how large the corpus — the same composite-shard bound
-    // doc_pack establishes. The output row carries md5(sequence), not
-    // the sequence: byte-exact assembly is certified without shipping
-    // corpus text into the result.
+    // that `doc_pack` plans (both run the ONE shared [[packPlan]]): per
+    // (source, shard, bin), concatenate the member docs in doc_id order
+    // with an <eos> separator (the GPT-style packing boundary). This op
+    // IS the write: the one shuffle carries each token exactly once to
+    // its bin's reducer, and a bin holds ≤ budget + one overflowing doc,
+    // so no group ever outgrows a reducer no matter how large the corpus
+    // — the same composite-shard bound doc_pack establishes. The output
+    // row carries md5(sequence), not the sequence: byte-exact assembly
+    // is certified without shipping corpus text into the result.
     Q("doc_pack_emit",
       (s, dir) => {
-        // `shard` is materialized as a NAMED column before the window so
-        // the window's hashpartitioning(source, shard) provably satisfies
-        // the aggregation's clustering on (source, shard, bin) — the
-        // token-carrying rows shuffle ONCE, not once for the window and
-        // again for the agg (an inline shard expression gets a fresh
-        // attribute id per use and defeats the co-partitioning proof)
-        val w = Window.partitionBy(col("source"), col("shard"))
-          .orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        t(s, dir, "documents")
-          .withColumn("n_tok", nTok)
-          .withColumn("shard", floor(col("doc_id") / 1000).cast("long"))
-          .withColumn("cum", sum("n_tok").over(w))
-          .select(col("doc_id"), col("source"), col("shard"),
-            col("text"), col("n_tok"),
-            ((col("cum") - 1) / 512).cast("long").as("bin"))
+        packPlan(t(s, dir, "documents"))
           .groupBy("source", "shard", "bin")
           .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
             md5(concat_ws(" <eos> ",
@@ -238,6 +248,14 @@ object AssemblyQueries extends QueryPack {
               GROUP BY source, shard, bin
               ORDER BY source, shard, bin""")),
 
+    // Output SHARD-file planning — the write-path twin of doc_pack: size
+    // each source's output file count from its token volume (budget 2048
+    // tokens/file at fixture scale; the knob that prevents both the
+    // small-file problem and the giant-file problem), then scatter docs
+    // across the files by md5 bucket for size balance. The per-source
+    // totals reduce to |sources| rows and broadcast back; the corpus
+    // never shuffles to be PLANNED (the eventual write repartitions by
+    // (source, file_id) — that shuffle is the write itself, not the plan).
     Q("doc_shard_plan",
       (s, dir) => {
         val docs = t(s, dir, "documents").withColumn("n_tok", nTok)

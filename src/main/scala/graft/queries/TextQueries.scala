@@ -589,17 +589,12 @@ object TextQueries extends QueryPack {
     // pipelines pack within file shards for exactly this reason). One
     // shuffle on the shard key; bin = floor((cumsum-1)/budget).
     Q("doc_pack",
-      (s, dir) => {
-        val shard = floor(col("doc_id") / 1000).cast("long")
-        val w = Window.partitionBy(col("source"), shard).orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        t(s, dir, "documents")
-          .withColumn("n_tok", size(TextFunctions.tokens(col("text"))).cast("long"))
-          .withColumn("cum", sum("n_tok").over(w))
-          .select(col("doc_id"), col("source"), shard.as("shard"), col("n_tok"),
-            ((col("cum") - 1) / 512).cast("long").as("bin"))
-          .orderBy("doc_id")
-      },
+      // the plan itself is the ONE shared AssemblyQueries.packPlan —
+      // doc_pack_emit materializes exactly these bins, and a retuned
+      // budget/shard divisor changes both queries together
+      (s, dir) => AssemblyQueries.packPlan(t(s, dir, "documents"))
+        .select("doc_id", "source", "shard", "n_tok", "bin")
+        .orderBy("doc_id"),
       Some("""SELECT doc_id, source, doc_id // 1000 AS shard, n_tok,
                      CAST(floor((cum - 1) / 512) AS BIGINT) AS bin
               FROM (SELECT doc_id, source,
@@ -2232,8 +2227,12 @@ object TextQueries extends QueryPack {
     // single IEEE divisions of exact ints, identical in both engines.
     Q("doc_dedup_eval",
       (s, dir) => {
+        // the candidate table feeds TWO subtrees (its own count and the
+        // tp join): materialize the banding self-join once instead of
+        // executing it per consumer (the b0e24a7 shared-frame precedent)
         val cand = Dedup.minHashCandidatesFromSignatures(
           SharedMinHashSigs(s, dir, 3, 16), k = 16, bands = 4)
+          .localCheckpoint(eager = false)
         val exact = SharedJaccardPairs(s, dir, 3, 0.8).select("a_id", "b_id")
         val nc = cand.agg(count(lit(1)).as("n_cand"))
         val nt = exact.agg(count(lit(1)).as("n_true"))

@@ -625,8 +625,11 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("doc_shuffle_index")
     // the corpus-sized window is partitioned by the 64-way range bucket;
     // the offsets join broadcasts the 64-row frame back
-    assert(p.contains("Window [row_number()"), p)
-    assert(p.contains("windowspecdefinition(bkt"), p)
+    // the combined substring pins the ROW_NUMBER window's own spec to
+    // bkt-partitioning — asserting the two fragments separately could
+    // false-pass on the 64-row offsets window (ORDER BY bkt) while the
+    // ranking degraded to a global window
+    assert(p.contains("Window [row_number() windowspecdefinition(bkt"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
