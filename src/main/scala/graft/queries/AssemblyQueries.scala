@@ -248,6 +248,49 @@ object AssemblyQueries extends QueryPack {
               GROUP BY source, shard, bin
               ORDER BY source, shard, bin""")),
 
+    // Corpus VERSION DIFF — the release audit between two dataset
+    // versions ("what changed in v2 vs v1?"): docs keyed by CONTENT
+    // fingerprint so renames/re-crawls of identical text do not read as
+    // churn (the doc_split convention), statused added / removed /
+    // unchanged by a full-outer fingerprint join. Fixture versions reuse
+    // the doc_dedup_incremental convention (standing corpus doc_id%10<8,
+    // increment %10≥8). Scale shape: fingerprints are a narrow
+    // projection; the one shuffle is the fp-key join of two fingerprint
+    // sets (16-byte keys, not text), and the output is churn-sized after
+    // the status filter — a 100 TB release diff moves hashes, not bytes.
+    Q("doc_corpus_diff",
+      (s, dir) => {
+        val fp = t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.fingerprint(col("text")).as("fp"))
+        def side(pred: org.apache.spark.sql.Column, as: String) =
+          fp.filter(pred).groupBy("fp")
+            .agg(min("doc_id").as(as)) // version membership, dedup'd
+        side(col("doc_id") % 10 < 8, "old_id")
+          .join(side(col("doc_id") % 10 >= 8, "new_id"), Seq("fp"), "full_outer")
+          .select(col("fp"),
+            when(col("old_id").isNull, "added")
+              .when(col("new_id").isNull, "removed")
+              .otherwise("unchanged").as("status"),
+            col("old_id"), col("new_id"))
+          .orderBy("fp")
+      },
+      Some("""WITH fp AS (SELECT doc_id,
+                                 md5(trim(regexp_replace(lower(text),
+                                    '[^a-z0-9]+', ' ', 'g'))) AS fp
+                          FROM documents),
+              o AS (SELECT fp, min(doc_id) AS old_id FROM fp
+                    WHERE doc_id % 10 < 8 GROUP BY fp),
+              n AS (SELECT fp, min(doc_id) AS new_id FROM fp
+                    WHERE doc_id % 10 >= 8 GROUP BY fp)
+              SELECT fp,
+                     CASE WHEN old_id IS NULL THEN 'added'
+                          WHEN new_id IS NULL THEN 'removed'
+                          ELSE 'unchanged' END AS status,
+                     old_id, new_id
+              FROM o FULL OUTER JOIN n USING (fp)
+              ORDER BY fp""")),
+
     // Output SHARD-file planning — the write-path twin of doc_pack: size
     // each source's output file count from its token volume (budget 2048
     // tokens/file at fixture scale; the knob that prevents both the
