@@ -656,6 +656,92 @@ object Multimodal {
       .distinct()
   }
 
+  /** 64-bit energy-contour fingerprint of a WAV payload — the audio twin
+    * of [[dHash]]: the PCM stream decodes once, |sample| sums accumulate
+    * into 65 equal time windows, and bit k records whether window k's
+    * MEAN |amplitude| exceeds window k+1's (cross-multiplied exact
+    * integers, since window sizes can differ by one sample). A gain
+    * change scales every window sum by the same positive factor and
+    * leaves the contour signs intact — the near-dup robustness a raw
+    * PCM hash lacks. None for undecodable bytes or clips shorter than
+    * 65 samples. Unlike the image hash, this one is ORACLE-able: the
+    * fixture samples are arithmetic in (media_id, i), so DuckDB can
+    * regenerate the windows and the bit string.
+    */
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      if (n < 65) return None
+      val sums = new Array[Long](65)
+      val cnts = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        val s = (((data(2 * i) & 0xff) | (data(2 * i + 1).toInt << 8)).toShort).toInt
+        val w = (i.toLong * 65 / n).toInt
+        sums(w) += math.abs(s.toLong)
+        cnts(w) += 1
+        i += 1
+      }
+      var fp = 0L
+      var k = 0
+      while (k < 64) {
+        if (sums(k) * cnts(k + 1) > sums(k + 1) * cnts(k)) fp |= 1L << k
+        k += 1
+      }
+      Some(fp)
+    } catch { case _: Exception => None }
+
+  private val audioFpUdf = udf(audioFingerprint _)
+
+  /** Energy-contour fingerprints of the audio rows, `(media_id, phash)`
+    * — the column is named like the image hash so [[phashPairs]]'s
+    * pigeonhole banding serves both modalities unchanged.
+    */
+  def audioFingerprints(media: DataFrame): DataFrame =
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), audioFpUdf(col("bytes")).as("phash"))
+      .filter(col("phash").isNotNull)
+
+  /** Re-encode `mediaId`'s fixture audio with every sample scaled by
+    * num/den (truncated toward zero) — the planted near-duplicate for
+    * [[audioFingerprints]]: positive gain preserves every window-energy
+    * ordering except integer-truncation near-ties, so the twin lands a
+    * few bits from the original.
+    */
+  def encodeWavScaled(mediaId: Long, num: Int, den: Int): Array[Byte] = {
+    val (sr, ch, nFrames) = audioParams(mediaId)
+    val fmt = new AudioFormat(sr.toFloat, 16, ch, true, false)
+    val data = new Array[Byte](nFrames * ch * 2)
+    var i = 0
+    while (i < data.length / 2) {
+      val s0 = ((mediaId * 2654435761L + i * 40503L) & 0xffff).toShort.toInt
+      val s = (s0 * num / den).toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt,
+      nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private val encodeWavScaledUdf = udf(encodeWavScaled _)
+
+  /** The fixture media plus a gain-scaled re-encode of every audio clip
+    * (twin ids offset by `twinOffset`) — input for the audio near-dup
+    * pair demo/test: each clip should pair with exactly its twin.
+    */
+  def withScaledAudioTwins(media: DataFrame, num: Int, den: Int,
+      twinOffset: Long): DataFrame =
+    media.union(
+      media.filter(col("kind") === "audio")
+        .select((col("media_id") + twinOffset).as("media_id"), col("kind"),
+          encodeWavScaledUdf(col("media_id"), lit(num), lit(den)).as("bytes")))
+
   /** Re-encode `mediaId`'s fixture image with every channel brightened by
     * `delta` (clamped) — the planted near-duplicate used to demonstrate
     * [[phashPairs]]: a global brightness shift preserves every gradient

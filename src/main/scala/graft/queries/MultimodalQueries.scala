@@ -43,6 +43,21 @@ object MultimodalQueries extends QueryPack {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Fixture media + gain-scaled audio twins, memoized like
+    * [[SharedMediaWithTwins]] (same reasoning: the twin re-encode is the
+    * expensive part, shared across the pair query's passes).
+    */
+  private object SharedAudioWithTwins {
+    private val memo = new SessionMemo[String, org.apache.spark.sql.DataFrame](
+      SessionMemo.unpersistDf, pinsExecutorStorage = true)
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame =
+      memo(s, dir)(
+        Multimodal.withScaledAudioTwins(SharedMedia(s, dir), num = 7, den = 8,
+            twinOffset = 2000000L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   override val queries: Seq[Q] = Seq(
 
     // Metadata decode over binary media columns — ALL THREE modalities
@@ -154,6 +169,58 @@ object MultimodalQueries extends QueryPack {
     .appended(Q("mm_phash_pairs",
       (s, dir) => Multimodal.phashPairs(
           Multimodal.imagePhashes(SharedMediaWithTwins(s, dir)),
+          maxHamming = 6)
+        .orderBy("a_id", "b_id"),
+      None))
+
+    // Audio energy-contour FINGERPRINT — the audio twin of mm_phash:
+    // real RIFF→PCM decode, |sample| sums over 65 equal time windows,
+    // bit k = window k's mean amplitude exceeds window k+1's (exact
+    // cross-multiplied integers). Gain changes preserve the contour —
+    // the near-dup invariance a raw PCM hash lacks. Narrow projection,
+    // zero shuffle. UNLIKE the image hash this is ORACLED: the fixture
+    // PCM is arithmetic in (media_id, i), so DuckDB regenerates the
+    // windows and the 64-char bit string must match byte-for-byte.
+    .appended(Q("mm_audio_fp",
+      (s, dir) => Multimodal.audioFingerprints(SharedMedia(s, dir))
+        .select(col("media_id"), lpad(bin(col("phash")), 64, "0").as("fp_bits"))
+        .orderBy("media_id"),
+      Some("""WITH audio AS (
+                SELECT doc_id AS media_id,
+                       (256 + doc_id % 512) * (1 + doc_id % 2) AS n
+                FROM documents WHERE doc_id % 3 = 1),
+              idx AS (
+                SELECT media_id, n, unnest(range(0, n)) AS i FROM audio),
+              sgn AS (
+                SELECT media_id, n, i,
+                       CASE WHEN ((media_id * 2654435761 + i * 40503) & 65535) >= 32768
+                            THEN ((media_id * 2654435761 + i * 40503) & 65535) - 65536
+                            ELSE ((media_id * 2654435761 + i * 40503) & 65535)
+                       END AS s
+                FROM idx),
+              wins AS (
+                SELECT media_id, (i * 65) // n AS w,
+                       sum(abs(s)) AS sm, count(*) AS c
+                FROM sgn GROUP BY 1, 2),
+              bits AS (
+                SELECT a.media_id, a.w,
+                       CASE WHEN a.sm * b.c > b.sm * a.c
+                            THEN '1' ELSE '0' END AS bit
+                FROM wins a JOIN wins b
+                  ON a.media_id = b.media_id AND b.w = a.w + 1)
+              SELECT media_id, string_agg(bit, '' ORDER BY w DESC) AS fp_bits
+              FROM bits GROUP BY media_id ORDER BY media_id""")))
+
+    // Near-duplicate audio end-to-end: the corpus plus a gain-scaled
+    // (×7/8, truncated) RE-ENCODE of every clip → energy-contour
+    // fingerprints → the SAME pigeonhole banding join as the image path
+    // (phashPairs serves both modalities) → exact bit_count verify.
+    // Every emitted pair is original × its planted twin (MultimodalSpec
+    // pins recovery + separation); rows-only for the driver, as with
+    // mm_phash_pairs.
+    .appended(Q("mm_audio_fp_pairs",
+      (s, dir) => Multimodal.phashPairs(
+          Multimodal.audioFingerprints(SharedAudioWithTwins(s, dir)),
           maxHamming = 6)
         .orderBy("a_id", "b_id"),
       None))

@@ -229,4 +229,37 @@ class MultimodalSpec extends SparkSpec {
     // …and the hamming verify is exact on every emitted pair
     pairs.foreach(r => assert(r.getLong(2) <= 6))
   }
+
+  test("audio fingerprint: deterministic, gain-invariant-ish, garbage-rejecting") {
+    val h1 = Multimodal.audioFingerprint(Multimodal.encodeWav(4L))
+    val h2 = Multimodal.audioFingerprint(Multimodal.encodeWav(4L))
+    assert(h1.isDefined && h1 == h2)
+    // a 7/8 gain scale preserves the energy contour to a few bits
+    Seq(1L, 4L, 7L, 10L).foreach { id =>
+      val orig = Multimodal.audioFingerprint(Multimodal.encodeWav(id)).get
+      val twin = Multimodal.audioFingerprint(
+        Multimodal.encodeWavScaled(id, 7, 8)).get
+      val d = java.lang.Long.bitCount(orig ^ twin)
+      assert(d <= 6, s"clip $id: gain-scaled twin $d bits away")
+    }
+    // unrelated clips' contours are coin flips — far apart
+    val others = Seq(7L, 10L, 13L, 16L).map(id => java.lang.Long.bitCount(
+      h1.get ^ Multimodal.audioFingerprint(Multimodal.encodeWav(id)).get))
+    others.foreach(d => assert(d > 10, s"unrelated clips only $d bits apart"))
+    assert(Multimodal.audioFingerprint("not a wav".getBytes).isEmpty)
+  }
+
+  test("audio banding join finds exactly the planted gain-scaled twins") {
+    val media = Multimodal.fakeMediaFromDocs(
+      Tables.table(spark, sfDir, "documents").limit(90))
+    val withTwins = Multimodal.withScaledAudioTwins(media, num = 7, den = 8,
+      twinOffset = 2000000L)
+    val nAudio = media.filter(col("kind") === "audio").count()
+    val pairs = Multimodal.phashPairs(
+      Multimodal.audioFingerprints(withTwins), maxHamming = 6).collect()
+    val twinPairs = pairs.filter(r => r.getLong(1) === r.getLong(0) + 2000000L)
+    assert(twinPairs.length === nAudio,
+      s"${twinPairs.length} of $nAudio planted twins recovered")
+    pairs.foreach(r => assert(r.getLong(2) <= 6))
+  }
 }
