@@ -222,23 +222,10 @@ object Multimodal {
     * is produced by `AudioSystem.write` — the JDK's WAV encoder — so the
     * downstream decode is a genuine RIFF header parse.
     */
-  def encodeWav(mediaId: Long): Array[Byte] = {
-    val (sr, ch, nFrames) = audioParams(mediaId)
-    val fmt = new AudioFormat(sr.toFloat, 16, ch, true, false)
-    val data = new Array[Byte](nFrames * ch * 2)
-    var i = 0
-    while (i < data.length / 2) {
-      val s = ((mediaId * 2654435761L + i * 40503L) & 0xffff).toShort
-      data(2 * i) = (s & 0xff).toByte
-      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
-      i += 1
-    }
-    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt,
-      nFrames.toLong)
-    val bos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
-  }
+  def encodeWav(mediaId: Long): Array[Byte] =
+    // the unscaled encode IS the ×1 gain encode — one copy of the
+    // deterministic sample formula (see encodeWavScaled)
+    encodeWavScaled(mediaId, 1, 1)
 
   private val encodeWavUdf = udf(encodeWav _)
 
@@ -266,25 +253,40 @@ object Multimodal {
     * the downstream rms/clip-ratio arithmetic is bit-reproducible by
     * any engine that can regenerate the deterministic samples.
     */
-  def wavSampleStats(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] =
+  /** The ONE RIFF→PCM decode both sample consumers fold over: the
+    * 16-bit LE stream as signed ints, None for undecodable bytes. A
+    * decode fix lands in the stats and the fingerprint together.
+    */
+  private def decodePcm(bytes: Array[Byte]): Option[Array[Int]] =
     try {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       val data = ais.readAllBytes()
       val n = data.length / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = (((data(2 * i) & 0xff) | (data(2 * i + 1).toInt << 8)).toShort).toInt
+        i += 1
+      }
+      Some(out)
+    } catch { case _: Exception => None }
+
+  def wavSampleStats(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    decodePcm(bytes).map { pcm =>
       var i = 0
       var sumsq = 0L
       var peak = 0L
       var clipped = 0L
-      while (i < n) {
-        val s = (((data(2 * i) & 0xff) | (data(2 * i + 1).toInt << 8)).toShort).toInt
+      while (i < pcm.length) {
+        val s = pcm(i)
         sumsq += s.toLong * s
         val a = math.abs(s.toLong)
         if (a > peak) peak = a
         if (a >= 32767) clipped += 1
         i += 1
       }
-      Some((n.toLong, sumsq, peak, clipped))
-    } catch { case _: Exception => None }
+      (pcm.length.toLong, sumsq, peak, clipped)
+    }
 
   private val wavStatsUdf = udf(wavSampleStats _)
 
@@ -669,18 +671,14 @@ object Multimodal {
     * regenerate the windows and the bit string.
     */
   def audioFingerprint(bytes: Array[Byte]): Option[Long] =
-    try {
-      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
-      val data = ais.readAllBytes()
-      val n = data.length / 2
-      if (n < 65) return None
+    decodePcm(bytes).filter(_.length >= 65).map { pcm =>
+      val n = pcm.length
       val sums = new Array[Long](65)
       val cnts = new Array[Long](65)
       var i = 0
       while (i < n) {
-        val s = (((data(2 * i) & 0xff) | (data(2 * i + 1).toInt << 8)).toShort).toInt
         val w = (i.toLong * 65 / n).toInt
-        sums(w) += math.abs(s.toLong)
+        sums(w) += math.abs(pcm(i).toLong)
         cnts(w) += 1
         i += 1
       }
@@ -690,8 +688,8 @@ object Multimodal {
         if (sums(k) * cnts(k + 1) > sums(k + 1) * cnts(k)) fp |= 1L << k
         k += 1
       }
-      Some(fp)
-    } catch { case _: Exception => None }
+      fp
+    }
 
   private val audioFpUdf = udf(audioFingerprint _)
 

@@ -252,22 +252,22 @@ object AssemblyQueries extends QueryPack {
     // versions ("what changed in v2 vs v1?"): docs keyed by CONTENT
     // fingerprint so renames/re-crawls of identical text do not read as
     // churn (the doc_split convention), statused added / removed /
-    // unchanged by a full-outer fingerprint join. Fixture versions reuse
-    // the doc_dedup_incremental convention (standing corpus doc_id%10<8,
-    // increment %10≥8). Scale shape: fingerprints are a narrow
-    // projection; the one shuffle is the fp-key join of two fingerprint
-    // sets (16-byte keys, not text), and the output is churn-sized after
-    // the status filter — a 100 TB release diff moves hashes, not bytes.
+    // unchanged. Fixture versions reuse the doc_dedup_incremental
+    // convention (standing corpus doc_id%10<8, increment %10≥8). Scale
+    // shape: ONE corpus scan computes the fingerprints, ONE conditional
+    // aggregation on the 16-byte fp key derives both versions' membership
+    // (a per-side groupBy + full-outer join would scan and md5 the text
+    // twice and pay a third exchange for the same answer) — a 100 TB
+    // release diff moves hashes, not bytes.
     Q("doc_corpus_diff",
       (s, dir) => {
-        val fp = t(s, dir, "documents")
+        t(s, dir, "documents")
           .select(col("doc_id"),
             TextFunctions.fingerprint(col("text")).as("fp"))
-        def side(pred: org.apache.spark.sql.Column, as: String) =
-          fp.filter(pred).groupBy("fp")
-            .agg(min("doc_id").as(as)) // version membership, dedup'd
-        side(col("doc_id") % 10 < 8, "old_id")
-          .join(side(col("doc_id") % 10 >= 8, "new_id"), Seq("fp"), "full_outer")
+          .groupBy("fp")
+          .agg(
+            min(when(col("doc_id") % 10 < 8, col("doc_id"))).as("old_id"),
+            min(when(col("doc_id") % 10 >= 8, col("doc_id"))).as("new_id"))
           .select(col("fp"),
             when(col("old_id").isNull, "added")
               .when(col("new_id").isNull, "removed")

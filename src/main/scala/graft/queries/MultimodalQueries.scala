@@ -53,8 +53,13 @@ object MultimodalQueries extends QueryPack {
     def apply(s: org.apache.spark.sql.SparkSession, dir: String)
         : org.apache.spark.sql.DataFrame =
       memo(s, dir)(
-        Multimodal.withScaledAudioTwins(SharedMedia(s, dir), num = 7, den = 8,
-            twinOffset = 2000000L)
+        // pre-filter to the audio rows: the only consumer filters
+        // kind === "audio" anyway, and pinning the full union would hold
+        // a second copy of every (larger) image/video payload that is
+        // never read from this pin
+        Multimodal.withScaledAudioTwins(
+            SharedMedia(s, dir).filter(col("kind") === "audio"),
+            num = 7, den = 8, twinOffset = 2000000L)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 

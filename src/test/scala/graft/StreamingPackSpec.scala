@@ -32,11 +32,21 @@ class StreamingPackSpec extends SparkSpec {
         .outputMode("append").start()
       // three ordered micro-batches: bins crossing a batch boundary prove
       // the cumsum lives in state, not in the batch
-      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+      val chunks = docs.grouped(math.max(1, docs.length / 3 + 1)).toSeq
+      chunks.foreach { chunk =>
         input.addData(chunk: _*)
         q.processAllAvailable()
       }
       q.stop()
+      // precondition for the parity assert to actually exercise state
+      // carry-over: some (source, shard) key must receive rows in MORE
+      // than one micro-batch (a fixture/chunking change that aligned
+      // chunk boundaries with key boundaries would silently turn this
+      // spec into one that passes with the state update removed)
+      val keysPerChunk = chunks.map(_.map(d => (d.source, d.shard)).toSet)
+      val crossBatchKeys = keysPerChunk.combinations(2)
+        .map { case Seq(a, b) => (a intersect b).size }.sum
+      assert(crossBatchKeys > 0, "no key spans a micro-batch boundary")
 
       val streamed = spark.table("pack_out")
         .select("doc_id", "source", "shard", "n_tok", "bin")
@@ -47,9 +57,6 @@ class StreamingPackSpec extends SparkSpec {
           r.getLong(3), r.getLong(4))).sortBy(_._1)
       assert(streamed.length == batch.length)
       streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
-      // and the packing genuinely crossed batch boundaries: some shard
-      // has more than one bin (cum carried over)
-      assert(streamed.map(_._5).max > 0)
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 }
