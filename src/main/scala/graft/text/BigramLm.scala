@@ -31,12 +31,16 @@ object BigramLm {
     val bigt = base.select(col("doc_id"),
       explode(TextFunctions.allShingles(col("tk"), 2)).as("bg"))
     val cbi = bigt.groupBy("bg").agg(count(lit(1)).as("cb"))
-    val cctx = bigt
+    // c(u·) and N REDUCE from the already-aggregated frames — summing
+    // cb by context ≡ counting corpus bigrams by context, and Σc(v) ≡
+    // the token total, so neither needs its own corpus-wide aggregation
+    // (two fewer corpus-scale shuffles; bit-identical counts)
+    val cctx = cbi
       .groupBy(split(col("bg"), " ").getItem(0).as("u"))
-      .agg(count(lit(1)).as("cu"))
+      .agg(sum("cb").as("cu"))
     val toks = base.select(explode(col("tk")).as("token"))
     val uni = toks.groupBy("token").agg(count(lit(1)).as("cw"))
-    val nn = toks.agg(count(lit(1)).as("n"))
+    val nn = uni.agg(sum("cw").as("n"))
     val dict = cbi
       .join(cctx, split(col("bg"), " ").getItem(0) === col("u"))
       .join(uni, split(col("bg"), " ").getItem(1) === col("token"))
