@@ -105,6 +105,76 @@ object AssemblyQueries extends QueryPack {
                     < t_units * wt * 1000000
               ORDER BY doc_id""")),
 
+    // EXACT token-budget mixture — the deterministic-prefix twin of
+    // doc_mix_tokens: instead of an expected budget (rate-proportional
+    // keep), each domain keeps the greedy PREFIX of its docs in md5-hash
+    // order until the cumulative token count reaches t_units·wt — the
+    // form a release pipeline uses when the recipe is a hard budget, not
+    // a target. The naive shape is a per-lang window cumsum — the whole
+    // corpus funneling through |domains| reducers. The scale shape here
+    // is the bucket-prefix technique (exactPercentiles' budget-cut
+    // analog): per (lang, 64-bucket) token sums reduce to |langs|×64
+    // rows, a prefix over that tiny frame classifies every bucket as
+    // keep-whole / cut / drop, and ONLY the cut bucket's rows (~1/64 of
+    // each domain) pay a window — broadcast classification, corpus never
+    // globally sorts.
+    Q("doc_mix_tokens_exact",
+      (s, dir) => {
+        import s.implicits._
+        val weights = Seq(("en", 4L), ("de", 3L), ("fr", 2L),
+          ("es", 2L), ("zh", 1L)).toDF("lang", "wt")
+        val docs = t(s, dir, "documents")
+          .withColumn("n_tok", nTok)
+          .withColumn("b", bucket(col("doc_id").cast("string")))
+          .withColumn("bkt", expr("b div 15625")) // 1e6 / 64 buckets
+        val toks = docs.groupBy("lang").agg(sum("n_tok").as("tok_n"))
+        val budgets = toks.join(weights, "lang")
+          .crossJoin(broadcast(toks.join(weights, "lang")
+            .agg(min(expr("tok_n div wt")).as("t_units"))))
+          .select(col("lang"), (col("t_units") * col("wt")).as("budget"))
+        val cls = docs.groupBy("lang", "bkt").agg(sum("n_tok").as("s"))
+          .withColumn("before", coalesce(sum("s").over(
+            Window.partitionBy("lang").orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .join(budgets, "lang") // ≤ |langs|×64 rows throughout
+          .select(col("lang"), col("bkt"), col("before"),
+            when(col("before") + col("s") <= col("budget"), "keep")
+              .when(col("before") >= col("budget"), "drop")
+              .otherwise("cut").as("cls"))
+        val classified = docs.join(broadcast(cls), Seq("lang", "bkt"))
+        val kept = classified.filter(col("cls") === "keep")
+          .select("doc_id", "lang", "n_tok")
+        // only the cut bucket's rows window — bounded at ~1/64 per domain
+        val wCut = Window.partitionBy("lang").orderBy("b", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cut = classified.filter(col("cls") === "cut")
+          .join(budgets, "lang")
+          .withColumn("cum", col("before") + sum("n_tok").over(wCut))
+          .filter(col("cum") <= col("budget"))
+          .select("doc_id", "lang", "n_tok")
+        kept.union(cut).orderBy("doc_id")
+      },
+      Some("""WITH w(lang, wt) AS (VALUES ('en', 4), ('de', 3), ('fr', 2),
+                                          ('es', 2), ('zh', 1)),
+                d AS (SELECT doc_id, lang,
+                             len(string_split(text, ' ')) AS n_tok,
+                             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                               % 1000000 AS b
+                      FROM documents),
+                toks AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tok_n
+                         FROM d GROUP BY lang),
+                t AS (SELECT min(tok_n // wt) AS t_units
+                      FROM toks JOIN w USING (lang)),
+                c AS (SELECT d.*, wt,
+                             sum(n_tok) OVER (PARTITION BY lang
+                               ORDER BY b, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+                      FROM d JOIN w USING (lang))
+              SELECT doc_id, lang, n_tok
+              FROM c, t
+              WHERE cum <= t_units * wt
+              ORDER BY doc_id""")),
+
     // FRACTIONAL-epoch upsampling — the other half of the mixture recipe:
     // scarce high-value domains repeat (LLaMA-style "Wikipedia ×2.5").
     // Integer micro-weights: every doc emits wt div 1e6 full epochs, plus

@@ -615,6 +615,14 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("doc_mix_tokens_exact broadcasts the bucket classification; no sort-merge") {
+    val p = plan("doc_mix_tokens_exact")
+    // the |langs|×64 bucket classification broadcasts back onto the
+    // corpus; only the cut bucket's subset reaches a window
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("doc_split is a zero-shuffle projection") {
     val p = plan("doc_split")
     assert(!p.contains("Exchange hashpartitioning"), p)
