@@ -278,6 +278,33 @@ object VectorQueries extends QueryPack {
                            * sqrt(list_dot_product(pv, pv))) DESC, vec_id
                LIMIT 10""")),
 
+    // FILTERED ANN — top-k under a metadata predicate ("nearest vectors
+    // WHERE label = 3"), the serving pattern real vector stores struggle
+    // with (post-filtering an unfiltered top-k under-returns; Spark's
+    // relational form just pushes the predicate INTO the scan before the
+    // top-k heap — the pre-filtering strategy, exact by construction).
+    // Plan: pruned scan (PushedFilters on label) → cosine projection →
+    // TakeOrderedAndProject. Zero shuffle, and the filter does strictly
+    // less work than the unfiltered query — the selectivity is free.
+    Q("vec_knn_filtered",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings").filter(col("label") === 3)
+        val probeCol = typedLit(SharedProbe(s, dir, ProbeId))
+        Similarity.bruteForceKnn(embs, "vec_id", "embedding", probeCol, 10)
+          .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+      },
+      Some(s"""SELECT vec_id,
+                      round(list_dot_product(embedding, pv)
+                            / (sqrt(list_dot_product(embedding, embedding))
+                               * sqrt(list_dot_product(pv, pv))), 6) AS sim
+               FROM embeddings, ${probeSql("p")}
+               WHERE label = 3
+               ORDER BY list_dot_product(embedding, pv)
+                        / (sqrt(list_dot_product(embedding, embedding))
+                           * sqrt(list_dot_product(pv, pv))) DESC, vec_id
+               LIMIT 10""")),
+
     // IVF path: centroids = first 8 corpus vectors; every vector routes to
     // its argmax-cosine centroid; the probe scans only its centroid's
     // bucket. At 100 TB the corpus is written PARTITIONED BY centroid_id

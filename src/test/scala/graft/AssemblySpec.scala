@@ -51,6 +51,39 @@ class AssemblySpec extends SparkSpec {
     assert(kept(bottleneck).toDouble >= 0.6 * totals(bottleneck))
   }
 
+  test("doc_mix_tokens_exact keeps a maximal within-budget hash-order prefix") {
+    val weights = Map("en" -> 4L, "de" -> 3L, "fr" -> 2L, "es" -> 2L, "zh" -> 1L)
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(1000000L)).as("b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val totals = docs.groupBy(_._2).map { case (l, ds) => l -> ds.map(_._3).sum }
+    val tUnits = weights.keys.map(l => totals(l) / weights(l)).min
+    val kept = run("doc_mix_tokens_exact").collect()
+      .map(r => r.getLong(0)).toSet
+    for ((lang, wt) <- weights) {
+      val budget = tUnits * wt
+      val ordered = docs.filter(_._2 == lang).sortBy(d => (d._4, d._1))
+      // the kept set IS the greedy prefix: within budget, and maximal
+      // (the first excluded doc would overflow it)
+      var cum = 0L
+      var stopped = false
+      for (d <- ordered) {
+        if (!stopped && cum + d._3 <= budget) {
+          cum += d._3
+          assert(kept.contains(d._1), s"$lang: prefix doc ${d._1} missing")
+        } else {
+          stopped = true // monotone cumsum: once over, everything after is out
+          assert(!kept.contains(d._1), s"$lang: doc ${d._1} beyond the budget kept")
+        }
+      }
+      assert(cum <= budget)
+    }
+  }
+
   test("doc_upsample emits floor(w) or floor(w)+1 contiguous epochs per doc") {
     val weights = Map("en" -> 1000000L, "de" -> 2000000L, "fr" -> 2500000L,
       "es" -> 3250000L, "zh" -> 4000000L)

@@ -615,6 +615,13 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("filtered ANN pushes the predicate into the scan before the top-k heap") {
+    val p = plan("vec_knn_filtered")
+    assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("doc_mix_tokens_exact broadcasts the bucket classification; no sort-merge") {
     val p = plan("doc_mix_tokens_exact")
     // the |langs|×64 bucket classification broadcasts back onto the
