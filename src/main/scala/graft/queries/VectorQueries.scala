@@ -95,7 +95,7 @@ object VectorQueries extends QueryPack {
         // the fit settings) must rebuild, not silently reuse a layout
         // whose partition count disagrees with the new constants
         val fp = graft.operators.Artifacts.tableFingerprint(dir, "embeddings") +
-          s"|k=$K|iters=3|dim=64|bal=$MaxBucketFactor"
+          s"|k=$K|iters=3|dim=64|bal=$MaxBucketFactor|cols=vl"
         graft.operators.Artifacts.ensureBuilt(root, fp) { tmp =>
           val embs = graft.Tables.table(s, dir, "embeddings")
           val cents0 = graft.similarity.KMeans.fit(
@@ -110,6 +110,10 @@ object VectorQueries extends QueryPack {
             .parquet(tmp.resolve("centroids").toString)
           Similarity.assignToCentroids(embs, "vec_id", "embedding",
               cents, "cid", "cvec")
+            // carry the filterable metadata into the layout: a serving
+            // index that cannot answer "nearest WHERE label = x" forces
+            // a corpus join per probe (vec_knn_ivf_filtered reads this)
+            .join(embs.select(col("vec_id"), col("label")), "vec_id")
             .write.partitionBy("centroid_id").mode("overwrite")
             .parquet(tmp.resolve("corpus").toString)
         }
@@ -291,6 +295,35 @@ object VectorQueries extends QueryPack {
         val embs = t(s, dir, "embeddings").filter(col("label") === 3)
         val probeCol = typedLit(SharedProbe(s, dir, ProbeId))
         Similarity.bruteForceKnn(embs, "vec_id", "embedding", probeCol, 10)
+          .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+      },
+      Some(s"""SELECT vec_id,
+                      round(list_dot_product(embedding, pv)
+                            / (sqrt(list_dot_product(embedding, embedding))
+                               * sqrt(list_dot_product(pv, pv))), 6) AS sim
+               FROM embeddings, ${probeSql("p")}
+               WHERE label = 3
+               ORDER BY list_dot_product(embedding, pv)
+                        / (sqrt(list_dot_product(embedding, embedding))
+                           * sqrt(list_dot_product(pv, pv))) DESC, vec_id
+               LIMIT 10""")),
+
+    // FILTERED ANN on the ROUTED layout — the two pruning dimensions
+    // composed in one scan: the learned index's partition pruning
+    // (PartitionFilters on centroid_id) AND the metadata predicate
+    // pushed to parquet (PushedFilters on label, which the layout
+    // carries precisely so serving never joins back to the corpus).
+    // Oracled at nprobe=ALL (≡ filtered brute force); the plan assertion
+    // pins both filter kinds appearing in the one routed scan.
+    Q("vec_knn_ivf_filtered",
+      (s, dir) => {
+        val ix = SharedIvfIndex(s, dir)
+        val centroids = s.createDataFrame(ix.centroids).toDF("cid", "cvec")
+        Similarity.ivfKnnPruned(
+            s.read.parquet(ix.path).filter(col("label") === 3),
+            "vec_id", "embedding", centroids, "cid", "cvec",
+            typedLit(SharedProbe(s, dir, ProbeId)), 10, ix.centroids.length)
           .select(col("vec_id"), round(col("sim"), 6).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
       },

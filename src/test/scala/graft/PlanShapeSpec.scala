@@ -622,6 +622,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("routed filtered ANN composes partition pruning with the pushed predicate") {
+    val p = plan("vec_knn_ivf_filtered")
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("doc_mix_tokens_exact broadcasts the bucket classification; no sort-merge") {
     val p = plan("doc_mix_tokens_exact")
     // the |langs|×64 bucket classification broadcasts back onto the
