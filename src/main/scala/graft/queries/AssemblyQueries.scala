@@ -60,6 +60,26 @@ object AssemblyQueries extends QueryPack {
         ((col("cum") - 1) / PackBudget).cast("long").as("bin"))
   }
 
+  /** The ONE mixture recipe both mixture queries derive from (they are
+    * documented twins — expected-budget vs hard-budget — and must mix to
+    * the SAME recipe): per-domain weights, token totals, and the budget
+    * t_units·wt. Returns the ≤|domains|-row frame
+    * (lang, tok_n, budget); input must carry (lang, n_tok).
+    */
+  private def mixBudgets(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val weights = Seq(("en", 4L), ("de", 3L), ("fr", 2L),
+      ("es", 2L), ("zh", 1L)).toDF("lang", "wt")
+    val rates = docs.groupBy("lang")
+      .agg(sum("n_tok").as("tok_n")) // |domains| rows
+      .join(weights, "lang")
+    rates
+      .crossJoin(broadcast(rates.agg(min(expr("tok_n div wt")).as("t_units"))))
+      .select(col("lang"), col("tok_n"),
+        (col("t_units") * col("wt")).as("budget"))
+  }
+
   def queries: Seq[Q] = Seq(
 
     // TOKEN-budget domain mixture — the training-mix recipe proper.
@@ -74,18 +94,10 @@ object AssemblyQueries extends QueryPack {
     // the decision is a broadcast-join projection.
     Q("doc_mix_tokens",
       (s, dir) => {
-        import s.implicits._
-        val weights = Seq(("en", 4L), ("de", 3L), ("fr", 2L),
-          ("es", 2L), ("zh", 1L)).toDF("lang", "wt")
         val docs = t(s, dir, "documents").withColumn("n_tok", nTok)
-        val toks = docs.groupBy("lang")
-          .agg(sum("n_tok").as("tok_n")) // |domains| rows
-        val rates = toks.join(weights, "lang")
-        val tUnits = rates.agg(min(expr("tok_n div wt")).as("t_units")) // 1 row
-        docs.join(broadcast(rates), "lang")
-          .crossJoin(broadcast(tUnits))
+        docs.join(broadcast(mixBudgets(s, docs)), "lang")
           .filter(bucket(col("doc_id").cast("string")) * col("tok_n") <
-            col("t_units") * col("wt") * lit(1000000L))
+            col("budget") * lit(1000000L))
           .select("doc_id", "lang", "n_tok")
           .orderBy("doc_id")
       },
@@ -120,24 +132,18 @@ object AssemblyQueries extends QueryPack {
     // globally sorts.
     Q("doc_mix_tokens_exact",
       (s, dir) => {
-        import s.implicits._
-        val weights = Seq(("en", 4L), ("de", 3L), ("fr", 2L),
-          ("es", 2L), ("zh", 1L)).toDF("lang", "wt")
         val docs = t(s, dir, "documents")
           .withColumn("n_tok", nTok)
           .withColumn("b", bucket(col("doc_id").cast("string")))
           .withColumn("bkt", expr("b div 15625")) // 1e6 / 64 buckets
-        val toks = docs.groupBy("lang").agg(sum("n_tok").as("tok_n"))
-        val budgets = toks.join(weights, "lang")
-          .crossJoin(broadcast(toks.join(weights, "lang")
-            .agg(min(expr("tok_n div wt")).as("t_units"))))
-          .select(col("lang"), (col("t_units") * col("wt")).as("budget"))
+        // the classification CARRIES the budget so the cut branch needs
+        // no second budgets join (≤ |langs|×64 rows throughout)
         val cls = docs.groupBy("lang", "bkt").agg(sum("n_tok").as("s"))
           .withColumn("before", coalesce(sum("s").over(
             Window.partitionBy("lang").orderBy("bkt")
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .join(budgets, "lang") // ≤ |langs|×64 rows throughout
-          .select(col("lang"), col("bkt"), col("before"),
+          .join(mixBudgets(s, docs), "lang") // the shared mixture recipe
+          .select(col("lang"), col("bkt"), col("before"), col("budget"),
             when(col("before") + col("s") <= col("budget"), "keep")
               .when(col("before") >= col("budget"), "drop")
               .otherwise("cut").as("cls"))
@@ -148,7 +154,6 @@ object AssemblyQueries extends QueryPack {
         val wCut = Window.partitionBy("lang").orderBy("b", "doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cut = classified.filter(col("cls") === "cut")
-          .join(budgets, "lang")
           .withColumn("cum", col("before") + sum("n_tok").over(wCut))
           .filter(col("cum") <= col("budget"))
           .select("doc_id", "lang", "n_tok")

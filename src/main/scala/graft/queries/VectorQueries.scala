@@ -108,12 +108,12 @@ object VectorQueries extends QueryPack {
             "embedding", cents0, "cid", "cvec", maxRows, dim = 64)
           cents.coalesce(1).write.mode("overwrite")
             .parquet(tmp.resolve("centroids").toString)
+          // keepCols carries the filterable metadata into the layout in
+          // the same zero-shuffle assignment projection: a serving index
+          // that cannot answer "nearest WHERE label = x" forces a corpus
+          // join per probe (vec_knn_ivf_filtered reads this)
           Similarity.assignToCentroids(embs, "vec_id", "embedding",
-              cents, "cid", "cvec")
-            // carry the filterable metadata into the layout: a serving
-            // index that cannot answer "nearest WHERE label = x" forces
-            // a corpus join per probe (vec_knn_ivf_filtered reads this)
-            .join(embs.select(col("vec_id"), col("label")), "vec_id")
+              cents, "cid", "cvec", keepCols = Seq("label"))
             .write.partitionBy("centroid_id").mode("overwrite")
             .parquet(tmp.resolve("corpus").toString)
         }
@@ -224,14 +224,19 @@ object VectorQueries extends QueryPack {
     * pruning plan assert (nprobe = 2).
     */
   private[graft] def ivfLearnedKnn(s: org.apache.spark.sql.SparkSession,
-      dir: String, k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
+      dir: String, k: Int, nprobe: Int,
+      pred: Option[org.apache.spark.sql.Column] = None)
+      : org.apache.spark.sql.DataFrame = {
     val ix = SharedIvfIndex(s, dir)
     val centroids = s.createDataFrame(ix.centroids).toDF("cid", "cvec")
     // nprobe ≤ 0 ⇒ probe EVERY centroid (the brute-force-parity config) —
     // expressed against the actual centroid count, which can exceed K
     // when the balance pass split a hot bucket
     val np = if (nprobe <= 0) ix.centroids.length else nprobe
-    Similarity.ivfKnnPruned(s.read.parquet(ix.path), "vec_id", "embedding",
+    // pred = the serving-time metadata predicate (filtered ANN); it lands
+    // as a pushed parquet filter composed with the partition pruning
+    val corpus = pred.foldLeft(s.read.parquet(ix.path))(_.filter(_))
+    Similarity.ivfKnnPruned(corpus, "vec_id", "embedding",
       centroids, "cid", "cvec", typedLit(SharedProbe(s, dir, ProbeId)),
       k, np)
   }
@@ -317,16 +322,10 @@ object VectorQueries extends QueryPack {
     // Oracled at nprobe=ALL (≡ filtered brute force); the plan assertion
     // pins both filter kinds appearing in the one routed scan.
     Q("vec_knn_ivf_filtered",
-      (s, dir) => {
-        val ix = SharedIvfIndex(s, dir)
-        val centroids = s.createDataFrame(ix.centroids).toDF("cid", "cvec")
-        Similarity.ivfKnnPruned(
-            s.read.parquet(ix.path).filter(col("label") === 3),
-            "vec_id", "embedding", centroids, "cid", "cvec",
-            typedLit(SharedProbe(s, dir, ProbeId)), 10, ix.centroids.length)
-          .select(col("vec_id"), round(col("sim"), 6).as("sim"))
-          .orderBy(col("sim").desc, col("vec_id"))
-      },
+      (s, dir) => ivfLearnedKnn(s, dir, k = 10, nprobe = 0,
+          pred = Some(col("label") === 3)) // 0 ⇒ all (parity with oracle)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")),
       Some(s"""SELECT vec_id,
                       round(list_dot_product(embedding, pv)
                             / (sqrt(list_dot_product(embedding, embedding))

@@ -98,7 +98,8 @@ object Similarity {
     * lets a 100 TB corpus partition-prune by `centroid_id` afterwards.
     */
   def assignToCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val cents: Array[(Int, Seq[Float])] = centroids
       .select(col(cidCol).cast("int"), col(cvecCol))
       .collect()
@@ -109,8 +110,11 @@ object Similarity {
         lit(-cid).as("negcid"),
         lit(cid).as("cid"))
     }: _*)
-    corpus.select(col(idCol), col(vecCol),
-      array_max(scored).getField("cid").as("centroid_id"))
+    // keepCols carries metadata (e.g. a filterable label) through the
+    // same zero-shuffle projection — a join-back would scan the corpus
+    // twice for a column it already holds
+    corpus.select(col(idCol) +: col(vecCol) +: keepCols.map(col) :+
+      array_max(scored).getField("cid").as("centroid_id"): _*)
   }
 
   /** IVF search: scan only the corpus partitions owned by the probe's
