@@ -24,6 +24,23 @@ object TextQueries extends QueryPack {
       s"min(($a * h + $b) % 4294967296) AS mh$i"
     }.mkString(",\n                       ")
 
+  /** The oracle's mirror of [[Dedup.minHashCandidatesFromSignatures]]'s
+    * band-key construction for an arbitrary band count (k = 16 lanes),
+    * generated so the sweep oracle cannot drift from the Scala banding.
+    */
+  private def bandBucketsSql(bands: Int, as: String): String = {
+    val rows = 16 / bands
+    val cases = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => s"mh$i").mkString(", ")
+      s"WHEN $b THEN md5(concat_ws('|', $cols))"
+    }.mkString(" ")
+    val bandList = (0 until bands).mkString(",")
+    s"""$as AS (
+                SELECT doc_id, band,
+                       CASE band $cases END AS bkey
+                FROM sig, (SELECT unnest([$bandList]) AS band))"""
+  }
+
   /** One pinned shingle index per (session, fixture dir, n) — shared by
     * `doc_dedup_ngram` and `doc_dedup_clusters`, which both run the same
     * 3-gram Jaccard pipeline: without sharing, the clusters query rebuilds
@@ -2291,5 +2308,95 @@ object TextQueries extends QueryPack {
               SELECT n_cand, n_true, tp,
                      round(tp::DOUBLE / greatest(n_cand, 1), 4) AS prec,
                      round(tp::DOUBLE / greatest(n_true, 1), 4) AS recall
-              FROM m""")))
+              FROM m""")),
+
+    // The banding S-CURVE measured — doc_dedup_eval swept over
+    // bands ∈ {2, 4, 8} on the SAME 16-lane signatures (rows/band 8, 4,
+    // 2): fewer, wider bands demand longer exact-match runs (high
+    // precision, low recall); narrower bands the reverse. One row per
+    // config is exactly the table a pipeline reads to pick its operating
+    // point before a 100 TB dedup run — the dedup twin of
+    // vec_ivf_recall's nprobe sweep. The signature table builds once
+    // (shared pin); per config the work is one banding self-join over
+    // pair-sized frames, never corpus-scale.
+    Q("doc_dedup_eval_sweep",
+      (s, dir) => {
+        val sigs = SharedMinHashSigs(s, dir, 3, 16)
+        val exact = SharedJaccardPairs(s, dir, 3, 0.8).select("a_id", "b_id")
+          .localCheckpoint(eager = false)
+        val nt = exact.agg(count(lit(1)).as("n_true"))
+        Seq(2, 4, 8).map { b =>
+          val cand = Dedup.minHashCandidatesFromSignatures(sigs, k = 16,
+            bands = b).localCheckpoint(eager = false)
+          val nc = cand.agg(count(lit(1)).as("n_cand"))
+          val tp = cand.join(exact, Seq("a_id", "b_id"))
+            .agg(count(lit(1)).as("tp"))
+          nc.crossJoin(nt).crossJoin(tp)
+            .select(lit(b.toLong).as("bands"), col("n_cand"), col("n_true"),
+              col("tp"),
+              round(col("tp").cast("double") / greatest(col("n_cand"), lit(1L)), 4)
+                .as("prec"),
+              round(col("tp").cast("double") / greatest(col("n_true"), lit(1L)), 4)
+                .as("recall"))
+        }.reduce(_.union(_)).orderBy("bands")
+      },
+      Some(s"""WITH sh AS (
+                SELECT doc_id, unnest(
+                  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 for i in range(1, len(t) - 1)])) AS shingle
+                FROM (SELECT doc_id,
+                             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+                      FROM documents)),
+              lane AS (
+                SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+                FROM sh),
+              sig AS (
+                SELECT doc_id,
+                       ${minHashSigSql(k = 16)}
+                FROM lane GROUP BY doc_id),
+              ${bandBucketsSql(2, "bk2")},
+              ${bandBucketsSql(4, "bk4")},
+              ${bandBucketsSql(8, "bk8")},
+              c2 AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                     FROM bk2 a JOIN bk2 b
+                       ON a.band = b.band AND a.bkey = b.bkey
+                          AND a.doc_id < b.doc_id),
+              c4 AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                     FROM bk4 a JOIN bk4 b
+                       ON a.band = b.band AND a.bkey = b.bkey
+                          AND a.doc_id < b.doc_id),
+              c8 AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                     FROM bk8 a JOIN bk8 b
+                       ON a.band = b.band AND a.bkey = b.bkey
+                          AND a.doc_id < b.doc_id),
+              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              cnt AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+              pairs AS (
+                SELECT a_id, b_id FROM cnt
+                JOIN sizes sa ON cnt.a_id = sa.doc_id
+                JOIN sizes sb ON cnt.b_id = sb.doc_id
+                WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8),
+              m AS (
+                SELECT 2 AS bands,
+                       (SELECT count(*) FROM c2) AS n_cand,
+                       (SELECT count(*) FROM pairs) AS n_true,
+                       (SELECT count(*) FROM c2 JOIN pairs USING (a_id, b_id)) AS tp
+                UNION ALL
+                SELECT 4,
+                       (SELECT count(*) FROM c4),
+                       (SELECT count(*) FROM pairs),
+                       (SELECT count(*) FROM c4 JOIN pairs USING (a_id, b_id))
+                UNION ALL
+                SELECT 8,
+                       (SELECT count(*) FROM c8),
+                       (SELECT count(*) FROM pairs),
+                       (SELECT count(*) FROM c8 JOIN pairs USING (a_id, b_id)))
+              SELECT CAST(bands AS BIGINT) AS bands, n_cand, n_true, tp,
+                     round(tp::DOUBLE / greatest(n_cand, 1), 4) AS prec,
+                     round(tp::DOUBLE / greatest(n_true, 1), 4) AS recall
+              FROM m ORDER BY bands""")))
 }
