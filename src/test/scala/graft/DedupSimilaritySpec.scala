@@ -552,4 +552,24 @@ class DedupSimilaritySpec extends SparkSpec {
     val approx = events.select(approx_count_distinct("user_id", 0.02)).head().getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
+
+  test("nested LSH bandings nest their candidate sets (the sweep's s-curve theorem)") {
+    // with k = 16 lanes, the 2-band split's 8-lane bands are unions of
+    // the 4-band split's 4-lane bands, which are unions of the 8-band
+    // 2-lane bands: a pair agreeing on a wide band agrees on each of its
+    // halves, so candidates(2) ⊆ candidates(4) ⊆ candidates(8) — the
+    // monotone recall the doc_dedup_eval_sweep table reports is a
+    // structural property, not a fixture accident
+    val docs = Tables.table(spark, sfDir, "documents")
+    val sigs = graft.dedup.Dedup.minHashSignatures(docs, "doc_id", "text", 3, 16)
+      .localCheckpoint(eager = false)
+    def cands(b: Int) = graft.dedup.Dedup
+      .minHashCandidatesFromSignatures(sigs, k = 16, bands = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (c2, c4, c8) = (cands(2), cands(4), cands(8))
+    assert(c2.subsetOf(c4), s"${(c2 -- c4).take(3)} in bands=2 but not 4")
+    assert(c4.subsetOf(c8), s"${(c4 -- c8).take(3)} in bands=4 but not 8")
+    // and the widening is real on this corpus, not vacuous equality
+    assert(c8.size > c2.size)
+  }
 }
