@@ -83,8 +83,9 @@ object CurationDemo {
     q("doc_shard_plan").groupBy("source").agg(max("n_files").as("n_files"),
       count(lit(1)).as("docs")).orderBy("source").show(10, truncate = false)
 
-    println("== 10. LSH banding eval (doc_dedup_eval) ==")
+    println("== 10. LSH banding eval + s-curve sweep ==")
     q("doc_dedup_eval").show(truncate = false)
+    q("doc_dedup_eval_sweep").show(truncate = false)
 
     spark.stop()
   }

@@ -8,10 +8,12 @@ import graft.text.TextFunctions
 /** Dataset-ASSEMBLY operators: the stage between the curation verdict
   * (`pipeline_curate`) and the training run. A real 100 TB pipeline, after
   * dedup/quality/decontamination, still has to (1) mix domains to a
-  * token-denominated recipe, (2) upsample scarce domains by fractional
-  * epochs, (3) split train/valid/test without content leakage, (4) shuffle
-  * the corpus into a deterministic global order, and (5) plan output shard
-  * files. None of these is in the reference (a 163-line CDC relay,
+  * token-denominated recipe (expected-budget and hard-budget forms),
+  * (2) upsample scarce domains by fractional epochs, (3) split
+  * train/valid/test without content leakage, (4) shuffle the corpus into
+  * a deterministic global order, (5) plan output shard files, (6) emit
+  * the packed training sequences, and (7) audit what changed between
+  * releases. None of these is in the reference (a 163-line CDC relay,
   * `main.go`) — they are the BASELINE.json-mandated LLM-pipeline extension
   * surface, same family as `doc_pack`/`doc_mix_sample`.
   *
