@@ -41,6 +41,67 @@ object TextQueries extends QueryPack {
                 FROM sig, (SELECT unnest([$bandList]) AS band))"""
   }
 
+  /** The oracle's mirror of the trained quality model's full
+    * score/predict pipeline (feature augmentation → md5 hashing trick →
+    * NB sufficient statistics → micro-long weights → per-doc score) as a
+    * CTE chain ending in `scored(doc_id, score_micro, pred_keep,
+    * label)` — shared by `doc_quality_model` (row dump) and
+    * `doc_quality_eval` (confusion aggregate) so the two oracles cannot
+    * drift from each other.
+    */
+  private val QualityScoredSql: String =
+    """docs AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              lab AS (
+                SELECT doc_id, toks,
+                       len(toks) AS n,
+                       len(list_distinct(toks)) AS ud,
+                       len(list_filter(toks,
+                         x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS sd,
+                       len(toks) >= 25
+                       AND len(list_distinct(toks))::DOUBLE / len(toks) >= 0.35
+                       AND len(list_filter(toks,
+                             x -> x IN ('the','a','an','of','and','to','in','is','it','for')))::DOUBLE
+                           / len(toks) <= 0.15 AS label
+                FROM docs),
+              aug AS (
+                SELECT doc_id, label,
+                       list_concat(toks,
+                         ['L' || least(n // 5, 12)::VARCHAR,
+                          'U' || ((20 * ud) // n)::VARCHAR,
+                          'S' || ((20 * sd) // n)::VARCHAR]) AS ftoks
+                FROM lab),
+              tk AS (SELECT doc_id, label,
+                            ('0x' || substr(md5(tok), 1, 8))::BIGINT % 128 AS b
+                     FROM (SELECT doc_id, label, unnest(ftoks) AS tok FROM aug)),
+              cnt AS (SELECT b,
+                             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                             CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS cn
+                      FROM tk GROUP BY b),
+              tot AS (SELECT CAST(sum(cp) AS BIGINT) AS tp,
+                             CAST(sum(cn) AS BIGINT) AS tn FROM cnt),
+              w AS (SELECT g.range AS b,
+                           CAST(round(ln(
+                             ((coalesce(cnt.cp, 0) + 1) / (tot.tp + 128)) *
+                             ((tot.tn + 128) / (coalesce(cnt.cn, 0) + 1)))
+                             * 1000000, 0) AS BIGINT) AS w_l
+                    FROM range(128) g LEFT JOIN cnt ON cnt.b = g.range
+                    CROSS JOIN tot),
+              pri AS (SELECT CAST(round(ln(
+                               sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE /
+                               sum(CASE WHEN label THEN 0 ELSE 1 END)::DOUBLE)
+                               * 1000000, 0) AS BIGINT) AS prior_l
+                      FROM lab),
+              sc AS (SELECT tk.doc_id, CAST(sum(w.w_l) AS BIGINT) AS tsum
+                     FROM tk JOIN w USING (b) GROUP BY tk.doc_id),
+              scored AS (
+                SELECT l.doc_id,
+                       CAST(coalesce(sc.tsum, 0) + pri.prior_l AS BIGINT) AS score_micro,
+                       (coalesce(sc.tsum, 0) + pri.prior_l) > 0 AS pred_keep,
+                       l.label
+                FROM lab l LEFT JOIN sc ON sc.doc_id = l.doc_id
+                CROSS JOIN pri)"""
+
   /** One pinned shingle index per (session, fixture dir, n) — shared by
     * `doc_dedup_ngram` and `doc_dedup_clusters`, which both run the same
     * 3-gram Jaccard pipeline: without sharing, the clusters query rebuilds
@@ -2070,57 +2131,45 @@ object TextQueries extends QueryPack {
           .select("doc_id", "score_micro", "pred_keep", "label")
           .orderBy("doc_id")
       },
-      Some("""WITH docs AS (
-                SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-              lab AS (
-                SELECT doc_id, toks,
-                       len(toks) AS n,
-                       len(list_distinct(toks)) AS ud,
-                       len(list_filter(toks,
-                         x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS sd,
-                       len(toks) >= 25
-                       AND len(list_distinct(toks))::DOUBLE / len(toks) >= 0.35
-                       AND len(list_filter(toks,
-                             x -> x IN ('the','a','an','of','and','to','in','is','it','for')))::DOUBLE
-                           / len(toks) <= 0.15 AS label
-                FROM docs),
-              aug AS (
-                SELECT doc_id, label,
-                       list_concat(toks,
-                         ['L' || least(n // 5, 12)::VARCHAR,
-                          'U' || ((20 * ud) // n)::VARCHAR,
-                          'S' || ((20 * sd) // n)::VARCHAR]) AS ftoks
-                FROM lab),
-              tk AS (SELECT doc_id, label,
-                            ('0x' || substr(md5(tok), 1, 8))::BIGINT % 128 AS b
-                     FROM (SELECT doc_id, label, unnest(ftoks) AS tok FROM aug)),
-              cnt AS (SELECT b,
-                             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS cp,
-                             CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS cn
-                      FROM tk GROUP BY b),
-              tot AS (SELECT CAST(sum(cp) AS BIGINT) AS tp,
-                             CAST(sum(cn) AS BIGINT) AS tn FROM cnt),
-              w AS (SELECT g.range AS b,
-                           CAST(round(ln(
-                             ((coalesce(cnt.cp, 0) + 1) / (tot.tp + 128)) *
-                             ((tot.tn + 128) / (coalesce(cnt.cn, 0) + 1)))
-                             * 1000000, 0) AS BIGINT) AS w_l
-                    FROM range(128) g LEFT JOIN cnt ON cnt.b = g.range
-                    CROSS JOIN tot),
-              pri AS (SELECT CAST(round(ln(
-                               sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE /
-                               sum(CASE WHEN label THEN 0 ELSE 1 END)::DOUBLE)
-                               * 1000000, 0) AS BIGINT) AS prior_l
-                      FROM lab),
-              sc AS (SELECT tk.doc_id, CAST(sum(w.w_l) AS BIGINT) AS tsum
-                     FROM tk JOIN w USING (b) GROUP BY tk.doc_id)
-              SELECT l.doc_id,
-                     CAST(coalesce(sc.tsum, 0) + pri.prior_l AS BIGINT) AS score_micro,
-                     (coalesce(sc.tsum, 0) + pri.prior_l) > 0 AS pred_keep,
-                     l.label
-              FROM lab l LEFT JOIN sc ON sc.doc_id = l.doc_id
-              CROSS JOIN pri
-              ORDER BY l.doc_id""")),
+      Some(s"""WITH $QualityScoredSql
+              SELECT doc_id, score_micro, pred_keep, label
+              FROM scored ORDER BY doc_id""")),
+
+    // The classifier's EVALUATION — the measure-before-deploy twin the
+    // dedup (doc_dedup_eval) and ANN (vec_ivf_recall) stages already
+    // have: confusion counts + precision/recall of the trained model's
+    // predictions against the rule labels, the one row a pipeline reads
+    // before swapping the learned filter in for the heuristic. One
+    // aggregation over the zero-shuffle scoring projection; exact
+    // integer counts, single IEEE divisions.
+    Q("doc_quality_eval",
+      (s, dir) => {
+        val docs = SharedQualityModels.docs(s, dir)
+        val m = SharedQualityModels.nb(s, dir)
+        docs.select((QualityModel.score("ftoks", m) > 0).as("pred"),
+            col("label"))
+          .agg(
+            sum(when(col("pred") && col("label"), 1L).otherwise(0L)).as("tp"),
+            sum(when(col("pred") && !col("label"), 1L).otherwise(0L)).as("fp"),
+            sum(when(!col("pred") && col("label"), 1L).otherwise(0L)).as("fn"),
+            sum(when(!col("pred") && !col("label"), 1L).otherwise(0L)).as("tn"))
+          .select(col("tp"), col("fp"), col("fn"), col("tn"),
+            round(col("tp").cast("double") /
+              greatest(col("tp") + col("fp"), lit(1L)), 4).as("prec"),
+            round(col("tp").cast("double") /
+              greatest(col("tp") + col("fn"), lit(1L)), 4).as("recall"))
+      },
+      Some(s"""WITH $QualityScoredSql,
+              m AS (SELECT
+                      CAST(sum(CASE WHEN pred_keep AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                      CAST(sum(CASE WHEN pred_keep AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                      CAST(sum(CASE WHEN NOT pred_keep AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                      CAST(sum(CASE WHEN NOT pred_keep AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                    FROM scored)
+              SELECT tp, fp, fn, tn,
+                     round(tp::DOUBLE / greatest(tp + fp, 1), 4) AS prec,
+                     round(tp::DOUBLE / greatest(tp + fn, 1), 4) AS recall
+              FROM m""")),
 
     // Logistic-regression REFINEMENT of the same model: 3 fixed
     // full-batch gradient-descent iterations from the NB initialization,
