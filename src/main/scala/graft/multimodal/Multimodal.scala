@@ -734,11 +734,33 @@ object Multimodal {
     * pair demo/test: each clip should pair with exactly its twin.
     */
   def withScaledAudioTwins(media: DataFrame, num: Int, den: Int,
-      twinOffset: Long): DataFrame =
-    media.union(
+      twinOffset: Long): DataFrame = {
+    requireMediaSchema(media, "withScaledAudioTwins")
+    media.unionByName(
       media.filter(col("kind") === "audio")
-        .select((col("media_id") + twinOffset).as("media_id"), col("kind"),
+        .select((guardedId(twinOffset) + twinOffset).as("media_id"), col("kind"),
           encodeWavScaledUdf(col("media_id"), lit(num), lit(den)).as("bytes")))
+  }
+
+  /** Twin-builder input contract: positional unions silently misalign a
+    * caller's differently-ordered frame, so both builders union BY NAME
+    * and demand exactly the fakeMediaFromDocs column set up front.
+    */
+  private def requireMediaSchema(media: DataFrame, who: String): Unit = {
+    val need = Set("media_id", "kind", "bytes")
+    require(media.columns.toSet == need,
+      s"$who expects columns $need, got ${media.columns.mkString("(", ", ", ")")}")
+  }
+
+  /** media_id with the twin-collision guard folded into the expression
+    * (load-bearing, so column pruning cannot skip it): a real id at or
+    * above the offset would collide with a twin id and silently corrupt
+    * the planted-pair bookkeeping — fail the job instead.
+    */
+  private def guardedId(twinOffset: Long) =
+    when(col("media_id") < twinOffset, col("media_id"))
+      .otherwise(raise_error(concat(
+        lit(s"twin offset $twinOffset <= real media_id "), col("media_id"))))
 
   /** Re-encode `mediaId`'s fixture image with every channel brightened by
     * `delta` (clamped) — the planted near-duplicate used to demonstrate
@@ -772,11 +794,13 @@ object Multimodal {
     * demo/test: each image should pair with exactly its twin.
     */
   def withBrightenedTwins(media: DataFrame, delta: Int,
-      twinOffset: Long): DataFrame =
-    media.union(
+      twinOffset: Long): DataFrame = {
+    requireMediaSchema(media, "withBrightenedTwins")
+    media.unionByName(
       media.filter(col("kind") === "image")
-        .select((col("media_id") + twinOffset).as("media_id"), col("kind"),
+        .select((guardedId(twinOffset) + twinOffset).as("media_id"), col("kind"),
           encodePngBrightenedUdf(col("media_id"), lit(delta)).as("bytes")))
+  }
 
   private def kindOf(idCol: Column): Column =
     element_at(array(lit("image"), lit("audio"), lit("video")),

@@ -146,8 +146,14 @@ object AssemblyQueries extends QueryPack {
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
           .join(mixBudgets(s, docs), "lang") // the shared mixture recipe
           .select(col("lang"), col("bkt"), col("before"), col("budget"),
+            // strict > for 'drop': a zero-token doc in a bucket starting
+            // exactly at the budget has cum == budget and the oracle's
+            // cum <= budget KEEPS it — routing the boundary bucket through
+            // the cut branch (whose filter is the same cum <= budget)
+            // matches the oracle with or without the n_tok >= 1 guarantee
+            // of whitespace tokenization
             when(col("before") + col("s") <= col("budget"), "keep")
-              .when(col("before") >= col("budget"), "drop")
+              .when(col("before") > col("budget"), "drop")
               .otherwise("cut").as("cls"))
         val classified = docs.join(broadcast(cls), Seq("lang", "bkt"))
         val kept = classified.filter(col("cls") === "keep")
@@ -324,6 +330,64 @@ object AssemblyQueries extends QueryPack {
               FROM (SELECT doc_id, source, shard, text, n_tok, cum AS cum0 FROM p)
               GROUP BY source, shard, bin
               ORDER BY source, shard, bin""")),
+
+    // Token-ID EMISSION — the last hop to a model-ready artifact: the
+    // packed sequences doc_pack plans, emitted as INTEGER TOKEN IDS
+    // through the learned BPE vocabulary (the training run consumes
+    // integer tensors, not text). Pipeline: the corpus's distinct words
+    // encode through the shared 8-step merge table (vocab-sized UDF pass,
+    // distributed — the merge loop never sees a fact row); subword ids
+    // assign deterministically (lexicographic rank; <eos> = |subwords|);
+    // the (word → id-array) table is tokenizer-sized and ships to every
+    // task as a broadcast — exactly the object a real pipeline ships as
+    // its tokenizer (if a raw web vocab outgrew broadcast, the lever is
+    // posexplode + broadcast join + per-doc re-collect, documented not
+    // shipped). Emission reuses [[packPlan]] — one exchange carries each
+    // token id once to its bin's reducer (same co-partitioning proof as
+    // doc_pack_emit), and the output row certifies the id stream with
+    // md5 over the comma-joined ids (eos id spliced between docs), not
+    // the ids themselves. Rows-only: 8 chained greedy BPE rewrites are
+    // not SQL-mirrorable (the text_bpe_train adjudication); AssemblySpec
+    // proves bit-parity against a full local replay (learnLocal +
+    // driver-side re-pack) at sf0.001.
+    Q("doc_pack_emit_ids",
+      (s, dir) => {
+        val merges = TextQueries.SharedBpeMerges(s, dir, 8)
+        val norm = TextFunctions.tokens(TextFunctions.normalize(col("text")))
+        // distributed vocab encode (the text_bpe_encode shape), then the
+        // tokenizer-sized collect that becomes the broadcast tokenizer
+        val encUdf = udf((w: String) => graft.text.Bpe.encodeWord(w, merges))
+        val encoded = t(s, dir, "documents")
+          .select(explode(norm).as("word"))
+          .filter(length(col("word")) > 0)
+          .distinct()
+          .select(col("word"), encUdf(col("word")).as("subs"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[String](1))
+        val subIds = encoded.iterator.flatMap(_._2).toArray
+          .distinct.sorted.zipWithIndex.toMap
+        val eosId = subIds.size
+        val wordIds: Map[String, Array[Int]] =
+          encoded.map { case (w, subs) => w -> subs.map(subIds).toArray }.toMap
+        val bcIds = s.sparkContext.broadcast(wordIds)
+        val idsUdf = udf((ws: Seq[String]) =>
+          ws.flatMap(w => bcIds.value.getOrElse(w, Array.empty[Int])))
+        packPlan(t(s, dir, "documents"))
+          .withColumn("ids", idsUdf(norm))
+          .withColumn("ids_str",
+            array_join(transform(col("ids"), i => i.cast("string")), ","))
+          .withColumn("n_ids", size(col("ids")).cast("long"))
+          .groupBy("source", "shard", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            (sum("n_ids") + count(lit(1)) - 1).as("n_ids"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(struct(col("doc_id"), col("ids_str")))),
+                x => x.getField("ids_str")),
+              s",$eosId,")).as("ids_md5"))
+          .orderBy("source", "shard", "bin")
+      },
+      None),
 
     // Corpus VERSION DIFF — the release audit between two dataset
     // versions ("what changed in v2 vs v1?"): docs keyed by CONTENT

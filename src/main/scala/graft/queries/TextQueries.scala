@@ -140,7 +140,7 @@ object TextQueries extends QueryPack {
     * Lloyd's-style learn the trainer just finished. A Seq of k case
     * classes, so the pin is trivially small and needs no eviction hook.
     */
-  private object SharedBpeMerges {
+  private[queries] object SharedBpeMerges {
     private val memo =
       new SessionMemo[(String, Int), Seq[graft.text.Bpe.Merge]]()
     def apply(s: org.apache.spark.sql.SparkSession, dir: String, steps: Int)

@@ -13,42 +13,38 @@ class AssemblySpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
 
-  test("doc_mix_tokens keeps token mass proportional to the recipe weights") {
+  test("doc_mix_tokens keeps exactly the deterministic md5-predicate set") {
     val weights = Map("en" -> 4L, "de" -> 3L, "fr" -> 2L, "es" -> 2L, "zh" -> 1L)
-    val kept = run("doc_mix_tokens")
-      .groupBy("lang").agg(sum("n_tok").as("kept")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val totals = Tables.table(spark, sfDir, "documents")
-      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
-      .groupBy("lang").agg(sum("n").as("t")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val spread = Tables.table(spark, sfDir, "documents")
-      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
-      .groupBy("lang").agg(sum(col("n") * col("n")).as("s2"), max("n").as("mx"))
+    // the keep decision is fully deterministic for a given fixture
+    // (md5 bucket × lang token total vs budget), so the expected KEPT SET
+    // is computable exactly on the driver — no stochastic tolerance band
+    // to tune (or to flake on a fixture/tokenizer change)
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(1000000L)).as("b"))
       .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val totals = docs.groupBy(_._2).map { case (l, ds) => l -> ds.map(_._3).sum }
     val tUnits = weights.keys.map(l => totals(l) / weights(l)).min
-    for ((lang, wt) <- weights) {
-      val expected = (tUnits * wt).toDouble
-      val got = kept.getOrElse(lang, 0L).toDouble
-      // whole docs keep or drop together, so the kept-token count is a
-      // sum of per-doc Bernoullis weighted by n_tok: σ² = p(1−p)·Σn_tok².
-      // A 5σ band plus a 3-max-doc quantization floor is the honest
-      // tolerance at ANY scale factor: the md5 buckets are one FIXED draw
-      // per fixture, so near p≈1 a single tail-bucket doc can realize a
-      // many-σ deviation of at most a few doc sizes (observed: de drops
-      // one 90-token doc at sf0.001 where 5σ is 59 tokens).
-      val p = math.min(1.0, expected / totals(lang).toDouble)
-      val (s2, mx) = spread(lang)
-      val sigma = math.sqrt(p * (1 - p) * s2.toDouble)
-      assert(math.abs(got - expected) <= 5 * sigma + 3 * mx,
-        s"$lang kept $got expected ~$expected (5σ=${5 * sigma}, max=$mx)")
-      // never overshoot the domain's own supply
-      assert(got <= totals(lang).toDouble)
-    }
-    // the bottleneck domain (smallest t/wt) is kept near-entirely
+    val expectedKept = docs
+      .filter(d => d._4 * totals(d._2) < tUnits * weights(d._2) * 1000000L)
+      .map(_._1).toSet
+    val got = run("doc_mix_tokens").collect().map(_.getLong(0)).toSet
+    assert(got == expectedKept,
+      s"kept set diverged: missing=${(expectedKept -- got).take(5)} " +
+        s"extra=${(got -- expectedKept).take(5)}")
+    // distribution-shape sanity, now on the EXACT set (still non-flaky):
+    // no domain overshoots its own supply, and the bottleneck domain
+    // (smallest t/wt) keeps near-everything — its keep probability is
+    // budget/tok > 1 − wt/tok (exactly 1 only when wt | tok), so assert
+    // the 90% floor, deterministic per fixture
+    val keptTok = docs.filter(d => expectedKept(d._1))
+      .groupBy(_._2).map { case (l, ds) => l -> ds.map(_._3).sum }
+    for ((lang, t) <- totals) assert(keptTok.getOrElse(lang, 0L) <= t)
     val bottleneck = weights.keys.minBy(l => totals(l) / weights(l))
-    assert(kept(bottleneck).toDouble >= 0.6 * totals(bottleneck))
+    assert(keptTok(bottleneck) * 10L >= totals(bottleneck) * 9L)
   }
 
   test("doc_mix_tokens_exact keeps a maximal within-budget hash-order prefix") {
@@ -140,5 +136,51 @@ class AssemblySpec extends SparkSpec {
         col("n_files") < 1)
       .count()
     assert(bad == 0L)
+  }
+
+  test("doc_pack_emit_ids bit-matches a full local tokenizer+pack replay") {
+    import graft.text.Bpe
+    // end-to-end local oracle: driver-side normalize/tokenize, learnLocal
+    // (≡ the distributed learn by BpeSpec), lexicographic subword ids,
+    // greedy re-pack — every (source, shard, bin) row must match
+    // (n_docs, n_ids, md5 of the id stream) bit-for-bit
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def normToks(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").toSeq
+    val freqs = docs.toSeq.flatMap(d => normToks(d._3)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val merges = Bpe.learnLocal(freqs, 8)
+    val encoded = freqs.keys.map(w => w -> Bpe.encodeWord(w, merges)).toMap
+    val subIds = encoded.values.flatten.toSeq.distinct.sorted.zipWithIndex.toMap
+    val eos = subIds.size
+    def docIds(t: String): Seq[Int] =
+      normToks(t).flatMap(w => encoded.getOrElse(w, Seq.empty).map(subIds))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = docs.groupBy(d => (d._2, d._1 / 1000)).toSeq.flatMap {
+      case ((src, shard), ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { d =>
+          cum += d._3.split(" ", -1).length // raw whitespace n_tok, empties kept
+          (src, shard, (cum - 1) / 512, d)
+        }
+    }.groupBy(t => (t._1, t._2, t._3)).map { case (key, members) =>
+      val inOrder = members.sortBy(_._4._1)
+      val idStrs = inOrder.map(m => docIds(m._4._3).mkString(","))
+      val nIds = inOrder.map(m => docIds(m._4._3).length.toLong).sum +
+        inOrder.length - 1
+      key -> ((inOrder.length.toLong, nIds, md5hex(idStrs.mkString(s",$eos,"))))
+    }
+    val got = run("doc_pack_emit_ids").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(got.keySet == expected.keySet,
+      s"bin sets diverge: ${(got.keySet diff expected.keySet).take(3)} / " +
+        s"${(expected.keySet diff got.keySet).take(3)}")
+    for ((k, e) <- expected)
+      assert(got(k) == e, s"bin $k: got ${got(k)} expected $e")
   }
 }

@@ -655,4 +655,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("rel_q2 decorrelates the min-cost subquery — no per-row rescan") {
+    val p = plan("rel_q2")
+    // the correlated scalar subquery becomes ONE grouped min joined back
+    // by broadcast equality; a surviving correlation would show up as a
+    // nested-loop / cartesian rescan of partsupp
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("rel_q16's NOT IN plans as a broadcast LEFT ANTI hash join") {
+    val p = plan("rel_q16")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("rel_q20's nested IN subqueries decorrelate to hash semi-joins") {
+    val p = plan("rel_q20")
+    // the correlated availqty > 0.5*sum(shipped) becomes one grouped agg
+    // joined on the composite key; the supplier membership is a broadcast
+    // LEFT SEMI — no nested loop anywhere
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
