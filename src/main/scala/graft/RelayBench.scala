@@ -59,6 +59,28 @@ object RelayBench {
     val relayed = spark.read.parquet(out).count()
     println(s"""{"metric":"relay_events_per_sec","value":${(n / sec).round},"unit":"events/s","events":$n,"relayed":$relayed,"sec":$sec,"sf":"$sfDir"}""")
 
+    // SCALE-OUT sweep: the same stateless leg with the SOURCE written as
+    // exactly P files — the local stand-in for "P change-stream
+    // partitions across executors" (a file split is the relay's unit of
+    // parallelism, like a Kafka/Mongo shard would be on a cluster).
+    // Substantiates (or corrects) BASELINE.md's linear-scaling claim
+    // with measured rows instead of an assertion.
+    val sweep = sys.env.getOrElse("SPARK_GRAFT_RELAY_PARTS", "1,2,4,8,16")
+      .split(",").map(_.trim.toInt).filter(_ > 0)
+    val synth = spark.read.text(src) // reuse the synthesized wire format
+    sweep.foreach { p =>
+      val srcP = Files.createTempDirectory(s"relaybench_src_$p").toString
+      val outP = Files.createTempDirectory(s"relaybench_out_$p").toString
+      val chkP = Files.createTempDirectory(s"relaybench_chk_$p").toString
+      synth.repartition(p).write.mode("overwrite").text(srcP)
+      val tp = System.nanoTime()
+      ChangeStreamRelay.run(spark, srcP, outP, chkP).awaitTermination()
+      val secP = (System.nanoTime() - tp) / 1e9
+      println(s"""{"metric":"relay_scaleout","partitions":$p,"value":${(n / secP).round},"unit":"events/s","events":$n,"sec":$secP,"sf":"$sfDir"}""")
+      Seq(srcP, outP, chkP).foreach(d =>
+        graft.operators.Artifacts.deleteRecursively(java.nio.file.Paths.get(d)))
+    }
+
     // STATEFUL leg: the same source through the transformWithState
     // latest-state materialization (one shuffle on documentKey, RocksDB
     // state store — the spill-to-disk provider a 100 TB keyset needs),

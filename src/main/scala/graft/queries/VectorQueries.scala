@@ -781,6 +781,119 @@ object VectorQueries extends QueryPack {
                ORDER BY nprobe"""
       })),
 
+    // Index STALENESS measurement — the missing third column of the
+    // index lifecycle (build → append → MEASURE DRIFT): recall@10 at
+    // nprobe ∈ {1,2,4,8} BEFORE and AFTER an off-distribution append
+    // (the 10% ingest batch re-enters NEGATED — a new embedding mode no
+    // standing centroid represents — with offset ids, served WITHOUT a
+    // re-fit, exactly what vec_index_append does). The drifted phase's
+    // recall curve sits strictly below the base curve at the middle
+    // nprobe settings because the new mode's neighbors scatter across
+    // buckets whose centroids never saw it — the measured decay that
+    // justifies needsRebalance's re-cluster signal (IvfAppendSpec pins
+    // the skew half of that signal; IvfDriftSpec ties the two). Both
+    // phases anchor at recall = 1.0 for nprobe = ALL (provably brute
+    // force), which is what lets ONE exact SQL mirror oracle the whole
+    // two-phase measurement. Scale shape: per phase, one assigned table
+    // and one exact top-10 feed all four probes (lazy local checkpoints,
+    // the vec_ivf_recall move) — a 100 TB drift audit pays two corpus
+    // passes, not eight.
+    Q("vec_ivf_recall_drift",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val centroids = embs.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val base = embs.select("vec_id", "embedding")
+        val aug = base.unionByName(
+          embs.filter(col("vec_id") % 10 >= 9)
+            .select((col("vec_id") + 1000000L).as("vec_id"),
+              transform(col("embedding"), x => -x).as("embedding")))
+        val pb = SharedProbe(s, dir, ProbeId)
+        def phase(name: String, corpus: org.apache.spark.sql.DataFrame,
+            probe: Seq[Float]) = {
+          val probeCol = typedLit(probe)
+          val assigned = Similarity.assignToCentroids(
+              corpus, "vec_id", "embedding", centroids, "cid", "cvec")
+            .localCheckpoint(eager = false)
+          val brute = Similarity
+            .bruteForceKnn(corpus, "vec_id", "embedding", probeCol, 10)
+            .select("vec_id")
+            .localCheckpoint(eager = false)
+          Seq(1, 2, 4, 8).map { np =>
+            Similarity.ivfKnn(assigned, "vec_id", "embedding",
+                centroids, "cid", "cvec", probeCol, 10, nprobe = np)
+              .select("vec_id")
+              .join(brute, "vec_id")
+              .agg(count(lit(1)).as("hits"))
+              .select(lit(name).as("phase"), lit(np.toLong).as("nprobe"),
+                col("hits"), round(col("hits") / lit(10.0), 2).as("recall"))
+          }.reduce(_ unionByName _)
+        }
+        // the drifted phase is probed from INSIDE the new mode (the
+        // negated probe): that is the traffic an index serves after the
+        // corpus shifts, and the traffic the decay shows up on
+        phase("base", base, pb)
+          .unionByName(phase("drifted", aug, pb.map(x => -x)))
+          .orderBy("phase", "nprobe")
+      },
+      Some({
+        def cos(a: String, b: String) =
+          s"""list_dot_product($a, $b)
+              / (sqrt(list_dot_product($a, $a))
+                 * sqrt(list_dot_product($b, $b)))"""
+        val phases = Seq(("base", "base_c", "pb"), ("drifted", "aug_c", "pd"))
+        val perPhase = phases.map { case (ph, corpus, probe) =>
+          val assigned =
+            s"""assigned_$ph AS (
+                  SELECT vec_id, embedding, cid FROM (
+                    SELECT e.vec_id, e.embedding, c.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY ${cos("e.embedding", "c.cvec")} DESC,
+                                      c.cid) AS rn
+                    FROM $corpus e, cents c)
+                  WHERE rn = 1),
+                brute_$ph AS (
+                  SELECT vec_id FROM $corpus, $probe
+                  ORDER BY ${cos("embedding", "pv")} DESC, vec_id LIMIT 10)"""
+          val perNp = Seq(1, 2, 4, 8).map { np =>
+            s"""pc_${ph}_$np AS (
+                  SELECT cid FROM cents, $probe
+                  ORDER BY ${cos("cvec", "pv")} DESC, cid LIMIT $np),
+                iv_${ph}_$np AS (
+                  SELECT a.vec_id FROM assigned_$ph a, $probe
+                  WHERE a.cid IN (SELECT cid FROM pc_${ph}_$np)
+                  ORDER BY ${cos("a.embedding", "pv")} DESC, a.vec_id
+                  LIMIT 10),
+                r_${ph}_$np AS (
+                  SELECT '$ph' AS phase, CAST($np AS BIGINT) AS nprobe,
+                         CAST(count(*) AS BIGINT) AS hits
+                  FROM iv_${ph}_$np JOIN brute_$ph USING (vec_id))"""
+          }.mkString(",\n")
+          s"$assigned,\n$perNp"
+        }.mkString(",\n")
+        val unions = phases.flatMap { case (ph, _, _) =>
+          Seq(1, 2, 4, 8).map(np => s"SELECT * FROM r_${ph}_$np")
+        }.mkString(" UNION ALL ")
+        s"""WITH base_c AS (SELECT vec_id, embedding FROM embeddings),
+               aug_c AS (
+                 SELECT vec_id, embedding FROM base_c
+                 UNION ALL
+                 SELECT vec_id + 1000000 AS vec_id,
+                        list_transform(embedding, x -> -x) AS embedding
+                 FROM embeddings WHERE vec_id % 10 >= 9),
+               cents AS (SELECT vec_id AS cid, embedding AS cvec
+                         FROM embeddings WHERE vec_id < 8),
+               pb AS (SELECT embedding AS pv FROM embeddings
+                      WHERE vec_id = $ProbeId),
+               pd AS (SELECT list_transform(embedding, x -> -x) AS pv
+                      FROM embeddings WHERE vec_id = $ProbeId),
+               $perPhase
+               SELECT phase, nprobe, hits,
+                      round(hits / CAST(10.0 AS DOUBLE), 2) AS recall
+               FROM ($unions)
+               ORDER BY phase, nprobe"""
+      })),
+
     // SemDeDup (Abbas et al. 2023): SEMANTIC dedup = cluster the
     // embedding space, then drop any vector with a higher-priority
     // (smaller-id) neighbor above the cosine threshold WITHIN ITS

@@ -31,13 +31,30 @@ import graft.text.Winnow
   */
 object ContaminationGuard {
 
+  /** Hard ceiling on the standing index: ~10⁷ longs ≈ 80 MB raw — past
+    * that, per-task closure shipping stops being the right plan shape.
+    * The contract used to live only in the scaladoc; a caller pointing
+    * the guard at a corpus-sized frame now fails fast instead of OOMing
+    * the driver.
+    */
+  val MaxIndexSize: Long = 10L * 1000 * 1000
+
   /** Distinct winnowed fingerprints of the standing corpus, collected
     * driver-side — the model-size contract (an eval suite, not a
-    * corpus).
+    * corpus). Throws when the distinct-fingerprint count exceeds
+    * [[MaxIndexSize]] (counted BEFORE collecting, so the driver never
+    * holds the oversized set).
     */
-  def standingIndex(docs: DataFrame): Set[Long] =
-    Winnow.fingerprintsDf(docs)
-      .select("fp").distinct().collect().map(_.getLong(0)).toSet
+  def standingIndex(docs: DataFrame): Set[Long] = {
+    val fps = Winnow.fingerprintsDf(docs).select("fp").distinct()
+    val n = fps.count()
+    require(n <= MaxIndexSize,
+      s"standing contamination index has $n fingerprints (max $MaxIndexSize): " +
+        "this side must be the EVAL suite, not a corpus — for a corpus-" +
+        "sized index, run the stream-static broadcast-join form over the " +
+        "exploded fingerprints (the text_winnow_matches shape) instead")
+    fps.collect().map(_.getLong(0)).toSet
+  }
 
   /** Annotate a (doc_id, text) stream (or batch frame — the projection
     * is engine-agnostic) with fingerprint/hit counts and the

@@ -112,6 +112,72 @@ class IvfAppendSpec extends SparkSpec {
     assert(rep.needsRebalance)
   }
 
+  test("a boundary-mode append decays recall@1, trips the skew signal, and a re-fit restores both") {
+    // The planted drift scenario vec_ivf_recall_drift measures on the
+    // fixture, here PROVABLE by construction: a new embedding mode lands
+    // on the c0/c1 decision boundary, so (a) its members split across
+    // the two buckets and a probe from inside the mode loses exactly
+    // half its true neighbors at nprobe=1, and (b) the mode's volume
+    // concentrates in 2 of 4 buckets and breaches the build-time skew
+    // bound — the SAME ingest produces the decay AND the signal, and the
+    // signal's remedy (a re-fit whose centroid set covers the mode)
+    // restores recall@1 to 1.0.
+    val centroids4 = Seq(
+      (0, Seq(1f, 0f, 0f, 0f)), (1, Seq(0f, 1f, 0f, 0f)),
+      (2, Seq(0f, 0f, 1f, 0f)), (3, Seq(0f, 0f, 0f, 1f))).toDF("cid", "cvec")
+    def axisVecs(ids: Range, axis: Int) = ids.map { i =>
+      val v = Seq.tabulate(4)(d =>
+        if (d == axis) 1f else if (d == (axis + 1) % 4) 0.1f * (i % 3) else 0f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val base = (0 until 4).map(a => axisVecs(a * 10 until (a + 1) * 10, a))
+      .reduce(_ union _)
+    // boundary mode: equal c0/c1 weight, an alternating ±0.001 lean
+    // deciding the bucket, a third component cycling i%3 deciding the
+    // within-mode ranking (i%3 == 0 ⇒ the probe's nearest ring)
+    val boundary = (100 until 140).map { i =>
+      val lean = if (i % 2 == 0) 0.001f else -0.001f
+      (i.toLong, Seq(1f + lean, 1f - lean, 0.01f * (i % 3), 0f))
+    }.toDF("vec_id", "embedding")
+    val pd = typedLit(Seq(1f, 1f, 0f, 0f)) // probes from inside the mode
+
+    val aug = base.union(boundary)
+    val assigned = Similarity.assignToCentroids(
+      aug, "vec_id", "embedding", centroids4, "cid", "cvec")
+    val brute = Similarity.bruteForceKnn(aug, "vec_id", "embedding", pd, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // the mode's nearest ring is i%3==0, whose parities alternate: the
+    // true top-10 splits 5/5 across buckets 0 and 1
+    assert(brute == Set(102L, 105L, 108L, 111L, 114L, 117L, 120L, 123L, 126L, 129L))
+    def recallAt(centroids: org.apache.spark.sql.DataFrame, np: Int) = {
+      val asg = Similarity.assignToCentroids(
+        aug, "vec_id", "embedding", centroids, "cid", "cvec")
+      Similarity.ivfKnn(asg, "vec_id", "embedding", centroids,
+          "cid", "cvec", pd, 10, nprobe = np)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+        .intersect(brute).size / 10.0
+    }
+    assert(recallAt(centroids4, 1) == 0.5) // exactly half the neighbors lost
+    assert(recallAt(centroids4, 4) == 1.0) // nprobe=ALL stays exact
+
+    // the same ingest breaches the skew bound through the real append path
+    val root = Files.createTempDirectory("ivfapp_drift")
+    val corpus = root.resolve("corpus").toString
+    val baseAssigned = Similarity.assignToCentroids(
+      base, "vec_id", "embedding", centroids4, "cid", "cvec")
+    baseAssigned.write.partitionBy("centroid_id").parquet(corpus)
+    IvfMaintenance.initStats(corpus, baseAssigned)
+    val rep = IvfMaintenance.append(boundary, "vec_id", "embedding",
+      centroids4, "cid", "cvec", corpus, 1L)
+    assert(rep.needsRebalance,
+      "the boundary-mode ingest must trip the rebalance signal")
+
+    // the remedy the signal calls for: a centroid covering the new mode
+    val refit = centroids4.union(
+      Seq((4, Seq(1f, 1f, 0f, 0f))).toDF("cid", "cvec"))
+    assert(recallAt(refit, 1) == 1.0)
+  }
+
   test("append+search at nprobe=ALL equals brute force over the full corpus") {
     val result = SparkEntry.queries("vec_index_append")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
