@@ -67,16 +67,33 @@ object RelayBench {
     // with measured rows instead of an assertion.
     val sweep = sys.env.getOrElse("SPARK_GRAFT_RELAY_PARTS", "1,2,4,8,16")
       .split(",").map(_.trim.toInt).filter(_ > 0)
+    // 10× the headline volume: at 100 k events a run bottoms out on the
+    // ~0.7 s fixed micro-batch cost (query start, checkpoint commit) and
+    // every partition count measures the same floor — the sweep must be
+    // big enough that PER-EVENT work dominates or it measures overhead
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_RELAY_REPLICAS", "10").toInt
     val synth = spark.read.text(src) // reuse the synthesized wire format
+    val big = Range(0, replicas).map(_ => synth).reduce(_ union _)
+    val nBig = n * replicas
+    // one file == one task — BOTH defaults fight this: split size =
+    // min(maxPartitionBytes, max(openCost, totalBytes/minPartitionNum)),
+    // so the stock minPartitionNum (= cores = 32) byte-splits even ONE
+    // file 32 ways and flattens the curve from above, while pinning
+    // minPartitionNum=1 makes the split size the whole input and the
+    // bin-packer then packs ALL files into one partition, flattening it
+    // from below (both observed). minPartitionNum = p sizes the split to
+    // exactly one equal-sized file
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4g")
     sweep.foreach { p =>
       val srcP = Files.createTempDirectory(s"relaybench_src_$p").toString
       val outP = Files.createTempDirectory(s"relaybench_out_$p").toString
       val chkP = Files.createTempDirectory(s"relaybench_chk_$p").toString
-      synth.repartition(p).write.mode("overwrite").text(srcP)
+      spark.conf.set("spark.sql.files.minPartitionNum", p.toString)
+      big.repartition(p).write.mode("overwrite").text(srcP)
       val tp = System.nanoTime()
       ChangeStreamRelay.run(spark, srcP, outP, chkP).awaitTermination()
       val secP = (System.nanoTime() - tp) / 1e9
-      println(s"""{"metric":"relay_scaleout","partitions":$p,"value":${(n / secP).round},"unit":"events/s","events":$n,"sec":$secP,"sf":"$sfDir"}""")
+      println(s"""{"metric":"relay_scaleout","partitions":$p,"value":${(nBig / secP).round},"unit":"events/s","events":$nBig,"sec":$secP,"sf":"$sfDir"}""")
       Seq(srcP, outP, chkP).foreach(d =>
         graft.operators.Artifacts.deleteRecursively(java.nio.file.Paths.get(d)))
     }

@@ -38,15 +38,27 @@ object RelationalQueries extends QueryPack {
     * a narrow map. The DuckDB mirror is the `ps AS (...)` CTE each oracle
     * repeats verbatim.
     */
+  private object SharedPartsupp {
+    private val memo = new SessionMemo[String, DataFrame](
+      SessionMemo.unpersistDf, pinsExecutorStorage = true)
+    def apply(s: SparkSession, dir: String): DataFrame = memo(s, dir)(
+      graft.Tables.table(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+        .select(
+          col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"),
+          (((col("l_partkey") * 31 + col("l_suppkey") * 17) % 10000) / lit(100.0) + lit(1.0))
+            .as("ps_supplycost"),
+          ((col("l_partkey") * 7 + col("l_suppkey") * 11) % 9999 + 1).as("ps_availqty"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** The memoized-and-pinned synthesized table (six queries derive from
+    * it; rel_q2 consumes it twice in one plan — without the pin each use
+    * re-pays the lineitem distinct shuffle).
+    */
   private def partsupp(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .select("l_partkey", "l_suppkey").distinct()
-      .select(
-        col("l_partkey").as("ps_partkey"),
-        col("l_suppkey").as("ps_suppkey"),
-        (((col("l_partkey") * 31 + col("l_suppkey") * 17) % 10000) / lit(100.0) + lit(1.0))
-          .as("ps_supplycost"),
-        ((col("l_partkey") * 7 + col("l_suppkey") * 11) % 9999 + 1).as("ps_availqty"))
+    SharedPartsupp(s, dir)
 
   /** The ps CTE every partsupp oracle opens with — kept in ONE string so
     * the Spark synthesis above and the DuckDB mirror cannot drift.
