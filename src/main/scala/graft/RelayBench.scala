@@ -97,6 +97,9 @@ object RelayBench {
       Seq(srcP, outP, chkP).foreach(d =>
         graft.operators.Artifacts.deleteRecursively(java.nio.file.Paths.get(d)))
     }
+    // the stateful leg below must run on stock split planning
+    spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    spark.conf.unset("spark.sql.files.minPartitionNum")
 
     // STATEFUL leg: the same source through the transformWithState
     // latest-state materialization (one shuffle on documentKey, RocksDB

@@ -103,6 +103,67 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("crash-resume: checkpointed dedup restarts with no loss, no dupes, one winner per fp") {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    withRocksDb {
+      import spark.implicits._
+      val src = Files.createTempDirectory("sdedup_src").toString
+      val out = Files.createTempDirectory("sdedup_out").toString
+      val chk = Files.createTempDirectory("sdedup_chk").toString
+      // 10 files × 3 docs; every content string recurs 3× ACROSS files,
+      // so duplicate groups straddle the kill point by construction
+      val nFiles = 10; val perFile = 3
+      for (f <- 0 until nFiles)
+        Files.writeString(java.nio.file.Paths.get(s"$src/f$f.json"),
+          (0 until perFile).map { i =>
+            val id = f * perFile + i
+            s"""{"doc_id":$id,"text":"payload ${id % 10}"}"""
+          }.mkString("\n"))
+      def start(trigger: Trigger) = {
+        val env = spark.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .json(src)
+        StreamingDedup.dedup(StreamingDedup.fingerprinted(env).as[Doc])
+          .toDF().writeStream
+          .option("checkpointLocation", chk)
+          .trigger(trigger)
+          // the relay/AggSink exactly-once convention: each epoch
+          // OVERWRITES its own batch dir, so a replayed epoch is
+          // idempotent and checkpoint + idempotent sink = exactly-once
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            b.write.mode("overwrite").parquet(s"$out/batch=$id")
+          }.start()
+      }
+      val q1 = start(Trigger.ProcessingTime("250 milliseconds"))
+      val deadline = System.nanoTime() + 60e9.toLong
+      while (q1.recentProgress.count(_.numInputRows > 0) < 2
+          && System.nanoTime() < deadline) Thread.sleep(50)
+      q1.stop() // the crash: state + offsets live only in the checkpoint
+      val afterKill = spark.read.parquet(out).count()
+      assert(afterKill < (nFiles * perFile).toLong,
+        s"kill was supposed to land mid-source, but all $afterKill rows are there")
+      start(Trigger.AvailableNow()).awaitTermination()
+
+      val rows = spark.read.parquet(out)
+        .select("doc_id", "fp", "unique", "first_id").collect()
+        .map(r => Verdict(r.getLong(0), r.getString(1), r.getBoolean(2),
+          r.getLong(3)))
+      // exactly-once: every doc classified exactly once across the restart
+      assert(rows.map(_.doc_id).sorted.toSeq ==
+        (0 until nFiles * perFile).map(_.toLong),
+        "resume must classify every doc exactly once across the restart")
+      // state survived the crash: per fingerprint exactly ONE winner, and
+      // every duplicate points at that winner's id
+      rows.groupBy(_.fp).foreach { case (fp, vs) =>
+        val winners = vs.filter(_.unique)
+        assert(winners.length == 1, s"$fp: ${winners.length} winners")
+        assert(vs.forall(_.first_id == winners.head.doc_id), s"$fp: split brain")
+      }
+    }
+  }
+
   test("replayed-corpus rollup ≡ the batch exact-dedup operator") {
     import spark.implicits._
     // the sf0.001 fixture has no exact duplicates, so plant re-crawl
