@@ -298,6 +298,52 @@ object AssemblyQueries extends QueryPack {
               FROM documents
               ORDER BY pos""")),
 
+    // CURRICULUM ordering — the schedule-aware twin of doc_shuffle_index:
+    // training reads phases in order (sequence-length curriculum: short
+    // docs first — the standard warm-up schedule), PSEUDO-RANDOM within
+    // each phase (seeded md5 order, reproducible). Contiguous global
+    // positions let the reader seek any step. Scale shape: the shuffle
+    // index's two-pass range-bucket assignment, with the bucket key
+    // PHASE-MAJOR ((phase, hash-range) → ≤ 3×64 buckets): pass 1 counts
+    // per bucket and prefix-sums offsets on that tiny frame, pass 2
+    // ranks within bounded bucket partitions — no global window, bucket
+    // count scales with the cluster, never the data.
+    Q("doc_curriculum",
+      (s, dir) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") // uniform in [0, 2^32)
+        val docs = t(s, dir, "documents")
+          .withColumn("n_tok", nTok)
+          .select(col("doc_id"),
+            when(col("n_tok") < 64, 0L).when(col("n_tok") < 256, 1L)
+              .otherwise(2L).as("phase"),
+            h.as("h"))
+          .withColumn("bkt",
+            col("phase") * 64 + expr("h div 67108864")) // 2^32 / 64
+        val offs = docs.groupBy("bkt").agg(count(lit(1)).as("n")) // ≤192 rows
+          .withColumn("off",
+            coalesce(sum("n").over(Window.orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .drop("n")
+        docs.join(broadcast(offs), "bkt")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("bkt").orderBy("h", "doc_id")).cast("long"))
+          .select(col("doc_id"), col("phase"),
+            (col("off") + col("rk") - 1).as("pos"))
+          .orderBy("pos")
+      },
+      Some("""SELECT doc_id,
+                     CASE WHEN n_tok < 64 THEN 0
+                          WHEN n_tok < 256 THEN 1 ELSE 2 END AS phase,
+                     row_number() OVER (
+                       ORDER BY CASE WHEN n_tok < 64 THEN 0
+                                     WHEN n_tok < 256 THEN 1 ELSE 2 END,
+                                ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+                                doc_id) - 1 AS pos
+              FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+                    FROM documents)
+              ORDER BY pos""")),
+
     // Sequence EMISSION — materialize the model-ready packed sequences
     // that `doc_pack` plans (both run the ONE shared [[packPlan]]): per
     // (source, shard, bin), concatenate the member docs in doc_id order
@@ -330,6 +376,51 @@ object AssemblyQueries extends QueryPack {
               FROM (SELECT doc_id, source, shard, text, n_tok, cum AS cum0 FROM p)
               GROUP BY source, shard, bin
               ORDER BY source, shard, bin""")),
+
+    // Packing-EFFICIENCY audit — the measurement column for the assembly
+    // family (dedup has its banding eval, ANN its recall curve, the
+    // classifier its confusion matrix; the packing BUDGET is the same
+    // kind of expensive deploy decision and gets the same treatment):
+    // per source, how many bins the plan produces, how full they run,
+    // and how much of the token capacity the tail bin wastes. fill_pct
+    // uses exact integer token counts over bins×budget; every bin except
+    // each (source, shard)'s LAST is ≥ budget-full by the greedy cumsum
+    // construction, so waste concentrates in the shard tails — the
+    // shard-size/budget trade this row quantifies. Derives from the ONE
+    // shared [[packPlan]]; the rollup reduces to |sources| rows with
+    // map-side partials (the bins frame itself is output-sized, never
+    // corpus-sized).
+    Q("doc_pack_eval",
+      (s, dir) => {
+        val bins = packPlan(t(s, dir, "documents"))
+          .groupBy("source", "shard", "bin")
+          .agg(sum("n_tok").as("bin_tokens"))
+        bins.groupBy("source")
+          .agg(count(lit(1)).as("n_bins"),
+            sum("bin_tokens").as("n_tokens"),
+            max("bin_tokens").as("max_bin_tokens"))
+          .select(col("source"), col("n_bins"), col("n_tokens"),
+            col("max_bin_tokens"),
+            round(col("n_tokens") * 100.0 / (col("n_bins") * PackBudget), 2)
+              .as("fill_pct"))
+          .orderBy("source")
+      },
+      Some(s"""WITH p AS (SELECT doc_id, source, doc_id // 1000 AS shard,
+                                 len(string_split(text, ' ')) AS n_tok,
+                                 sum(len(string_split(text, ' '))) OVER
+                                   (PARTITION BY source, doc_id // 1000
+                                    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                          FROM documents),
+                bins AS (SELECT source, shard,
+                                CAST(floor((cum - 1) / ${PackBudget}) AS BIGINT) AS bin,
+                                CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+                         FROM p GROUP BY 1, 2, 3)
+              SELECT source, count(*) AS n_bins,
+                     CAST(sum(bin_tokens) AS BIGINT) AS n_tokens,
+                     max(bin_tokens) AS max_bin_tokens,
+                     round(sum(bin_tokens) * 100.0 / (count(*) * ${PackBudget}), 2)
+                       AS fill_pct
+              FROM bins GROUP BY source ORDER BY source""")),
 
     // Token-ID EMISSION — the last hop to a model-ready artifact: the
     // packed sequences doc_pack plans, emitted as INTEGER TOKEN IDS

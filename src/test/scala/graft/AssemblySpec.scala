@@ -138,6 +138,23 @@ class AssemblySpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("doc_curriculum is a contiguous permutation with non-decreasing phases") {
+    val rows = run("doc_curriculum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length.toLong
+    assert(rows.map(_._3).toSet == (0L until n).toSet, "pos is not a permutation")
+    // the schedule property: walking the corpus in pos order never goes
+    // back to an easier phase
+    val phasesInOrder = rows.sortBy(_._3).map(_._2)
+    assert(phasesInOrder.zip(phasesInOrder.drop(1)).forall { case (a, b) => a <= b },
+      "phases must be non-decreasing along the curriculum")
+    // within a phase the order is the seeded hash order, not doc_id order
+    // (i.e. it IS shuffled): doc_ids within phase 2 are not sorted unless
+    // the phase is trivially small
+    val p2 = rows.filter(_._2 == phasesInOrder.last).sortBy(_._3).map(_._1)
+    if (p2.length > 10) assert(p2 != p2.sorted, "within-phase order is unshuffled")
+  }
+
   test("doc_pack_emit_ids bit-matches a full local tokenizer+pack replay") {
     import graft.text.Bpe
     // end-to-end local oracle: driver-side normalize/tokenize, learnLocal

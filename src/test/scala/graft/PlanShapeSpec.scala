@@ -656,6 +656,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("doc_curriculum ranks within phase-major buckets, never one global window") {
+    val p = plan("doc_curriculum")
+    assert(p.contains("Window [row_number() windowspecdefinition(bkt"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("rel_q2 decorrelates the min-cost subquery — no per-row rescan") {
     val p = plan("rel_q2")
     // the correlated scalar subquery becomes ONE grouped min joined back
