@@ -615,6 +615,21 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("doc_pack_emit_ids inherits the single-exchange emission plan") {
+    val p = plan("doc_pack_emit_ids")
+    // same packPlan co-partitioning proof: each token id crosses exactly
+    // one exchange on its way to the bin reducer
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("doc_pack_eval stays on the packPlan partitioning end-to-end") {
+    val p = plan("doc_pack_eval")
+    // bins agg reuses the window's (source, shard) partitioning; the
+    // per-source rollup is the only extra exchange and it carries the
+    // OUTPUT-sized bins frame, not corpus rows
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
   test("filtered ANN pushes the predicate into the scan before the top-k heap") {
     val p = plan("vec_knn_filtered")
     assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]"), p)
