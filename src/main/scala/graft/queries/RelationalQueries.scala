@@ -1449,6 +1449,12 @@ object RelationalQueries extends QueryPack {
     // co-keyed on the composite (partkey, suppkey); lineitem⋈orders is
     // the one orderkey exchange; supplier⋈nation broadcasts. Two fact
     // exchanges total — the TPC-H Q9 lower bound.
+    // Numerics: each row's profit term quantizes to 1e-6 micro-longs
+    // BEFORE the sum (the text_bigram_lm convention) — a plain double
+    // sum's last bits depend on accumulation order, and a group landing
+    // on a half-cent boundary then rounds differently per engine (seen
+    // at sf0.001: 908171.225 → .22 vs .23). Long sums are exact and
+    // associative, so partitioning can never move the reported cent.
     Q("rel_q9",
       (s, dir) => {
         val boltParts = t(s, dir, "part")
@@ -1469,14 +1475,17 @@ object RelationalQueries extends QueryPack {
           .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("n_name").as("nation"),
             year(col("o_orderdate")).cast("long").as("o_year"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
-            col("ps_supplycost") * col("l_quantity")), 2).as("profit"))
+          .agg(round(sum(
+            round((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+              col("ps_supplycost") * col("l_quantity")) * lit(1e6), 0)
+              .cast("long")) / lit(1e6), 2).as("profit"))
           .orderBy(col("nation"), col("o_year").desc)
       },
       Some(s"""WITH $PsCte
               SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                     round(sum(l_extendedprice * (1 - l_discount)
-                               - ps_supplycost * l_quantity), 2) AS profit
+                     round(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                               - ps_supplycost * l_quantity) * 1000000, 0) AS BIGINT))
+                           / 1000000.0, 2) AS profit
               FROM lineitem
                 JOIN part ON p_partkey = l_partkey
                 JOIN supplier ON s_suppkey = l_suppkey
