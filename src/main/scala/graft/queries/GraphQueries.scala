@@ -84,6 +84,13 @@ object GraphQueries extends QueryPack {
 
   private val MaxBasket = 16
 
+  /** BFS depth cap for `graph_bfs` — bounds the iteration count (and
+    * the oracle's recursion) on a small-world graph that is fully
+    * visited by hop 3-4 regardless. Declared BEFORE `queries`: the
+    * oracle string interpolates it at object init.
+    */
+  private val MaxHops = 4
+
   /** Test hook: the shared edge-list frame (its ANALYZED plan is the
     * build shape — cache substitution only rewrites optimized plans).
     */
@@ -257,7 +264,53 @@ object GraphQueries extends QueryPack {
                       FROM lab GROUP BY 1)
                SELECT part_id, component_id, component_size
                FROM lab JOIN sz USING (component_id)
-               ORDER BY part_id"""))
+               ORDER BY part_id""")),
+
+    // Multi-hop reachability: BFS hop distance from the smallest part id
+    // over the symmetric co-purchase graph, depth-capped at MaxHops.
+    // The Spark shape is FRONTIER-ONLY expansion (the Pregel BFS): each
+    // round joins just the newly-discovered frontier against the pinned
+    // src-partitioned edges, dedups the expansion (`distinct` — one
+    // round's candidates, not the closed set), and anti-joins the
+    // closed set so a node enters `dist` exactly once, at its first
+    // (= minimum) hop count. Per round the shuffle carries the frontier
+    // and its expansion — never the edge list (pinned) and never the
+    // accumulated distance table (broadcast-sized anti-join probe at
+    // fixture SF; hash anti join at cluster scale, both correct, left
+    // to Catalyst/AQE). Depth-capping bounds the iteration count the
+    // way every production multi-hop query does (unbounded BFS on a
+    // small-world graph visits everything by hop 3-4 anyway — the cap
+    // is the honest contract, not a shortcut). Oracle: DuckDB
+    // depth-limited recursive CTE + min-hop aggregation — the semantic
+    // statement (min over all ≤MaxHops walks) of the same contract.
+    Q("graph_bfs",
+      (s, dir) => {
+        val edges = SharedEdges(s, dir)
+        val seed = edges.agg(min(col("src")).as("id"))
+        var dist = seed.select(col("id"), lit(0L).as("hops"))
+        var frontier = dist.select("id")
+        for (i <- 1 to MaxHops) {
+          val expansion = edges
+            .join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(col("dst").as("id")).distinct()
+          frontier = expansion.join(dist.select("id"), Seq("id"), "left_anti")
+          dist = dist.unionByName(
+            frontier.select(col("id"), lit(i.toLong).as("hops")))
+        }
+        dist.select(col("id").as("part_id"), col("hops"))
+          .orderBy("part_id")
+      },
+      Some(s"""WITH RECURSIVE $EdgeSql,
+               seed AS (SELECT min(src) AS id FROM edges),
+               walk(id, d) AS (
+                 SELECT id, 0 FROM seed
+                 UNION
+                 SELECT e.dst, w.d + 1
+                 FROM walk w JOIN edges e ON e.src = w.id
+                 WHERE w.d < $MaxHops),
+               dist AS (SELECT id, min(d) AS d FROM walk GROUP BY id)
+               SELECT id AS part_id, CAST(d AS BIGINT) AS hops
+               FROM dist ORDER BY part_id"""))
   )
 
   /** Repeat-co-purchase threshold for [[graph_components]]: an edge needs
