@@ -68,8 +68,14 @@ object IngestBench {
     // DUPLICATE — the re-crawl pattern, driving the dedup branch at
     // realistic volume
     val replicas = sys.env.getOrElse("SPARK_GRAFT_INGEST_REPLICAS", "10").toInt
+    val ReplicaOffset = 10000000L
+    // fail fast on id aliasing (the twin-builder guard discipline): a
+    // fixture whose ids reach the offset would silently merge replicas
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    require(maxId >= 0 && maxId < ReplicaOffset,
+      s"doc_id range [0, $maxId] must sit below the replica offset $ReplicaOffset")
     val big = Range(0, replicas).map(i =>
-        docs.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        docs.select((col("doc_id") + lit(i * ReplicaOffset)).as("doc_id"),
           col("text")))
       .reduce(_ unionByName _)
     val nBig = n * replicas

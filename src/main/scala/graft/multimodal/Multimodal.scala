@@ -736,9 +736,13 @@ object Multimodal {
   def withScaledAudioTwins(media: DataFrame, num: Int, den: Int,
       twinOffset: Long): DataFrame = {
     requireMediaSchema(media, "withScaledAudioTwins")
-    media.unionByName(
-      media.filter(col("kind") === "audio")
-        .select((guardedId(twinOffset) + twinOffset).as("media_id"), col("kind"),
+    // the guard rides the PASSTHROUGH projection: every input row of
+    // every kind is checked (a non-audio row at/above the offset would
+    // collide with a twin id just as silently), not only the twinned one
+    media.select(guardedId(twinOffset).as("media_id"), col("kind"),
+        col("bytes"))
+      .unionByName(media.filter(col("kind") === "audio")
+        .select((col("media_id") + twinOffset).as("media_id"), col("kind"),
           encodeWavScaledUdf(col("media_id"), lit(num), lit(den)).as("bytes")))
   }
 
@@ -751,6 +755,16 @@ object Multimodal {
     require(media.columns.toSet == need,
       s"$who expects columns $need, got ${media.columns.mkString("(", ", ", ")")}")
   }
+
+  /** Data-derived twin offset: one above the frame's max media_id (a
+    * 1-row aggregation, run once per fixture at twin-frame build). A
+    * HARD-CODED offset breaks on a bigger fixture — the sf1 replica's
+    * ids reach ~1e9 and tripped [[guardedId]] at 1e6/2e6; deriving from
+    * the data keeps the no-collision invariant at every scale.
+    */
+  def twinOffsetFor(media: DataFrame): Long =
+    media.agg(org.apache.spark.sql.functions.max("media_id")).head()
+      .getLong(0) + 1L
 
   /** media_id with the twin-collision guard folded into the expression
     * (load-bearing, so column pruning cannot skip it): a real id at or
@@ -796,9 +810,11 @@ object Multimodal {
   def withBrightenedTwins(media: DataFrame, delta: Int,
       twinOffset: Long): DataFrame = {
     requireMediaSchema(media, "withBrightenedTwins")
-    media.unionByName(
-      media.filter(col("kind") === "image")
-        .select((guardedId(twinOffset) + twinOffset).as("media_id"), col("kind"),
+    // guard on the passthrough projection — see withScaledAudioTwins
+    media.select(guardedId(twinOffset).as("media_id"), col("kind"),
+        col("bytes"))
+      .unionByName(media.filter(col("kind") === "image")
+        .select((col("media_id") + twinOffset).as("media_id"), col("kind"),
           encodePngBrightenedUdf(col("media_id"), lit(delta)).as("bytes")))
   }
 

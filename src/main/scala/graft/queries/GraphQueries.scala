@@ -293,7 +293,15 @@ object GraphQueries extends QueryPack {
           val expansion = edges
             .join(frontier.withColumnRenamed("id", "src"), "src")
             .select(col("dst").as("id")).distinct()
+          // each frontier is referenced twice (next round's expansion
+          // AND the dist union) and dist_i references frontier_i and
+          // dist_{i-1} — left lazy, the collected plan re-derives every
+          // round a Fibonacci number of times. localCheckpoint pins each
+          // round's frontier to its computed RDD (the
+          // vec_ivf_recall_drift per-phase pattern), making total work
+          // linear in MaxHops as the header claims.
           frontier = expansion.join(dist.select("id"), Seq("id"), "left_anti")
+            .localCheckpoint(false)
           dist = dist.unionByName(
             frontier.select(col("id"), lit(i.toLong).as("hops")))
         }

@@ -37,10 +37,14 @@ object MultimodalQueries extends QueryPack {
       SessionMemo.unpersistDf, pinsExecutorStorage = true)
     def apply(s: org.apache.spark.sql.SparkSession, dir: String)
         : org.apache.spark.sql.DataFrame =
-      memo(s, dir)(
-        Multimodal.withBrightenedTwins(SharedMedia(s, dir), delta = 8,
-            twinOffset = 1000000L)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      memo(s, dir) {
+        // offset derived from the data (max id + 1): a literal breaks
+        // on bigger fixtures — sf1-replica ids tripped the twin guard
+        val base = SharedMedia(s, dir)
+        Multimodal.withBrightenedTwins(base, delta = 8,
+            twinOffset = Multimodal.twinOffsetFor(base))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
   }
 
   /** Fixture media + gain-scaled audio twins, memoized like
@@ -52,15 +56,16 @@ object MultimodalQueries extends QueryPack {
       SessionMemo.unpersistDf, pinsExecutorStorage = true)
     def apply(s: org.apache.spark.sql.SparkSession, dir: String)
         : org.apache.spark.sql.DataFrame =
-      memo(s, dir)(
+      memo(s, dir) {
         // pre-filter to the audio rows: the only consumer filters
         // kind === "audio" anyway, and pinning the full union would hold
         // a second copy of every (larger) image/video payload that is
         // never read from this pin
-        Multimodal.withScaledAudioTwins(
-            SharedMedia(s, dir).filter(col("kind") === "audio"),
-            num = 7, den = 8, twinOffset = 2000000L)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val base = SharedMedia(s, dir).filter(col("kind") === "audio")
+        Multimodal.withScaledAudioTwins(base, num = 7, den = 8,
+            twinOffset = Multimodal.twinOffsetFor(base))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
   }
 
   override val queries: Seq[Q] = Seq(

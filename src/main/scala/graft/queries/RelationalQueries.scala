@@ -1502,8 +1502,12 @@ object RelationalQueries extends QueryPack {
     // values ONCE (one partial-aggregated shuffle of the supplier-pruned
     // partsupp), derives the global total from that already-aggregated
     // frame (1 row), and broadcasts it back as a cross join — the base
-    // data is read exactly once. Values round to cents BEFORE the share
-    // comparison so both engines cut on the identical number.
+    // data is read exactly once.
+    // Numerics: per-row stock-value terms quantize to 1e-6 micro-longs
+    // before EITHER sum (per-part value and the global threshold) — the
+    // rel_q9 convention; a part sitting ON the value > thr boundary
+    // must not flip with accumulation order. Both engines then round
+    // the identical exact integers to cents.
     Q("rel_q11",
       (s, dir) => {
         val supps = t(s, dir, "supplier")
@@ -1511,11 +1515,15 @@ object RelationalQueries extends QueryPack {
             .filter(col("n_name").isin("NATION_2", "NATION_7"))),
             col("s_nationkey") === col("n_nationkey"))
           .select("s_suppkey")
-        val v = partsupp(s, dir)
+        val vm = partsupp(s, dir)
           .join(broadcast(supps), col("ps_suppkey") === col("s_suppkey"))
           .groupBy("ps_partkey")
-          .agg(round(sum(col("ps_supplycost") * col("ps_availqty")), 2).as("value"))
-        val thr = broadcast(v.agg(round(sum("value") * 0.001, 2).as("thr")))
+          .agg(sum(round(col("ps_supplycost") * col("ps_availqty") * lit(1e6), 0)
+            .cast("long")).as("vmic"))
+        val v = vm.select(col("ps_partkey"),
+          round(col("vmic") / lit(1e6), 2).as("value"), col("vmic"))
+        val thr = broadcast(
+          v.agg(round((sum("vmic") / lit(1e6)) * lit(0.001), 2).as("thr")))
         v.crossJoin(thr)
           .filter(col("value") > col("thr"))
           .select("ps_partkey", "value")
@@ -1523,13 +1531,14 @@ object RelationalQueries extends QueryPack {
       },
       Some(s"""WITH $PsCte,
               v AS (SELECT ps_partkey,
-                           round(sum(ps_supplycost * ps_availqty), 2) AS value
+                           sum(CAST(round(ps_supplycost * ps_availqty * 1000000, 0) AS BIGINT)) AS vmic
                     FROM ps JOIN supplier ON ps_suppkey = s_suppkey
                             JOIN nation ON s_nationkey = n_nationkey
                     WHERE n_name IN ('NATION_2', 'NATION_7')
-                    GROUP BY ps_partkey)
-              SELECT ps_partkey, value FROM v
-              WHERE value > (SELECT round(sum(value) * 0.001, 2) FROM v)
+                    GROUP BY ps_partkey),
+              v2 AS (SELECT ps_partkey, round(vmic / 1000000.0, 2) AS value, vmic FROM v)
+              SELECT ps_partkey, value FROM v2
+              WHERE value > (SELECT round((sum(vmic) / 1000000.0) * 0.001, 2) FROM v2)
               ORDER BY value DESC, ps_partkey""")),
 
     // TPC-H Q12 shape (shipping-mode priority audit) — mode-bucketed

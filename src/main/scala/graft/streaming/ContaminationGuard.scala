@@ -42,18 +42,20 @@ object ContaminationGuard {
   /** Distinct winnowed fingerprints of the standing corpus, collected
     * driver-side — the model-size contract (an eval suite, not a
     * corpus). Throws when the distinct-fingerprint count exceeds
-    * [[MaxIndexSize]] (counted BEFORE collecting, so the driver never
-    * holds the oversized set).
+    * [[MaxIndexSize]]: ONE pass — the collect is capped at
+    * MaxIndexSize+1 rows, so the driver holds at most one row past the
+    * bound before failing (a separate count() would run the whole
+    * shingle+winnow+distinct pipeline twice per index build).
     */
   def standingIndex(docs: DataFrame): Set[Long] = {
     val fps = Winnow.fingerprintsDf(docs).select("fp").distinct()
-    val n = fps.count()
-    require(n <= MaxIndexSize,
-      s"standing contamination index has $n fingerprints (max $MaxIndexSize): " +
+      .limit(MaxIndexSize.toInt + 1).collect()
+    require(fps.length <= MaxIndexSize,
+      s"standing contamination index exceeds $MaxIndexSize fingerprints: " +
         "this side must be the EVAL suite, not a corpus — for a corpus-" +
         "sized index, run the stream-static broadcast-join form over the " +
         "exploded fingerprints (the text_winnow_matches shape) instead")
-    fps.collect().map(_.getLong(0)).toSet
+    fps.map(_.getLong(0)).toSet
   }
 
   /** Annotate a (doc_id, text) stream (or batch frame — the projection

@@ -136,9 +136,14 @@ class StreamingDedupSpec extends SparkSpec {
             b.write.mode("overwrite").parquet(s"$out/batch=$id")
           }.start()
       }
-      val q1 = start(Trigger.ProcessingTime("250 milliseconds"))
+      // kill timing must not race the stream: stop after the FIRST
+      // processed batch, with a 1 s trigger pacing the remaining nine —
+      // stop() would need a ~9 s stall to lose the race (the old
+      // 250 ms × ≥2-batches form could drain the whole source under a
+      // GC pause and fail the mid-source assert spuriously)
+      val q1 = start(Trigger.ProcessingTime("1 second"))
       val deadline = System.nanoTime() + 60e9.toLong
-      while (q1.recentProgress.count(_.numInputRows > 0) < 2
+      while (q1.recentProgress.count(_.numInputRows > 0) < 1
           && System.nanoTime() < deadline) Thread.sleep(50)
       q1.stop() // the crash: state + offsets live only in the checkpoint
       val afterKill = spark.read.parquet(out).count()
