@@ -554,5 +554,51 @@ object AssemblyQueries extends QueryPack {
                      (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)
                        % n_files AS file_id
               FROM d JOIN f USING (source)
-              ORDER BY doc_id""")))
+              ORDER BY doc_id""")),
+
+    // TEMPERATURE-smoothed mixture recipe — the multilingual sampling
+    // knob (p_i ∝ c_i^α, α = 0.3, the mT5/XLM-R convention): raw
+    // token-count shares over-train the biggest domain and starve the
+    // tail; the α-power flattens the distribution, and the emitted
+    // boost factor (temp budget ÷ natural tokens) is exactly the
+    // repeat rate doc_upsample consumes for the low-resource domains.
+    // Scale shape: the corpus contributes ONE partial-aggregated count
+    // pass; everything after is a |domains|-row broadcast frame.
+    // Numerics: the α-powers quantize to 1e-6 micro-longs PER DOMAIN
+    // before the normalizer sums them (the rel_q9 convention — a
+    // 5-double sum is still accumulation-ordered), so every share is a
+    // ratio of exact longs and both engines divide identical integers.
+    Q("doc_mix_temperature",
+      (s, dir) => {
+        val toks = t(s, dir, "documents").withColumn("n_tok", nTok)
+          .groupBy("lang").agg(sum("n_tok").as("tok_n"))
+          .withColumn("zq",
+            round(pow(col("tok_n"), lit(0.3)) * lit(1e6), 0).cast("long"))
+        val tot = toks.agg(sum("tok_n").as("total"), sum("zq").as("z"))
+        toks.crossJoin(broadcast(tot))
+          .select(col("lang"), col("tok_n"),
+            round(col("tok_n") / col("total"), 6).as("share"),
+            round(col("zq") / col("z"), 6).as("t_share"),
+            round((col("zq") / col("z")) * col("total"), 0).cast("long")
+              .as("budget_tok"),
+            round((col("zq") / col("z")) * col("total") / col("tok_n"), 4)
+              .as("boost"))
+          .orderBy("lang")
+      },
+      Some("""WITH d AS (SELECT lang, len(string_split(text, ' ')) AS n_tok
+                         FROM documents),
+                toks AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tok_n,
+                                CAST(round(pow(CAST(sum(n_tok) AS BIGINT), 0.3)
+                                           * 1000000, 0) AS BIGINT) AS zq
+                         FROM d GROUP BY lang),
+                tot AS (SELECT CAST(sum(tok_n) AS BIGINT) AS total,
+                               CAST(sum(zq) AS BIGINT) AS z
+                        FROM toks)
+              SELECT lang, tok_n,
+                     round(tok_n / total, 6) AS share,
+                     round(zq / z, 6) AS t_share,
+                     CAST(round((zq / z) * total, 0) AS BIGINT) AS budget_tok,
+                     round((zq / z) * total / tok_n, 4) AS boost
+              FROM toks, tot
+              ORDER BY lang""")))
 }

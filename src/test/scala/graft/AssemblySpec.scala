@@ -200,4 +200,25 @@ class AssemblySpec extends SparkSpec {
     for ((k, e) <- expected)
       assert(got(k) == e, s"bin $k: got ${got(k)} expected $e")
   }
+
+  test("doc_mix_temperature flattens shares and conserves the token budget") {
+    val rows = run("doc_mix_temperature").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    val total = rows.map(_._2).sum
+    // α < 1 compresses toward uniform: the biggest domain's share must
+    // SHRINK and the smallest domain's share must GROW
+    val big = rows.maxBy(_._2); val small = rows.minBy(_._2)
+    assert(big._4 < big._3, s"largest domain not damped: $big")
+    assert(small._4 > small._3, s"smallest domain not boosted: $small")
+    // boost = budget / natural tokens: >1 exactly for up-sampled domains
+    rows.foreach { r =>
+      assert((r._6 > 1.0) == (r._5 > r._2), s"boost/budget disagree: $r")
+    }
+    // the reweighted budgets redistribute the SAME volume (integer
+    // rounding leaves < 1 token per domain)
+    assert(math.abs(rows.map(_._5).sum - total) <= rows.length, rows.toSeq)
+    // shares are a distribution
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+  }
 }
