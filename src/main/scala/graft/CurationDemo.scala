@@ -63,10 +63,16 @@ object CurationDemo {
         round(avg("docs"), 1).as("avg_docs_per_bin"))
       .show(truncate = false)
 
+    println("== 5b. packing audit (doc_pack_eval) — shard-tail waste ==")
+    q("doc_pack_eval").show(truncate = false)
+
     println("== 6. token-budget mixture (doc_mix_tokens) — kept tokens per lang ==")
     q("doc_mix_tokens").groupBy("lang")
       .agg(count(lit(1)).as("docs"), sum("n_tok").as("kept_tokens"))
       .orderBy("lang").show(10, truncate = false)
+
+    println("== 6b. temperature recipe (doc_mix_temperature) — α=0.3 reweighting ==")
+    q("doc_mix_temperature").show(truncate = false)
 
     println("== 7. fractional-epoch upsampling (doc_upsample) — mean epochs ==")
     q("doc_upsample").groupBy("lang")
@@ -78,6 +84,12 @@ object CurationDemo {
     println("== 8. leakage-safe split (doc_split) ==")
     q("doc_split").groupBy("split").count().orderBy("split")
       .show(truncate = false)
+
+    println("== 8b. length curriculum (doc_curriculum) — phase boundaries ==")
+    q("doc_curriculum").groupBy("phase")
+      .agg(count(lit(1)).as("docs"), min("pos").as("first_pos"),
+        max("pos").as("last_pos"))
+      .orderBy("phase").show(truncate = false)
 
     println("== 9. shard plan (doc_shard_plan) — files per source ==")
     q("doc_shard_plan").groupBy("source").agg(max("n_files").as("n_files"),
