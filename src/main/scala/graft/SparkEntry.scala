@@ -14,7 +14,8 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     CdcQueries.queries ++ RelationalQueries.queries ++ ExtendedQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++ MultimodalQueries.queries ++
-      GraphQueries.queries ++ AssemblyQueries.queries
+      GraphQueries.queries ++ AssemblyQueries.queries ++
+      GovernanceQueries.queries
 
   /** Flagship: the reference's full relay hot path (main.go:103-155) as a
     * batch pipeline on sf0.001 — synthesize the change-stream envelope from

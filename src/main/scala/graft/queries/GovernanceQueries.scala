@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-governance operators — the release/compliance half of a training
+  * -data pipeline that the curation ops (dedup / quality / PII masking)
+  * don't cover: k-anonymity release auditing, differentially-private
+  * aggregate release, deletion-request (right-to-be-forgotten)
+  * propagation auditing, and distribution-drift measurement between
+  * corpus snapshots. The reference relay (main.go:103-155) moves raw
+  * change events with no governance layer at all; these are the checks a
+  * consumer of that feed must run before any derived dataset leaves the
+  * pipeline.
+  *
+  * Scale design (the 100 TB contract, shared by all four):
+  *  - every op is AGGREGATION-SHAPED — one partial-aggregated pass over
+  *    the fact table reduces to a group frame (QI groups / event types /
+  *    20 histogram buckets) and ALL release logic (suppression, noise,
+  *    smoothing, PSI terms) runs on that compact frame; the corpus is
+  *    scanned once and never re-shuffled;
+  *  - determinism under partitioning: counts are longs (associative),
+  *    every double that meets an `ln`/division is quantized to 1e-6
+  *    micro-longs immediately after (the text_bigram_lm convention), so
+  *    the released numbers are bit-identical at any parallelism;
+  *  - the DP seed and the deletion list derive from the md5-bucket
+  *    convention (AssemblyQueries.bucket) — reproducible in any engine,
+  *    no RNG state to coordinate across executors.
+  */
+object GovernanceQueries extends QueryPack {
+
+  /** md5 bucket in [0, 1e6) — the shared deterministic-uniform device
+    * (same expression as AssemblyQueries: DuckDB
+    * `('0x' || substr(md5(x),1,8))::BIGINT % 1000000`). */
+  private def bucket(key: Column): Column =
+    pmod(conv(substring(md5(key), 1, 8), 16, 10).cast("long"), lit(1000000L))
+
+  def queries: Seq[Q] = Seq(
+
+    // k-ANONYMITY release audit (k = 5) over the event feed: the
+    // quasi-identifier is (event_type, hour-of-day, day-of-month) — the
+    // classic "when + what" re-identification surface of an event log.
+    // Groups smaller than k are SUPPRESSED and roll up into one
+    // '__suppressed__' row (always emitted, 0 when nothing suppressed)
+    // so the release row set is exhaustive: released rows + the rollup
+    // account for every input row. One shuffle on the QI key; the
+    // k-cut and the rollup run on the |groups| frame. The fixture
+    // exercises both regimes: sf0.001 suppresses nearly everything
+    // (sparse groups), sf0.1 releases nearly everything.
+    Q("gov_k_anon",
+      (s, dir) => {
+        val g = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            hour(col("ts")).cast("long").as("h"),
+            dayofmonth(col("ts")).cast("long").as("d"))
+          .agg(count(lit(1)).as("n"))
+        val released = g.filter(col("n") >= 5)
+        val suppressed = g.filter(col("n") < 5)
+          .agg(coalesce(sum("n"), lit(0L)).as("n"))
+          .select(lit("__suppressed__").as("event_type"),
+            lit(-1L).as("h"), lit(-1L).as("d"), col("n"))
+        released.select("event_type", "h", "d", "n")
+          .unionByName(suppressed)
+          .orderBy("event_type", "h", "d")
+      },
+      Some("""WITH g AS (SELECT event_type,
+                                extract(hour FROM ts) AS h,
+                                extract(day FROM ts) AS d,
+                                count(*) AS n
+                         FROM events GROUP BY 1, 2, 3)
+              SELECT event_type, h, d, n FROM g WHERE n >= 5
+              UNION ALL
+              SELECT '__suppressed__', -1, -1,
+                     CAST(COALESCE(sum(n), 0) AS BIGINT)
+              FROM g WHERE n < 5
+              ORDER BY event_type, h, d""")),
+
+    // DIFFERENTIALLY-PRIVATE count release (ε = 0.5 Laplace): per-type
+    // event counts plus Laplace(1/ε) noise, released in micro-units so
+    // the noisy value never re-rounds. The noise is SEEDED from the
+    // group key itself (md5 bucket → u ∈ (−0.5, 0.5) → inverse-CDF
+    // −(1/ε)·sign(u)·ln(1−2|u|)) — deterministic, engine-reproducible,
+    // and quantized to micro-longs before it meets the count, so the
+    // release is bit-stable under any partitioning. Real deployments
+    // would draw u from a fresh CSPRNG per release; the inverse-CDF,
+    // the sensitivity-1 count, and the max(0, ·) clamp are exactly the
+    // published mechanism. One count aggregation; noise is a
+    // projection on the |types|-row frame.
+    Q("gov_dp_counts",
+      (s, dir) => {
+        val eps = 0.5
+        val u = (bucket(col("event_type")).cast("double") + lit(0.5)) /
+          lit(1e6) - lit(0.5)
+        val noise = lit(-1.0 / eps) * signum(u) *
+          log(lit(1.0) - lit(2.0) * abs(u))
+        t(s, dir, "events")
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .select(col("event_type"),
+            greatest(lit(0L),
+              col("n") * lit(1000000L) +
+                round(noise * lit(1e6), 0).cast("long"))
+              .as("released_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type, count(*) AS n
+                         FROM events GROUP BY 1),
+                s AS (SELECT event_type, n,
+                             ((('0x' || substr(md5(event_type), 1, 8))::BIGINT
+                               % 1000000) + 0.5) / 1e6 - 0.5 AS u
+                      FROM g)
+              SELECT event_type,
+                     greatest(0, n * 1000000 +
+                       CAST(round((-1.0 / 0.5) * sign(u)
+                              * ln(1.0 - 2.0 * abs(u)) * 1e6, 0) AS BIGINT))
+                       AS released_micro
+              FROM s ORDER BY event_type""")),
+
+    // DELETION-REQUEST propagation audit (right to be forgotten): the
+    // delete list is every user whose md5 bucket < 10% (standing in
+    // for the accumulated GDPR/CCPA request table), and the audit
+    // reports, per event type, what the purge removes: kept rows,
+    // purged rows, distinct purged users. The purge itself is the same
+    // predicate applied as a filter — a zero-shuffle projection that
+    // runs identically on the batch corpus or the live relay stream;
+    // this op is the before-you-delete accounting. Single scan,
+    // conditional partial aggregation; the distinct-user count is the
+    // only re-shuffle and carries (type, user) pairs, already
+    // near-unique. A join-form equivalent (broadcast LEFT ANTI against
+    // the request table) is what a foreign-key purge would use —
+    // join_anti pins that plan shape.
+    Q("gov_forget_audit",
+      (s, dir) => {
+        val del = bucket(col("user_id").cast("string")) < 100000L
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            sum(when(del, 0L).otherwise(1L)).as("kept_n"),
+            sum(when(del, 1L).otherwise(0L)).as("purged_n"),
+            count_distinct(when(del, col("user_id"))).as("purged_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+                     CAST(sum(CASE WHEN (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                                         % 1000000) < 100000
+                              THEN 0 ELSE 1 END) AS BIGINT) AS kept_n,
+                     CAST(sum(CASE WHEN (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                                         % 1000000) < 100000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS purged_n,
+                     count(DISTINCT CASE WHEN (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                                               % 1000000) < 100000
+                                    THEN user_id END) AS purged_users
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // SNAPSHOT-DRIFT PSI: population stability index of the document
+    // length distribution between two corpus halves (md5-split "ref"
+    // vs "cur" snapshots — in production, last week's corpus vs this
+    // week's ingest). Fixed-edge histogram (10 × 50-char buckets,
+    // capped — learned edges would couple the two snapshots), add-1
+    // smoothing so empty buckets stay finite, per-bucket term
+    // (p−q)·ln(p/q) quantized to micro-longs, and the headline PSI is
+    // the EXACT long sum of the terms (bucket = −1 row). One
+    // conditional-count pass over the corpus reduces to a 10-row
+    // frame joined against a generated bucket spine; the PSI
+    // arithmetic never touches more than 10 rows, so the monitor costs
+    // one scan at any corpus size — and the same histogram aggregation
+    // runs unchanged on a stream (streaming/DriftMonitor).
+    Q("doc_drift_psi",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(
+          least(lit(9L), floor(col("n_chars") / lit(50)).cast("long")).as("b"),
+          (bucket(col("doc_id").cast("string")) < 500000L).as("ref"))
+        // the empty-bucket spine densifies via UNION + re-aggregate, not a
+        // spine join: a window over a joined spark.range frame trips
+        // Spark's ambiguous-self-join detector, and the union form costs
+        // one extra ≤20-row exchange while keeping the corpus to ONE scan
+        val agged = d.groupBy("b").agg(
+          sum(when(col("ref"), 1L).otherwise(0L)).as("rn"),
+          sum(when(col("ref"), 0L).otherwise(1L)).as("cn"))
+        val spine = s.range(0, 10).select(col("id").as("b"),
+          lit(0L).as("rn"), lit(0L).as("cn"))
+        val counts = agged.unionByName(spine)
+          .groupBy("b").agg(sum("rn").as("ref_n"), sum("cn").as("cur_n"))
+        // smoothing totals via a constant-partition window over the 10-row
+        // counts frame — a tot-aggregate branch would re-plan the whole
+        // corpus scan per consumer
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+        val p = (col("ref_n") + lit(1L)).cast("double") /
+          (sum("ref_n").over(w) + lit(10L)).cast("double")
+        val q = (col("cur_n") + lit(1L)).cast("double") /
+          (sum("cur_n").over(w) + lit(10L)).cast("double")
+        val terms = counts
+          .select(col("b"), col("ref_n"), col("cur_n"),
+            round((p - q) * log(p / q) * lit(1e6), 0).cast("long")
+              .as("term_micro"))
+        // the headline total row (b = −1) comes out of the SAME pass via
+        // rollup: singleton groups reproduce the bucket rows, the grand
+        // total is the exact long sum of the micro terms
+        terms.rollup("b")
+          .agg(sum("ref_n").as("ref_n"), sum("cur_n").as("cur_n"),
+            sum("term_micro").as("term_micro"))
+          .select(coalesce(col("b"), lit(-1L)).as("b"),
+            col("ref_n"), col("cur_n"), col("term_micro"))
+          .orderBy("b")
+      },
+      Some("""WITH d AS (SELECT least(9, n_chars // 50) AS b,
+                                (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                                 % 1000000) < 500000 AS ref
+                         FROM documents),
+                c AS (SELECT t.b,
+                             CAST(COALESCE(sum(CASE WHEN ref THEN 1 ELSE 0 END), 0) AS BIGINT) AS ref_n,
+                             CAST(COALESCE(sum(CASE WHEN ref THEN 0 ELSE 1 END), 0) AS BIGINT) AS cur_n
+                      FROM range(0, 10) t(b) LEFT JOIN d ON d.b = t.b
+                      GROUP BY t.b),
+                tot AS (SELECT CAST(sum(ref_n) + 10 AS BIGINT) AS nr,
+                               CAST(sum(cur_n) + 10 AS BIGINT) AS nc FROM c),
+                terms AS (SELECT b, ref_n, cur_n,
+                                 CAST(round(((ref_n + 1.0) / nr - (cur_n + 1.0) / nc)
+                                        * ln(((ref_n + 1.0) / nr) / ((cur_n + 1.0) / nc))
+                                        * 1e6, 0) AS BIGINT) AS term_micro
+                          FROM c, tot)
+              SELECT b, ref_n, cur_n, term_micro FROM terms
+              UNION ALL
+              SELECT -1, CAST(sum(ref_n) AS BIGINT), CAST(sum(cur_n) AS BIGINT),
+                     CAST(sum(term_micro) AS BIGINT)
+              FROM terms
+              ORDER BY b"""))
+  )
+}
