@@ -2171,6 +2171,48 @@ object TextQueries extends QueryPack {
                      round(tp::DOUBLE / greatest(tp + fn, 1), 4) AS recall
               FROM m""")),
 
+    // CALIBRATION curve (reliability diagram) for the trained filter —
+    // the third measurement column of the classifier family (eval gives
+    // the operating point, calibration tells you whether the SCORE is
+    // trustworthy as a sampling weight): sigmoid of the NB log-odds
+    // bucketed into probability deciles, per bucket the mean predicted
+    // probability vs the empirical positive rate. NB is famously
+    // overconfident — the fixture shows exactly the saturated-edge
+    // shape this curve exists to reveal, which is what a pipeline
+    // checks before using scores (rather than hard keep/drop) to
+    // temperature-sample the corpus. Same zero-shuffle scoring
+    // projection as the eval; one ≤10-group aggregation; sigmoid
+    // quantized to micro-longs immediately (ln/exp convention), means
+    // are exact-long sums divided once.
+    Q("doc_quality_calibration",
+      (s, dir) => {
+        val docs = SharedQualityModels.docs(s, dir)
+        val m = SharedQualityModels.nb(s, dir)
+        docs.select(QualityModel.score("ftoks", m).as("score_micro"),
+            col("label"))
+          .withColumn("p_micro",
+            round(lit(1e6) / (lit(1.0) +
+              exp(-(col("score_micro").cast("double") / lit(1e6)))), 0)
+              .cast("long"))
+          .withColumn("bucket", least(lit(9L), expr("p_micro div 100000")))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            round(avg("p_micro"), 0).cast("long").as("mean_pred_micro"),
+            round(sum(when(col("label"), 1L).otherwise(0L)).cast("double")
+              * lit(1e6) / count(lit(1)), 0).cast("long")
+              .as("pos_rate_micro"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH $QualityScoredSql,
+              p AS (SELECT label,
+                           CAST(round(1e6 / (1.0 + exp(-(score_micro::DOUBLE / 1e6))), 0) AS BIGINT) AS p_micro
+                    FROM scored),
+              b AS (SELECT least(9, p_micro // 100000) AS bucket, p_micro, label FROM p)
+              SELECT bucket, count(*) AS n,
+                     CAST(round(avg(p_micro), 0) AS BIGINT) AS mean_pred_micro,
+                     CAST(round(sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE * 1e6 / count(*), 0) AS BIGINT) AS pos_rate_micro
+              FROM b GROUP BY bucket ORDER BY bucket""")),
+
     // Logistic-regression REFINEMENT of the same model: 3 fixed
     // full-batch gradient-descent iterations from the NB initialization,
     // each one pass through the mergeable constant-buffer
