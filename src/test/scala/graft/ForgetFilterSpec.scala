@@ -75,6 +75,76 @@ class ForgetFilterSpec extends SparkSpec {
     assert(out.count(o => o.tombstone) == 2, "every tombstone delivery acks")
   }
 
+  test("crash-resume: suppression state survives the checkpoint, every event classified once") {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    withRocksDb {
+      import spark.implicits._
+      val src = Files.createTempDirectory("ff_src").toString
+      val out = Files.createTempDirectory("ff_out").toString
+      val chk = Files.createTempDirectory("ff_chk").toString
+      // 10 files × 5 users, one event per (user, file) with seq = file
+      // index; user u's tombstone rides file u*2 — suppression state for
+      // every user straddles the kill point by construction
+      val nFiles = 10; val nUsers = 5
+      for (f <- 0 until nFiles)
+        Files.writeString(java.nio.file.Paths.get(s"$src/f$f.json"),
+          (0 until nUsers).map { u =>
+            s"""{"user_id":$u,"seq":$f,"tombstone":${f == u * 2}}"""
+          }.mkString("\n"))
+      def start(trigger: Trigger) = {
+        val env = spark.readStream
+          .schema("user_id LONG, seq LONG, tombstone BOOLEAN")
+          .option("maxFilesPerTrigger", 1)
+          .json(src)
+        ForgetFilter.guard(env.as[Ev])
+          .toDF().writeStream
+          .option("checkpointLocation", chk)
+          .trigger(trigger)
+          // epoch-overwrite idempotent sink = exactly-once (the AggSink
+          // convention); batch=id becomes a partition column on read
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            b.write.mode("overwrite").parquet(s"$out/batch=$id")
+          }.start()
+      }
+      val q1 = start(Trigger.ProcessingTime("1 second"))
+      val deadline = System.nanoTime() + 60e9.toLong
+      while (q1.recentProgress.count(_.numInputRows > 0) < 1
+          && System.nanoTime() < deadline) Thread.sleep(50)
+      q1.stop() // the crash: state + offsets live only in the checkpoint
+      val afterKill = spark.read.parquet(out).count()
+      assert(afterKill < (nFiles * nUsers).toLong,
+        s"kill was supposed to land mid-source, but all $afterKill rows are there")
+      start(Trigger.AvailableNow()).awaitTermination()
+
+      val rows = spark.read.parquet(out)
+        .select(col("user_id"), col("seq"), col("tombstone"),
+          col("admitted"), col("batch").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+          r.getBoolean(3), r.getLong(4)))
+      // exactly-once: every (user, file) event classified exactly once
+      assert(rows.map(t => (t._1, t._2)).sorted.toSeq ==
+        (for (u <- 0L until nUsers; f <- 0L until nFiles) yield (u, f)).sorted,
+        "resume must classify every event exactly once across the restart")
+      // suppression is correct against DELIVERY order (batch id, then
+      // the processor's in-batch seq order) for every user — whatever
+      // side of the crash each delivery landed on
+      rows.groupBy(_._1).foreach { case (u, evs) =>
+        val ordered = evs.sortBy(t => (t._5, t._2, !t._3))
+        var gone = false
+        ordered.foreach { case (_, seq, tomb, admitted, batch) =>
+          if (tomb) {
+            assert(!admitted, s"user $u: tombstone must not admit")
+            gone = true
+          } else
+            assert(admitted == !gone,
+              s"user $u seq $seq (batch $batch): admitted=$admitted after gone=$gone")
+        }
+        assert(gone, s"user $u: tombstone never delivered")
+      }
+    }
+  }
+
   test("replayed stream matches the batch 'seq < first tombstone' predicate") {
     import spark.implicits._
     // deterministic synthetic feed: 40 users, every 4th tombstoned mid-way
