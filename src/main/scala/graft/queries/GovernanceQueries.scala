@@ -122,21 +122,26 @@ object GovernanceQueries extends QueryPack {
     // purged rows, distinct purged users. The purge itself is the same
     // predicate applied as a filter — a zero-shuffle projection that
     // runs identically on the batch corpus or the live relay stream;
-    // this op is the before-you-delete accounting. Single scan,
-    // conditional partial aggregation; the distinct-user count is the
-    // only re-shuffle and carries (type, user) pairs, already
-    // near-unique. A join-form equivalent (broadcast LEFT ANTI against
-    // the request table) is what a foreign-key purge would use —
-    // join_anti pins that plan shape.
+    // this op is the before-you-delete accounting. Single scan into a
+    // (type, user) pre-aggregation — the distinct-user count collapses
+    // into a plain sum over the group frame (no Expand doubling the
+    // scan), and the md5 request-list membership evaluates once per
+    // (type, user) group instead of once per event; the second shuffle
+    // carries |types| rows. A join-form equivalent (broadcast LEFT
+    // ANTI against the request table) is what a foreign-key purge
+    // would use — join_anti pins that plan shape.
     Q("gov_forget_audit",
       (s, dir) => {
         val del = bucket(col("user_id").cast("string")) < 100000L
         t(s, dir, "events")
+          .groupBy("event_type", "user_id")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("del", del)
           .groupBy("event_type")
           .agg(
-            sum(when(del, 0L).otherwise(1L)).as("kept_n"),
-            sum(when(del, 1L).otherwise(0L)).as("purged_n"),
-            count_distinct(when(del, col("user_id"))).as("purged_users"))
+            sum(when(col("del"), 0L).otherwise(col("n"))).as("kept_n"),
+            sum(when(col("del"), col("n")).otherwise(0L)).as("purged_n"),
+            sum(when(col("del"), 1L).otherwise(0L)).as("purged_users"))
           .orderBy("event_type")
       },
       Some("""SELECT event_type,
