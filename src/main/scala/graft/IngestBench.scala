@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.queries.VectorQueries
-import graft.streaming.{ContaminationGuard, IngestPipeline, VectorServe}
+import graft.streaming.{ContaminationGuard, DriftMonitor, IngestPipeline,
+  VectorServe}
 import graft.text.{QualityModel, TextFunctions}
 
 /** Throughput measurement for the round-10 streaming surface — the
@@ -130,8 +131,78 @@ object IngestBench {
       .select("query_id").distinct().count()
     println(s"""{"metric":"vecserve_probes_per_sec","value":${(nProbes / secP).round},"unit":"probes/s","probes":$nProbes,"answered":$answered,"k":10,"nprobe":2,"sec":$secP,"sf":"$sfDir"}""")
 
+    // ---- leg 3: drift monitor docs/s ----------------------------------
+    // the replicated corpus with synthetic event time spanning ~10
+    // one-hour windows; reference histogram = the fixture's own
+    // distribution (the matched-replay regime — the monitor's steady
+    // state, where per-doc work is the honest cost)
+    val ref = DriftMonitor.referenceHistogram(
+      Tables.table(spark, sfDir, "documents"))
+    val dsrc = Files.createTempDirectory("driftbench_src").toString
+    val dout = Files.createTempDirectory("driftbench_out").toString
+    val dchk = Files.createTempDirectory("driftbench_chk").toString
+    val bigD = Range(0, replicas).map(i =>
+        Tables.table(spark, sfDir, "documents")
+          .select((col("doc_id") + lit(i * ReplicaOffset)).as("doc_id"),
+            col("n_chars")))
+      .reduce(_ unionByName _)
+      .withColumn("ts",
+        timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(36000L))))
+      .select("ts", "n_chars")
+    bigD.write.mode("overwrite").parquet(dsrc)
+
+    val t2 = System.nanoTime()
+    val qd = DriftMonitor.psiPerWindow(
+        spark.readStream.schema(bigD.schema).parquet(dsrc), ref,
+        windowDuration = "1 hour", watermarkDelay = "0 seconds")
+      .writeStream
+      .option("checkpointLocation", dchk)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dout/batch=$batchId")
+      }.start()
+    qd.awaitTermination()
+    val secD = (System.nanoTime() - t2) / 1e9
+    val windows = spark.read.parquet(dout).count()
+    println(s"""{"metric":"drift_docs_per_sec","value":${(nBig / secD).round},"unit":"docs/s","docs":$nBig,"windows":$windows,"sec":$secD,"sf":"$sfDir"}""")
+
+    // ---- leg 4: forget guard events/s ---------------------------------
+    // the event feed with ~1% tombstones planted by event-id md5 bucket
+    // (requests scattered through the stream, the live-relay shape);
+    // replicas offset user ids, so state stays per-replica-user
+    val fsrc = Files.createTempDirectory("forgetbench_src").toString
+    val fout = Files.createTempDirectory("forgetbench_out").toString
+    val fchk = Files.createTempDirectory("forgetbench_chk").toString
+    val ev = Tables.table(spark, sfDir, "events")
+    val nEv = ev.count() * replicas
+    val bigE = Range(0, replicas).map(i =>
+        ev.select((col("user_id") + lit(i * ReplicaOffset)).as("user_id"),
+          col("event_id").as("seq"),
+          (pmod(conv(substring(md5(col("event_id").cast("string")), 1, 8),
+            16, 10).cast("long"), lit(1000000L)) < 10000L).as("tombstone")))
+      .reduce(_ unionByName _)
+    bigE.write.mode("overwrite").parquet(fsrc)
+
+    val t3 = System.nanoTime()
+    val qf = graft.streaming.ForgetFilter.guard(
+        spark.readStream.schema(bigE.schema).parquet(fsrc)
+          .as[graft.streaming.ForgetFilter.Ev])
+      .toDF().writeStream
+      .option("checkpointLocation", fchk)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$fout/batch=$batchId")
+      }.start()
+    qf.awaitTermination()
+    val secF = (System.nanoTime() - t3) / 1e9
+    val ledger = spark.read.parquet(fout)
+    val purged = ledger.filter(!col("admitted") && !col("tombstone")).count()
+    val acks = ledger.filter(col("tombstone")).count()
+    println(s"""{"metric":"forget_events_per_sec","value":${(nEv / secF).round},"unit":"events/s","events":$nEv,"purged":$purged,"tombstones":$acks,"sec":$secF,"sf":"$sfDir"}""")
+
     spark.stop()
-    Seq(src, out, chk, psrc, pout, pchk).foreach(d =>
-      graft.operators.Artifacts.deleteRecursively(java.nio.file.Paths.get(d)))
+    Seq(src, out, chk, psrc, pout, pchk, dsrc, dout, dchk, fsrc, fout, fchk)
+      .foreach(d =>
+        graft.operators.Artifacts.deleteRecursively(java.nio.file.Paths.get(d)))
   }
 }
