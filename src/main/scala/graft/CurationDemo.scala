@@ -99,6 +99,20 @@ object CurationDemo {
     q("doc_dedup_eval").show(truncate = false)
     q("doc_dedup_eval_sweep").show(truncate = false)
 
+    println("== 11. classifier calibration (doc_quality_calibration) ==")
+    q("doc_quality_calibration").show(truncate = false)
+
+    println("== 12. governance gate before release ==")
+    println("   k-anonymity audit (gov_k_anon) — suppressed rollup:")
+    q("gov_k_anon").filter(col("event_type") === "__suppressed__")
+      .show(truncate = false)
+    println("   DP count release (gov_dp_counts):")
+    q("gov_dp_counts").show(truncate = false)
+    println("   forget audit (gov_forget_audit):")
+    q("gov_forget_audit").show(truncate = false)
+    println("   snapshot drift (doc_drift_psi) — headline row:")
+    q("doc_drift_psi").filter(col("b") === -1L).show(truncate = false)
+
     spark.stop()
   }
 }
