@@ -75,6 +75,75 @@ object GovernanceQueries extends QueryPack {
               FROM g WHERE n < 5
               ORDER BY event_type, h, d""")),
 
+    // k-ANONYMITY with a GENERALIZATION HIERARCHY (k = 5, local
+    // recoding): instead of suppressing every sub-k cell outright
+    // (gov_k_anon), each cell climbs the lattice (type, hour, day) →
+    // (type, hour) → (type) until its rows land in a group of ≥ k —
+    // the Samarati/Sweeney release with the residual-count subtlety
+    // done right: a fallback level's test uses the count of rows that
+    // ACTUALLY generalize there (the sub-k residue), not the level's
+    // full count — a (type, hour) pair with 10 rows split 6+4 releases
+    // the 6 at level 0 and must NOT release the 4 alone at level 1.
+    // Scale shape: ONE corpus shuffle builds the cell frame; the whole
+    // lattice climb is two window layers + one re-aggregation on that
+    // |cells| frame (plan-asserted ceiling); the suppressed residue
+    // appears as its own rollup rows only when nonempty. The fixture
+    // exercises every level across SFs (sf0.001 mostly level 2/3,
+    // sf0.1 mostly level 0).
+    Q("gov_k_generalize",
+      (s, dir) => {
+        val k = 5L
+        val c0 = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            hour(col("ts")).cast("long").as("h"),
+            dayofmonth(col("ts")).cast("long").as("d"))
+          .agg(count(lit(1)).as("n"))
+        val w1 = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type", "h")
+        val wt = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+        val lv = c0
+          .withColumn("r1",
+            coalesce(sum(when(col("n") < k, col("n"))).over(w1), lit(0L)))
+          .withColumn("r2",
+            coalesce(sum(when(col("n") < k && col("r1") < k, col("n")))
+              .over(wt), lit(0L)))
+          .withColumn("level",
+            when(col("n") >= k, 0L).when(col("r1") >= k, 1L)
+              .when(col("r2") >= k, 2L).otherwise(3L))
+        lv.groupBy(
+            when(col("level") === 3L, "__suppressed__")
+              .otherwise(col("event_type")).as("event_type"),
+            when(col("level") >= 2L, -1L).otherwise(col("h")).as("h"),
+            when(col("level") >= 1L, -1L).otherwise(col("d")).as("d"),
+            col("level"))
+          .agg(sum("n").as("n"))
+          .orderBy("level", "event_type", "h", "d")
+      },
+      Some("""WITH c0 AS (SELECT event_type AS t,
+                                 extract(hour FROM ts) AS h,
+                                 extract(day FROM ts) AS d,
+                                 count(*) AS n
+                          FROM events GROUP BY 1, 2, 3),
+                w1 AS (SELECT *, COALESCE(sum(CASE WHEN n < 5 THEN n END)
+                                   OVER (PARTITION BY t, h), 0) AS r1
+                       FROM c0),
+                w2 AS (SELECT *, COALESCE(sum(CASE WHEN n < 5 AND r1 < 5 THEN n END)
+                                   OVER (PARTITION BY t), 0) AS r2
+                       FROM w1),
+                lv AS (SELECT *, CASE WHEN n >= 5 THEN 0
+                                      WHEN r1 >= 5 THEN 1
+                                      WHEN r2 >= 5 THEN 2
+                                      ELSE 3 END AS lvl
+                       FROM w2)
+              SELECT CASE WHEN lvl = 3 THEN '__suppressed__' ELSE t END AS event_type,
+                     CAST(CASE WHEN lvl >= 2 THEN -1 ELSE h END AS BIGINT) AS h,
+                     CAST(CASE WHEN lvl >= 1 THEN -1 ELSE d END AS BIGINT) AS d,
+                     CAST(lvl AS BIGINT) AS level,
+                     CAST(sum(n) AS BIGINT) AS n
+              FROM lv GROUP BY 1, 2, 3, 4
+              ORDER BY level, event_type, h, d""")),
+
     // DIFFERENTIALLY-PRIVATE count release (ε = 0.5 Laplace): per-type
     // event counts plus Laplace(1/ε) noise, released in micro-units so
     // the noisy value never re-rounds. The noise is SEEDED from the

@@ -34,6 +34,44 @@ class GovernanceSpec extends SparkSpec {
     // sf0.1 oracle run, where no group is below k
   }
 
+  test("gov_k_generalize: every released group is k-anonymous; lattice matches a driver replay") {
+    val k = 5L
+    val rows = run("gov_k_generalize").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.filter(_._4 < 3L).forall(_._5 >= k),
+      "every non-suppressed release has n >= k")
+    assert(rows.map(_._5).sum == events.count(), "release is exhaustive")
+    // full local-recoding replay on the driver: cells -> residual r1 ->
+    // residual r2 -> level -> regrouped release
+    val cells = events.select(col("event_type"),
+        hour(col("ts")).cast("long"), dayofmonth(col("ts")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val r1 = cells.filter(_._2 < k).groupBy { case ((t, h, _), _) => (t, h) }
+      .view.mapValues(_.values.sum).toMap.withDefaultValue(0L)
+    val r2 = cells.filter { case ((t, h, _), n) => n < k && r1((t, h)) < k }
+      .groupBy(_._1._1).view.mapValues(_.values.sum).toMap.withDefaultValue(0L)
+    val expected = cells.toSeq.map { case ((t, h, d), n) =>
+      val lvl = if (n >= k) 0L else if (r1((t, h)) >= k) 1L
+        else if (r2(t) >= k) 2L else 3L
+      val key = lvl match {
+        case 0L => (t, h, d, 0L)
+        case 1L => (t, h, -1L, 1L)
+        case 2L => (t, -1L, -1L, 2L)
+        case _ => ("__suppressed__", -1L, -1L, 3L)
+      }
+      key -> n
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .map { case ((t, h, d, l), n) => (t, h, d, l, n) }.toSet
+    assert(rows.toSet == expected,
+      s"lattice divergence: ${(rows.toSet diff expected).take(3)} | " +
+        s"${(expected diff rows.toSet).take(3)}")
+    // the residual subtlety is actually exercised: some (type, hour)
+    // group must mix released level-0 cells with sub-k residue
+    assert(rows.map(_._4).distinct.length >= 2, "multiple lattice levels in play")
+  }
+
   test("gov_dp_counts: noise is the seeded Laplace draw, clamped at zero") {
     val got = run("gov_dp_counts").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -98,8 +136,11 @@ class GovernanceSpec extends SparkSpec {
     // re-shuffle. gov_k_anon = 4 (QI agg re-planned per union branch,
     // 1-row suppressed rollup, output sort); doc_drift_psi = 5 (corpus
     // agg, spine union re-agg, smoothing window, rollup, sort)
+    // gov_k_generalize = 5: corpus agg, two cell-frame windows, release
+    // re-aggregation, sort — the lattice climb never re-shuffles events
     for ((name, ceiling) <- Seq("gov_k_anon" -> 4, "gov_dp_counts" -> 3,
-        "gov_forget_audit" -> 4, "doc_drift_psi" -> 5)) {
+        "gov_forget_audit" -> 4, "doc_drift_psi" -> 5,
+        "gov_k_generalize" -> 5)) {
       val df = run(name)
       df.write.format("noop").mode("overwrite").save()
       val nodes = allNodes(df.queryExecution.executedPlan)
