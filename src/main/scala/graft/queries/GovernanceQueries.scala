@@ -225,6 +225,70 @@ object GovernanceQueries extends QueryPack {
                                     THEN user_id END) AS purged_users
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // PII-MASKING release audit — the measurement twin the masking
+    // stage was missing (dedup has its banding eval, ANN its recall
+    // curve, the classifier its eval + calibration; the mask shipped
+    // unmeasured): per source, how much PII the feed carries (docs
+    // affected, hits by kind) and the RESIDUAL after masking — the
+    // release gate is residual_after_mask = 0, counted by re-running
+    // the detectors on the masked text rather than trusted by
+    // construction. Same deterministic contact-line injection as
+    // text_pii_mask (the fixture carries no real PII, so the audit's
+    // positives are planted arithmetic, identical in both engines).
+    // One corpus scan into a |sources|-row conditional aggregation;
+    // all counts are exact longs.
+    Q("gov_pii_audit",
+      (s, dir) => {
+        val contact = concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        val masked = graft.text.TextFunctions.maskPii(contact)
+        val e = regexp_count(contact, lit(graft.text.TextFunctions.EmailRe))
+          .cast("long")
+        val p = regexp_count(contact, lit(graft.text.TextFunctions.PhoneRe))
+          .cast("long")
+        val resid =
+          (regexp_count(masked, lit(graft.text.TextFunctions.EmailRe)) +
+            regexp_count(masked, lit(graft.text.TextFunctions.PhoneRe)))
+            .cast("long")
+        t(s, dir, "documents")
+          .select(col("source"), e.as("e"), p.as("p"), resid.as("resid"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("e") > 0L || col("p") > 0L, 1L).otherwise(0L))
+              .as("docs_with_pii"),
+            sum("e").as("n_emails"),
+            sum("p").as("n_phones"),
+            sum("resid").as("residual_after_mask"))
+          .orderBy("source")
+      },
+      Some("""WITH injected AS (
+                SELECT source,
+                       text || ' contact user' || doc_id || '@example.com or +1-555-'
+                            || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS c
+                FROM documents),
+                m AS (SELECT source,
+                             len(regexp_extract_all(c, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS e,
+                             len(regexp_extract_all(c, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS p,
+                             len(regexp_extract_all(
+                                   regexp_replace(
+                                     regexp_replace(c, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+                                     '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+                                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+                             + len(regexp_extract_all(
+                                   regexp_replace(
+                                     regexp_replace(c, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+                                     '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+                                   '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS resid
+                      FROM injected)
+              SELECT source,
+                     count(*) AS n_docs,
+                     CAST(sum(CASE WHEN e > 0 OR p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+                     CAST(sum(e) AS BIGINT) AS n_emails,
+                     CAST(sum(p) AS BIGINT) AS n_phones,
+                     CAST(sum(resid) AS BIGINT) AS residual_after_mask
+              FROM m GROUP BY source ORDER BY source""")),
+
     // SNAPSHOT-DRIFT PSI: population stability index of the document
     // length distribution between two corpus halves (md5-split "ref"
     // vs "cur" snapshots — in production, last week's corpus vs this

@@ -116,6 +116,18 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("gov_pii_audit: planted PII is found everywhere and the mask leaves zero residue") {
+    val rows = run("gov_pii_audit").collect()
+    val nDocs = Tables.table(spark, sfDir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "audit covers every document")
+    // every doc carries the planted contact line → all flagged, ≥1 each
+    assert(rows.forall(r => r.getLong(2) == r.getLong(1)), "all docs flagged")
+    assert(rows.forall(r => r.getLong(3) >= r.getLong(1)), "≥1 email per doc")
+    assert(rows.forall(r => r.getLong(4) >= r.getLong(1)), "≥1 phone per doc")
+    // the release gate: re-running the detectors on masked text finds 0
+    assert(rows.forall(_.getLong(5) == 0L), "mask must leave zero residue")
+  }
+
   test("doc_drift_psi: terms are non-negative, total is the exact term sum, counts cover the corpus") {
     val rows = run("doc_drift_psi").collect()
     val (tot, buckets) = rows.partition(_.getLong(0) == -1L)
