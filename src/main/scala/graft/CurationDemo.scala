@@ -106,6 +106,14 @@ object CurationDemo {
     println("   k-anonymity audit (gov_k_anon) — suppressed rollup:")
     q("gov_k_anon").filter(col("event_type") === "__suppressed__")
       .show(truncate = false)
+    println("   generalization-hierarchy release (gov_k_generalize) — rows per level:")
+    q("gov_k_generalize").groupBy("level").agg(
+      count(lit(1)).as("groups"), sum("n").as("rows_released"))
+      .orderBy("level").show(truncate = false)
+    println("   PII release audit (gov_pii_audit) — totals:")
+    q("gov_pii_audit").agg(sum("n_docs").as("docs"),
+      sum("n_emails").as("emails"), sum("n_phones").as("phones"),
+      sum("residual_after_mask").as("residual")).show(truncate = false)
     println("   DP count release (gov_dp_counts):")
     q("gov_dp_counts").show(truncate = false)
     println("   forget audit (gov_forget_audit):")
