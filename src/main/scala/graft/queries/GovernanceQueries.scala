@@ -5,13 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Data-governance operators — the release/compliance half of a training
   * -data pipeline that the curation ops (dedup / quality / PII masking)
-  * don't cover: k-anonymity release auditing, differentially-private
+  * don't cover: k-anonymity release auditing (flat suppression AND the
+  * Samarati-style generalization hierarchy), differentially-private
   * aggregate release, deletion-request (right-to-be-forgotten)
-  * propagation auditing, and distribution-drift measurement between
-  * corpus snapshots. The reference relay (main.go:103-155) moves raw
-  * change events with no governance layer at all; these are the checks a
-  * consumer of that feed must run before any derived dataset leaves the
-  * pipeline.
+  * propagation auditing, the PII-mask release audit, and
+  * distribution-drift measurement between corpus snapshots. The
+  * reference relay (main.go:103-155) moves raw change events with no
+  * governance layer at all; these are the checks a consumer of that
+  * feed must run before any derived dataset leaves the pipeline. The
+  * streaming complements live in `streaming/ForgetFilter` (tombstone
+  * guard) and `streaming/DriftMonitor` (windowed PSI).
   *
   * Scale design (the 100 TB contract, shared by all four):
   *  - every op is AGGREGATION-SHAPED — one partial-aggregated pass over
