@@ -16,12 +16,13 @@ import org.apache.spark.sql.functions._
   * streaming complements live in `streaming/ForgetFilter` (tombstone
   * guard) and `streaming/DriftMonitor` (windowed PSI).
   *
-  * Scale design (the 100 TB contract, shared by all four):
+  * Scale design (the 100 TB contract, shared across the family):
   *  - every op is AGGREGATION-SHAPED — one partial-aggregated pass over
-  *    the fact table reduces to a group frame (QI groups / event types /
-  *    20 histogram buckets) and ALL release logic (suppression, noise,
-  *    smoothing, PSI terms) runs on that compact frame; the corpus is
-  *    scanned once and never re-shuffled;
+  *    the fact table reduces to a group frame (QI cells / event types /
+  *    sources / 10 histogram buckets) and ALL release logic
+  *    (suppression, lattice climb, noise, smoothing, PSI terms) runs on
+  *    that compact frame; the corpus is scanned once and never
+  *    re-shuffled;
   *  - determinism under partitioning: counts are longs (associative),
   *    every double that meets an `ln`/division is quantized to 1e-6
   *    micro-longs immediately after (the text_bigram_lm convention), so
