@@ -149,6 +149,11 @@ object IngestBench {
       .withColumn("ts",
         timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(36000L))))
       .select("ts", "n_chars")
+      // one far-future sentinel advances the watermark past the LAST real
+      // window's close (watermark stops at max event time, so without it
+      // the 10th window never emits — the DriftMonitorSpec flush move)
+      .unionByName(spark.range(1).select(
+        timestamp_seconds(lit(1700200000L)).as("ts"), lit(0L).as("n_chars")))
     bigD.write.mode("overwrite").parquet(dsrc)
 
     val t2 = System.nanoTime()
@@ -175,6 +180,11 @@ object IngestBench {
     val fchk = Files.createTempDirectory("forgetbench_chk").toString
     val ev = Tables.table(spark, sfDir, "events")
     val nEv = ev.count() * replicas
+    // same id-aliasing guard as leg 1: a fixture whose user ids reach the
+    // offset would silently merge replica users (and their tombstones)
+    val maxUid = ev.agg(max("user_id")).head().getLong(0)
+    require(maxUid >= 0 && maxUid < ReplicaOffset,
+      s"user_id range [0, $maxUid] must sit below the replica offset $ReplicaOffset")
     val bigE = Range(0, replicas).map(i =>
         ev.select((col("user_id") + lit(i * ReplicaOffset)).as("user_id"),
           col("event_id").as("seq"),

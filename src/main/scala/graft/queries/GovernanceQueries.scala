@@ -47,10 +47,14 @@ object GovernanceQueries extends QueryPack {
     // Groups smaller than k are SUPPRESSED and roll up into one
     // '__suppressed__' row (always emitted, 0 when nothing suppressed)
     // so the release row set is exhaustive: released rows + the rollup
-    // account for every input row. One shuffle on the QI key; the
-    // k-cut and the rollup run on the |groups| frame. The fixture
-    // exercises both regimes: sf0.001 suppresses nearly everything
-    // (sparse groups), sf0.1 releases nearly everything.
+    // account for every input row. ONE shuffle on the QI key — the
+    // k-cut is a conditional REGROUP of the |groups| frame (the
+    // gov_k_generalize mapped-key pattern; a filter-per-branch union
+    // would re-plan the corpus aggregation twice), and the
+    // always-present rollup row comes from a 1-row zero spine unioned
+    // onto the group frame, never the corpus. The fixture exercises
+    // both regimes: sf0.001 suppresses nearly everything (sparse
+    // groups), sf0.1 releases nearly everything.
     Q("gov_k_anon",
       (s, dir) => {
         val g = t(s, dir, "events")
@@ -58,13 +62,18 @@ object GovernanceQueries extends QueryPack {
             hour(col("ts")).cast("long").as("h"),
             dayofmonth(col("ts")).cast("long").as("d"))
           .agg(count(lit(1)).as("n"))
-        val released = g.filter(col("n") >= 5)
-        val suppressed = g.filter(col("n") < 5)
-          .agg(coalesce(sum("n"), lit(0L)).as("n"))
-          .select(lit("__suppressed__").as("event_type"),
-            lit(-1L).as("h"), lit(-1L).as("d"), col("n"))
-        released.select("event_type", "h", "d", "n")
-          .unionByName(suppressed)
+        val spine = s.range(1).select(
+          lit("__suppressed__").as("event_type"),
+          lit(-1L).as("h"), lit(-1L).as("d"), lit(0L).as("n"))
+        g.select(
+            when(col("n") >= 5, col("event_type")).otherwise("__suppressed__")
+              .as("event_type"),
+            when(col("n") >= 5, col("h")).otherwise(-1L).as("h"),
+            when(col("n") >= 5, col("d")).otherwise(-1L).as("d"),
+            col("n"))
+          .unionByName(spine)
+          .groupBy("event_type", "h", "d")
+          .agg(sum("n").as("n"))
           .orderBy("event_type", "h", "d")
       },
       Some("""WITH g AS (SELECT event_type,
@@ -308,8 +317,10 @@ object GovernanceQueries extends QueryPack {
     // runs unchanged on a stream (streaming/DriftMonitor).
     Q("doc_drift_psi",
       (s, dir) => {
+        // bucket scheme single-sourced from the streaming twin so the
+        // batch query and DriftMonitor can never bin differently
         val d = t(s, dir, "documents").select(
-          least(lit(9L), floor(col("n_chars") / lit(50)).cast("long")).as("b"),
+          graft.streaming.DriftMonitor.lengthBucket(col("n_chars")).as("b"),
           (bucket(col("doc_id").cast("string")) < 500000L).as("ref"))
         // the empty-bucket spine densifies via UNION + re-aggregate, not a
         // spine join: a window over a joined spark.range frame trips

@@ -52,6 +52,15 @@ class ForgetFilterSpec extends SparkSpec {
       s"user 1 ledger: $u1")
     assert(out.filter(_.user_id == 2L).forall(_.admitted),
       "untombstoned users flow freely")
+    // the ledger router: admitted data on one side, suppressions AND
+    // tombstone acks on the other
+    val (adm, purge) = ForgetFilter.split(
+      spark.createDataset(out)(org.apache.spark.sql.Encoders.product[Out]))
+    assert(adm.collect().map(o => (o.user_id, o.seq)).toSet ==
+      Set((1L, 10L), (2L, 41L)), "admitted routing")
+    assert(purge.collect().map(o => (o.user_id, o.seq)).toSet ==
+      Set((1L, 20L), (1L, 30L), (1L, 40L)),
+      "purge ledger carries suppressions and the ack")
   }
 
   test("equal-seq tie goes to the tombstone (conservative placement)") {

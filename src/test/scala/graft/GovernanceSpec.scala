@@ -18,9 +18,6 @@ class GovernanceSpec extends SparkSpec {
 
   private def events = Tables.table(spark, sfDir, "events")
 
-  private def mdBucket(c: org.apache.spark.sql.Column) =
-    pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(1000000L))
-
   test("gov_k_anon: released groups are k-anonymous and the release is exhaustive") {
     val rows = run("gov_k_anon").collect()
     val (supp, released) = rows.partition(_.getString(0) == "__suppressed__")
@@ -95,25 +92,32 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
-  test("gov_forget_audit: accounts for every row and the purge empties the request set") {
+  test("gov_forget_audit: accounts for every row against an independent request-list replay") {
     val rows = run("gov_forget_audit").collect()
-    val perType = events.groupBy("event_type").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    rows.foreach { r =>
-      assert(r.getLong(1) + r.getLong(2) == perType(r.getString(0)),
-        s"${r.getString(0)}: kept + purged != total")
+    // INDEPENDENT replay: the request list from java md5 on the driver
+    // (not the query's own Spark expression), folded over the raw rows —
+    // an inverted or re-thresholded purge predicate in the query cannot
+    // satisfy this
+    def requested(uid: Long): Boolean =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(uid.toString).take(8), 16) % 1000000L < 100000L
+    val raw = events.select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = raw.groupBy(_._1).map { case (tpe, evs) =>
+      val (purged, kept) = evs.partition(e => requested(e._2))
+      tpe -> (kept.length.toLong, purged.length.toLong,
+        purged.map(_._2).distinct.length.toLong)
     }
-    val del = mdBucket(col("user_id").cast("string")) < 100000L
-    // applying the purge as a filter leaves zero requested users behind
-    assert(events.filter(del).count() == rows.map(_.getLong(2)).sum)
-    assert(events.filter(!del).filter(del).count() == 0L)
-    // purged_users matches a driver-side recount
-    val purgedUsers = events.filter(del).select("event_type", "user_id")
-      .distinct().groupBy("event_type").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet == expected.keySet)
     rows.foreach { r =>
-      assert(r.getLong(3) == purgedUsers.getOrElse(r.getString(0), 0L))
+      val (k, p, u) = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((k, p, u)),
+        s"${r.getString(0)}: audit (${r.getLong(1)}, ${r.getLong(2)}, " +
+          s"${r.getLong(3)}) != replay ($k, $p, $u)")
     }
+    // the fixture exercises both sides of the request list
+    assert(rows.map(_.getLong(2)).sum > 0 && rows.map(_.getLong(1)).sum > 0)
   }
 
   test("gov_pii_audit: planted PII is found everywhere and the mask leaves zero residue") {
@@ -143,14 +147,14 @@ class GovernanceSpec extends SparkSpec {
 
   test("governance plans: no sort-merge join, aggregation-shaped") {
     // per-query exchange ceilings: every exchange past the first carries a
-    // group frame (QI groups / 5 types / ≤20 histogram rows), so the
+    // group frame (QI cells / 5 types / ≤20 histogram rows), so the
     // ceiling is the number of post-aggregation stages, not a corpus
-    // re-shuffle. gov_k_anon = 4 (QI agg re-planned per union branch,
-    // 1-row suppressed rollup, output sort); doc_drift_psi = 5 (corpus
-    // agg, spine union re-agg, smoothing window, rollup, sort)
-    // gov_k_generalize = 5: corpus agg, two cell-frame windows, release
-    // re-aggregation, sort — the lattice climb never re-shuffles events
-    for ((name, ceiling) <- Seq("gov_k_anon" -> 4, "gov_dp_counts" -> 3,
+    // re-shuffle. gov_k_anon = 3 (corpus agg, spine-union regroup,
+    // output sort — the conditional-regroup form scans the corpus ONCE);
+    // doc_drift_psi = 5 (corpus agg, spine union re-agg, smoothing
+    // window, rollup, sort); gov_k_generalize = 5 (corpus agg, two
+    // cell-frame windows, release re-aggregation, sort)
+    for ((name, ceiling) <- Seq("gov_k_anon" -> 3, "gov_dp_counts" -> 3,
         "gov_forget_audit" -> 4, "doc_drift_psi" -> 5,
         "gov_k_generalize" -> 5)) {
       val df = run(name)
