@@ -101,6 +101,24 @@ class DriftMonitorSpec extends SparkSpec {
     assert(!real.exists(_._2.sum == 3L), "the late row must not re-open window 0")
   }
 
+  test("the batch doc_drift_psi twin and psiMicro agree bit-for-bit on the same histograms") {
+    import spark.implicits._
+    // reconstruct both snapshot histograms from the registered batch
+    // query's own per-bucket rows, then push them through the STREAMING
+    // monitor's psiMicro expression — the 'same arithmetic' twin claim,
+    // checked end to end rather than via a hand-copied formula
+    val batch = SparkEntry.queries("doc_drift_psi")(spark, sfDir).collect()
+    val buckets = batch.filter(_.getLong(0) >= 0L).sortBy(_.getLong(0))
+    val refHist = buckets.map(_.getLong(1))
+    val curHist = buckets.map(_.getLong(2))
+    val headline = batch.find(_.getLong(0) == -1L).get.getLong(3)
+    val viaMonitor = Seq(Tuple1(curHist.toSeq)).toDF("hist")
+      .select(DriftMonitor.psiMicro(col("hist"), refHist).as("psi"))
+      .collect()(0).getLong(0)
+    assert(viaMonitor == headline,
+      s"stream/batch PSI arithmetic diverged: $viaMonitor != $headline")
+  }
+
   test("planted drift raises PSI well above the matched-distribution floor") {
     import spark.implicits._
     // reference drawn from the fixture corpus itself
