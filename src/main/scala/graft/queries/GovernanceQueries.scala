@@ -238,6 +238,47 @@ object GovernanceQueries extends QueryPack {
                                     THEN user_id END) AS purged_users
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // The PURGE APPLIED — the other half of gov_forget_audit's
+    // accounting: the CDC latest-state materialization (what a
+    // downstream keeps current from the relay) with every requested
+    // user's row REMOVED, via the foreign-key purge plan the audit's
+    // scaladoc references: the request list is derived as its own
+    // small table (in production, the consent/deletion-request
+    // collection riding the same change feed) and consumed as a
+    // BROADCAST LEFT ANTI join — no corpus re-shuffle, the snapshot
+    // streams past the broadcast filter once. GovernanceSpec asserts
+    // the anti join is broadcast and the survivors are disjoint from
+    // an independently-derived request list.
+    Q("gov_forget_apply",
+      (s, dir) => {
+        val latest = graft.cdc.ChangeEvents.latestState(
+          t(s, dir, "events"),
+          keyCols = Seq("user_id"),
+          orderDesc = Seq(col("ts"), col("event_id")))
+        val requests = t(s, dir, "events")
+          .select(col("user_id"))
+          .where(bucket(col("user_id").cast("string")) < 100000L)
+          .distinct()
+        latest.join(broadcast(requests), Seq("user_id"), "left_anti")
+          .select(col("user_id"),
+            col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"),
+            round(col("value"), 2).as("last_value"))
+          .orderBy("user_id")
+      },
+      Some("""WITH latest AS (
+                SELECT * FROM (SELECT *, row_number() OVER
+                        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM events) WHERE rn = 1),
+                req AS (SELECT DISTINCT user_id FROM events
+                        WHERE (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                               % 1000000) < 100000)
+              SELECT user_id, event_id AS last_event_id,
+                     event_type AS last_type, round(value, 2) AS last_value
+              FROM latest
+              WHERE user_id NOT IN (SELECT user_id FROM req)
+              ORDER BY user_id""")),
+
     // PII-MASKING release audit — the measurement twin the masking
     // stage was missing (dedup has its banding eval, ANN its recall
     // curve, the classifier its eval + calibration; the mask shipped

@@ -120,6 +120,29 @@ class GovernanceSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum > 0 && rows.map(_.getLong(1)).sum > 0)
   }
 
+  test("gov_forget_apply: broadcast anti-join purge, survivors disjoint from the request list") {
+    def requested(uid: Long): Boolean =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(uid.toString).take(8), 16) % 1000000L < 100000L
+    val df = run("gov_forget_apply")
+    val survivors = df.collect().map(_.getLong(0))
+    assert(survivors.forall(u => !requested(u)),
+      "a requested user survived the purge")
+    // exactly the non-requested latest-state keys survive
+    val allUsers = events.select("user_id").distinct().collect()
+      .map(_.getLong(0))
+    assert(survivors.toSet == allUsers.filterNot(requested).toSet,
+      "purge must remove exactly the request list")
+    df.write.format("noop").mode("overwrite").save()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+      case _ => false
+    }, "the purge must run as a broadcast LEFT ANTI join")
+  }
+
   test("gov_pii_audit: planted PII is found everywhere and the mask leaves zero residue") {
     val rows = run("gov_pii_audit").collect()
     val nDocs = Tables.table(spark, sfDir, "documents").count()
