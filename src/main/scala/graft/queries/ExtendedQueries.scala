@@ -582,6 +582,98 @@ object ExtendedQueries extends QueryPack {
             FROM events ORDER BY event_id"""
       }),
 
+    // Z-ORDER layout EVALUATION — the measurement twin the layout
+    // family was missing (dedup/ANN/classifier/packing/PII each have
+    // one): quantify the file-skipping a z-clustered layout buys over a
+    // linearly-clustered one, analytically from per-file min/max
+    // manifests — the decision a table owner reads before paying the
+    // re-cluster. Files are modeled as key-prefix ranges (64 z-prefix
+    // files vs 64 x-prefix files); per-file (x, y) bounds and row
+    // counts derive from ONE corpus pass into a ≤64×64 cell frame, the
+    // two layout manifests come off that frame via an in-row explode
+    // (no second corpus scan), and three canonical predicates (x band,
+    // y band, xy box) probe both manifests with ordinary min/max
+    // intersection — exactly the pruning arithmetic the scan planner
+    // runs. The expected shape the fixture reproduces: the linear
+    // layout prunes x bands well and y bands not at all (every file
+    // spans all y); z-order prunes BOTH dimensions at ~√F cost.
+    Q("layout_zorder_eval",
+      (s, dir) => {
+        import graft.operators.ZOrder
+        val x = col("user_id").bitwiseAND(lit(1023L))
+        val y = floor(col("value")).cast("long").bitwiseAND(lit(1023L))
+        val cells = t(s, dir, "events")
+          .select(x.as("x"), y.as("y"),
+            ZOrder.zorder2(x, y, bits = 10).as("z"))
+          .groupBy(shiftright(col("z"), 14).as("fz"),
+            shiftright(col("x"), 4).as("fx"))
+          .agg(min("x").as("mnx"), max("x").as("mxx"),
+            min("y").as("mny"), max("y").as("mxy"),
+            count(lit(1)).as("rows"))
+        val files = cells
+          .select(explode(array(
+            struct(lit("zorder").as("layout"), col("fz").as("f")),
+            struct(lit("linear").as("layout"), col("fx").as("f")))).as("lf"),
+            col("mnx"), col("mxx"), col("mny"), col("mxy"), col("rows"))
+          .groupBy(col("lf.layout").as("layout"), col("lf.f").as("f"))
+          .agg(min("mnx").as("mnx"), max("mxx").as("mxx"),
+            min("mny").as("mny"), max("mxy").as("mxy"),
+            sum("rows").as("rows"))
+        val preds = s.range(1).select(explode(array(
+          struct(lit("x_band").as("pred"),
+            lit(96L).as("xlo"), lit(159L).as("xhi"),
+            lit(0L).as("ylo"), lit(1023L).as("yhi")),
+          struct(lit("y_band").as("pred"),
+            lit(0L).as("xlo"), lit(1023L).as("xhi"),
+            lit(192L).as("ylo"), lit(255L).as("yhi")),
+          struct(lit("xy_box").as("pred"),
+            lit(96L).as("xlo"), lit(159L).as("xhi"),
+            lit(192L).as("ylo"), lit(255L).as("yhi")))).as("p"))
+          .select("p.*")
+        val touched = col("mnx") <= col("xhi") && col("mxx") >= col("xlo") &&
+          col("mny") <= col("yhi") && col("mxy") >= col("ylo")
+        files.crossJoin(broadcast(preds))
+          .groupBy("layout", "pred")
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(touched, 1L).otherwise(0L)).as("files_touched"),
+            sum(when(touched, col("rows")).otherwise(0L)).as("rows_touched"))
+          .orderBy("layout", "pred")
+      },
+      Some {
+        val xs = "(user_id & 1023)"
+        val ys = "(CAST(floor(value) AS BIGINT) & 1023)"
+        s"""WITH pts AS (SELECT $xs AS x, $ys AS y,
+                                ${graft.operators.ZOrder.zorder2Sql(xs, ys, bits = 10)} AS z
+                         FROM events),
+               cells AS (SELECT z // 16384 AS fz, x // 16 AS fx,
+                                min(x) AS mnx, max(x) AS mxx,
+                                min(y) AS mny, max(y) AS mxy,
+                                count(*) AS rows
+                         FROM pts GROUP BY 1, 2),
+               files AS (SELECT layout, f,
+                                min(mnx) AS mnx, max(mxx) AS mxx,
+                                min(mny) AS mny, max(mxy) AS mxy,
+                                CAST(sum(rows) AS BIGINT) AS rows
+                         FROM (SELECT 'zorder' AS layout, fz AS f, * FROM cells
+                               UNION ALL
+                               SELECT 'linear' AS layout, fx AS f, * FROM cells)
+                         GROUP BY 1, 2),
+               preds AS (SELECT * FROM (VALUES
+                           ('x_band', 96, 159, 0, 1023),
+                           ('y_band', 0, 1023, 192, 255),
+                           ('xy_box', 96, 159, 192, 255))
+                         AS t(pred, xlo, xhi, ylo, yhi))
+             SELECT layout, pred, count(*) AS n_files,
+                    CAST(sum(CASE WHEN mnx <= xhi AND mxx >= xlo
+                                   AND mny <= yhi AND mxy >= ylo
+                             THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+                    CAST(sum(CASE WHEN mnx <= xhi AND mxx >= xlo
+                                   AND mny <= yhi AND mxy >= ylo
+                             THEN rows ELSE 0 END) AS BIGINT) AS rows_touched
+             FROM files CROSS JOIN preds
+             GROUP BY 1, 2 ORDER BY layout, pred"""
+      }),
+
     // The SAME pruning in the ≥1 MB-filter regime
     // ([[BloomPrune.prunedJoinSubquery]]): the Bloom filter is built
     // in-plan by `bloom_filter_agg` inside an uncorrelated scalar
