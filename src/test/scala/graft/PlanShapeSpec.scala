@@ -584,6 +584,13 @@ class PlanShapeSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 3, p)
   }
 
+  test("layout_zorder_eval builds both manifests from ONE corpus scan") {
+    val p = plan("layout_zorder_eval")
+    // the in-row explode forks the cell frame into the two layout
+    // manifests; a per-layout aggregation branch would re-scan events
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("exact percentiles never buffer a whole group (no ObjectHashAggregate)") {
     // agg_median/ts_trend/ts_anomaly_mad run the bucketed rank-selection
     // path; the buffering built-in `percentile` would plan an
