@@ -78,13 +78,17 @@ class ZOrderSpec extends SparkSpec {
   }
 
   test("layout_zorder_eval: pruning is sound (no false negatives) and z beats linear off-axis") {
-    val rows = SparkEntry.queries("layout_zorder_eval")(spark, sfDir).collect()
+    // sf0.01, not the suite default: sf0.001's 15 users never reach the
+    // x band [96, 159], which would make the x_band/xy_box soundness
+    // checks vacuous (0 >= 0) — at sf0.01 every predicate has matches
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("layout_zorder_eval")(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSeq
     assert(rows.length == 6, "2 layouts x 3 predicates")
     // exact matching counts from the raw frame — file pruning must never
     // lose a matching row, whatever the layout
-    val pts = Tables.table(spark, sfDir, "events")
+    val pts = Tables.table(spark, dir, "events")
       .select((col("user_id").bitwiseAND(lit(1023L))).as("x"),
         floor(col("value")).cast("long").bitwiseAND(lit(1023L)).as("y"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -93,17 +97,22 @@ class ZOrderSpec extends SparkSpec {
       "y_band" -> pts.count(p => p._2 >= 192 && p._2 <= 255).toLong,
       "xy_box" -> pts.count(p =>
         p._1 >= 96 && p._1 <= 159 && p._2 >= 192 && p._2 <= 255).toLong)
+    assert(exact.values.forall(_ > 0L), s"every predicate populated: $exact")
     rows.foreach { case (layout, pred, _, _, rowsTouched) =>
       assert(rowsTouched >= exact(pred),
         s"$layout/$pred: pruning lost matches ($rowsTouched < ${exact(pred)})")
     }
-    // the headline trade the eval exists to show: the linear layout
-    // cannot prune the off-axis band (touches every row), z-order can
+    // the headline trade, both halves: the linear layout prunes its own
+    // sort column but cannot prune the off-axis band; z-order prunes both
     val byKey = rows.map(r => (r._1, r._2) -> r).toMap
+    assert(byKey(("linear", "x_band"))._5 < pts.length.toLong,
+      "x-sorted files must prune an x band")
     assert(byKey(("linear", "y_band"))._5 == pts.length.toLong,
       "x-sorted files span all y: the y band must touch every row")
     assert(byKey(("zorder", "y_band"))._5 < pts.length.toLong,
       "z-order must prune the off-axis band")
+    assert(byKey(("zorder", "xy_box"))._5 < pts.length.toLong,
+      "z-order must prune the box")
   }
 
   test("zorder2 is a bijective interleave on the masked domain") {
