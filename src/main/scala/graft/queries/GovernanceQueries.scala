@@ -170,17 +170,13 @@ object GovernanceQueries extends QueryPack {
     // projection on the |types|-row frame.
     Q("gov_dp_counts",
       (s, dir) => {
-        val eps = 0.5
-        val u = (bucket(col("event_type")).cast("double") + lit(0.5)) /
-          lit(1e6) - lit(0.5)
-        val noise = lit(-1.0 / eps) * signum(u) *
-          log(lit(1.0) - lit(2.0) * abs(u))
+        // mechanism single-sourced with the streaming windowed release
+        // (streaming/DpRelease) so batch and stream can never diverge
         t(s, dir, "events")
           .groupBy("event_type").agg(count(lit(1)).as("n"))
           .select(col("event_type"),
-            greatest(lit(0L),
-              col("n") * lit(1000000L) +
-                round(noise * lit(1e6), 0).cast("long"))
+            graft.streaming.DpRelease
+              .releasedMicro(col("n"), col("event_type"), eps = 0.5)
               .as("released_micro"))
           .orderBy("event_type")
       },
