@@ -210,8 +210,39 @@ object IngestBench {
     val acks = ledger.filter(col("tombstone")).count()
     println(s"""{"metric":"forget_events_per_sec","value":${(nEv / secF).round},"unit":"events/s","events":$nEv,"purged":$purged,"tombstones":$acks,"sec":$secF,"sf":"$sfDir"}""")
 
+    // ---- leg 5: windowed DP release events/s ---------------------------
+    // the replicated event feed through DpRelease (hourly windows per
+    // type) — the telemetry-release path; same watermark sentinel move
+    // as leg 3 so every real window closes and releases
+    val rsrc = Files.createTempDirectory("dpbench_src").toString
+    val rout = Files.createTempDirectory("dpbench_out").toString
+    val rchk = Files.createTempDirectory("dpbench_chk").toString
+    val bigR = Range(0, replicas).map(_ =>
+        ev.select(col("ts"), col("event_type").as("key")))
+      .reduce(_ unionByName _)
+      .unionByName(spark.range(1).select(
+        timestamp_seconds(lit(1900000000L)).as("ts"), lit("_flush").as("key")))
+    bigR.write.mode("overwrite").parquet(rsrc)
+
+    val t4 = System.nanoTime()
+    val qr = graft.streaming.DpRelease.noisyCountsPerWindow(
+        spark.readStream.schema(bigR.schema).parquet(rsrc),
+        eps = 0.5, windowDuration = "1 hour", watermarkDelay = "0 seconds")
+      .writeStream
+      .option("checkpointLocation", rchk)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$rout/batch=$batchId")
+      }.start()
+    qr.awaitTermination()
+    val secR = (System.nanoTime() - t4) / 1e9
+    val releases = spark.read.parquet(rout)
+      .filter(col("key") =!= "_flush").count()
+    println(s"""{"metric":"dprelease_events_per_sec","value":${(nEv / secR).round},"unit":"events/s","events":$nEv,"releases":$releases,"sec":$secR,"sf":"$sfDir"}""")
+
     spark.stop()
-    Seq(src, out, chk, psrc, pout, pchk, dsrc, dout, dchk, fsrc, fout, fchk)
+    Seq(src, out, chk, psrc, pout, pchk, dsrc, dout, dchk, fsrc, fout, fchk,
+        rsrc, rout, rchk)
       .foreach(d =>
         graft.operators.Artifacts.deleteRecursively(java.nio.file.Paths.get(d)))
   }
