@@ -193,6 +193,46 @@ object GovernanceQueries extends QueryPack {
                        AS released_micro
               FROM s ORDER BY event_type""")),
 
+    // DIFFERENTIALLY-PRIVATE histogram release — the vector-valued
+    // companion of gov_dp_counts (the two canonical DP release shapes:
+    // a scalar count and a histogram): the document length histogram
+    // (doc_drift_psi's fixed 10-bucket scheme, single-sourced from the
+    // streaming twin) released with independent seeded Laplace(1/ε)
+    // noise per cell. Disjoint cells ⇒ sensitivity 1 for the whole
+    // vector, so ONE ε covers the release (parallel composition — the
+    // published result); the seed is the bucket id, the mechanism is
+    // DpRelease.laplaceMicro verbatim. One corpus scan into the
+    // 10-row spine-densified histogram; noise is a projection on it.
+    Q("gov_dp_hist",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(
+          graft.streaming.DriftMonitor.lengthBucket(col("n_chars")).as("b"))
+        val spine = s.range(0, 10).select(col("id").as("b"), lit(0L).as("c"))
+        d.groupBy("b").agg(count(lit(1)).as("c"))
+          .unionByName(spine)
+          .groupBy("b").agg(sum("c").as("n"))
+          .select(col("b"),
+            graft.streaming.DpRelease
+              .releasedMicro(col("n"), col("b").cast("string"), eps = 0.5)
+              .as("released_micro"))
+          .orderBy("b")
+      },
+      Some("""WITH d AS (SELECT least(9, n_chars // 50) AS b FROM documents),
+                c AS (SELECT t.b,
+                             CAST(COALESCE(count(d.b), 0) AS BIGINT) AS n
+                      FROM range(0, 10) t(b) LEFT JOIN d ON d.b = t.b
+                      GROUP BY t.b),
+                s AS (SELECT b, n,
+                             ((('0x' || substr(md5(b::VARCHAR), 1, 8))::BIGINT
+                               % 1000000) + 0.5) / 1e6 - 0.5 AS u
+                      FROM c)
+              SELECT b,
+                     greatest(0, n * 1000000 +
+                       CAST(round((-1.0 / 0.5) * sign(u)
+                              * ln(1.0 - 2.0 * abs(u)) * 1e6, 0) AS BIGINT))
+                       AS released_micro
+              FROM s ORDER BY b""")),
+
     // DELETION-REQUEST propagation audit (right to be forgotten): the
     // delete list is every user whose md5 bucket < 10% (standing in
     // for the accumulated GDPR/CCPA request table), and the audit

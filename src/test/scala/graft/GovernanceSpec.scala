@@ -92,6 +92,31 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("gov_dp_hist: per-cell seeded draws replay exactly; clamp holds on every cell") {
+    val rows = run("gov_dp_hist").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == (0L until 10L).toSet, "all 10 cells released")
+    val trueHist = Tables.table(spark, sfDir, "documents")
+      .select(col("n_chars")).collect().map(_.getLong(0))
+      .groupBy(n => math.min(9L, n / 50)).view.mapValues(_.length.toLong)
+      .toMap.withDefaultValue(0L)
+    rows.foreach { case (b, released) =>
+      assert(released >= 0L)
+      val bkt = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(b.toString).take(8), 16) % 1000000L
+      val u = (bkt + 0.5) / 1e6 - 0.5
+      val noise = math.round(-2.0 * math.signum(u) *
+        math.log(1.0 - 2.0 * math.abs(u)) * 1e6)
+      assert(released == math.max(0L, trueHist(b) * 1000000L + noise),
+        s"cell $b")
+    }
+    // note: the per-bucket seeds 0..9 all happen to draw noise above
+    // −min(count) on this fixture, so the clamp never fires here — its
+    // arithmetic is still pinned by the exact-replay equality above
+    // (max(0, ·) on both sides) and by gov_dp_counts' clamp assert
+  }
+
   test("gov_forget_audit: accounts for every row against an independent request-list replay") {
     val rows = run("gov_forget_audit").collect()
     // INDEPENDENT replay: the request list from java md5 on the driver
