@@ -188,8 +188,8 @@ object IngestBench {
     val bigE = Range(0, replicas).map(i =>
         ev.select((col("user_id") + lit(i * ReplicaOffset)).as("user_id"),
           col("event_id").as("seq"),
-          (pmod(conv(substring(md5(col("event_id").cast("string")), 1, 8),
-            16, 10).cast("long"), lit(1000000L)) < 10000L).as("tombstone")))
+          (graft.functions.Hashing.md5Bucket(col("event_id").cast("string"))
+            < 10000L).as("tombstone")))
       .reduce(_ unionByName _)
     bigE.write.mode("overwrite").parquet(fsrc)
 

@@ -29,7 +29,7 @@ object AssemblyQueries extends QueryPack {
     * [0, 1e6) derived from a key column, identical in Spark and DuckDB.
     */
   private def bucket(key: org.apache.spark.sql.Column) =
-    pmod(conv(substring(md5(key), 1, 8), 16, 10).cast("long"), lit(1000000L))
+    graft.functions.Hashing.md5Bucket(key)
 
   /** Whitespace token count (the `doc_pack` convention). */
   private def nTok = size(TextFunctions.tokens(col("text"))).cast("long")

@@ -33,11 +33,11 @@ import org.apache.spark.sql.functions._
   */
 object GovernanceQueries extends QueryPack {
 
-  /** md5 bucket in [0, 1e6) — the shared deterministic-uniform device
-    * (same expression as AssemblyQueries: DuckDB
+  /** md5 bucket in [0, 1e6) — delegates to the repo-wide
+    * [[graft.functions.Hashing.md5Bucket]] (DuckDB twin:
     * `('0x' || substr(md5(x),1,8))::BIGINT % 1000000`). */
   private def bucket(key: Column): Column =
-    pmod(conv(substring(md5(key), 1, 8), 16, 10).cast("long"), lit(1000000L))
+    graft.functions.Hashing.md5Bucket(key)
 
   def queries: Seq[Q] = Seq(
 
@@ -217,7 +217,7 @@ object GovernanceQueries extends QueryPack {
               .as("released_micro"))
           .orderBy("b")
       },
-      Some("""WITH d AS (SELECT least(9, n_chars // 50) AS b FROM documents),
+      Some("""WITH d AS (SELECT greatest(0, least(9, COALESCE(n_chars, 0) // 50)) AS b FROM documents),
                 c AS (SELECT t.b,
                              CAST(COALESCE(count(d.b), 0) AS BIGINT) AS n
                       FROM range(0, 10) t(b) LEFT JOIN d ON d.b = t.b
@@ -432,7 +432,7 @@ object GovernanceQueries extends QueryPack {
             col("ref_n"), col("cur_n"), col("term_micro"))
           .orderBy("b")
       },
-      Some("""WITH d AS (SELECT least(9, n_chars // 50) AS b,
+      Some("""WITH d AS (SELECT greatest(0, least(9, COALESCE(n_chars, 0) // 50)) AS b,
                                 (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
                                  % 1000000) < 500000 AS ref
                          FROM documents),

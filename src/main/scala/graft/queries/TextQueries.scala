@@ -347,8 +347,7 @@ object TextQueries extends QueryPack {
     // zero-shuffle, filter pushes to the scan.
     Q("doc_sample_hash",
       (s, dir) => t(s, dir, "documents")
-        .filter(pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
-          lit(8)) === 0)
+        .filter(graft.functions.Hashing.md5Bucket(col("text"), 8) === 0)
         .select("doc_id", "source", "lang")
         .orderBy("doc_id"),
       Some("""SELECT doc_id, source, lang FROM documents
@@ -362,8 +361,8 @@ object TextQueries extends QueryPack {
     // engines/scales; narrow, zero-shuffle, no RNG state.
     Q("doc_sample_stratified",
       (s, dir) => {
-        val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-          16, 10).cast("long"), lit(100))
+        val bucket = graft.functions.Hashing
+          .md5Bucket(col("doc_id").cast("string"), 100)
         val rate = when(col("lang") === "en", 30)
           .when(col("lang") === "zh", 100).otherwise(60)
         t(s, dir, "documents")
@@ -390,8 +389,8 @@ object TextQueries extends QueryPack {
     // differences between engines cannot flip the selection.
     Q("doc_sample_weighted",
       (s, dir) => {
-        val b = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-          16, 10).cast("long"), lit(1000000))
+        val b = graft.functions.Hashing
+          .md5Bucket(col("doc_id").cast("string"))
         val u = (b + lit(1)).cast("double") / lit(1000001.0d)
         // weight floored at 1: a zero-byte doc must not divide by zero
         // (Spark NULL vs DuckDB +inf would flip sample membership)
@@ -602,8 +601,8 @@ object TextQueries extends QueryPack {
         val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
         val rates = counts.join(weights, "lang") // 5 rows
         val tUnits = rates.agg(min(expr("n div wt")).as("t_units")) // 1 row
-        val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-          16, 10).cast("long"), lit(1000000L))
+        val bucket = graft.functions.Hashing
+          .md5Bucket(col("doc_id").cast("string"))
         docs.join(broadcast(rates), "lang")
           .crossJoin(broadcast(tUnits))
           .filter(bucket * col("n") < col("t_units") * col("wt") * lit(1000000L))

@@ -33,8 +33,7 @@ object DpRelease {
     * gov_dp_counts arithmetic, verbatim).
     */
   def laplaceMicro(seed: Column, eps: Double): Column = {
-    val bkt = pmod(conv(substring(md5(seed), 1, 8), 16, 10).cast("long"),
-      lit(1000000L))
+    val bkt = graft.functions.Hashing.md5Bucket(seed)
     val u = (bkt.cast("double") + lit(0.5)) / lit(1e6) - lit(0.5)
     round(lit(-1.0 / eps) * signum(u) *
       log(lit(1.0) - lit(2.0) * abs(u)) * lit(1e6), 0).cast("long")

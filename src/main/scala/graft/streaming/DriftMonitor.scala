@@ -38,8 +38,13 @@ object DriftMonitor {
     */
   val NumBuckets = 10
 
+  /** Total on any input: nulls count as length 0 and negatives clamp to
+    * bucket 0 (the HistogramAggregator edge-fold), so a hostile fixture
+    * can never emit an out-of-spine bucket row.
+    */
   def lengthBucket(nChars: Column): Column =
-    least(lit(NumBuckets - 1L), floor(nChars / lit(50)).cast("long"))
+    greatest(lit(0L), least(lit(NumBuckets - 1L),
+      floor(coalesce(nChars, lit(0L)) / lit(50)).cast("long")))
 
   /** Mergeable fixed-size histogram: buffer = nBuckets longs, constant
     * per group regardless of row count (the CentroidAggregator shape).

@@ -62,7 +62,7 @@ object QualityModel {
     * [0, d) — the 8-hex prefix is non-negative.
     */
   def bucketOf(tok: Column, d: Int): Column =
-    pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"), lit(d))
+    graft.functions.Hashing.md5Bucket(tok, d)
 
   /** The weak-supervision label: the `doc_quality_filter` keep rule
     * (length × vocabulary diversity × stopword density). Training on the
