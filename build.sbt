@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Durable test reporters: any failure names itself in an artifact even
+// when the console log is truncated — junitxml per-suite files plus a
+// plain-text file reporter (W = no color codes).
+Test / testOptions ++= Seq(
+  Tests.Argument(TestFrameworks.ScalaTest, "-u", "target/test-reports"),
+  Tests.Argument(TestFrameworks.ScalaTest, "-fW", "target/test-reports/scalatest.log"),
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -762,9 +762,15 @@ object Multimodal {
     * ids reach ~1e9 and tripped [[guardedId]] at 1e6/2e6; deriving from
     * the data keeps the no-collision invariant at every scale.
     */
-  def twinOffsetFor(media: DataFrame): Long =
-    media.agg(org.apache.spark.sql.functions.max("media_id")).head()
-      .getLong(0) + 1L
+  def twinOffsetFor(media: DataFrame): Long = {
+    val row = media.agg(org.apache.spark.sql.functions.max("media_id")).head()
+    // max() of an empty frame is NULL; a bare getLong would NPE with no
+    // context — fail with the actual contract violation instead
+    require(!row.isNullAt(0),
+      "twinOffsetFor: empty media frame — twin offsets are derived from " +
+        "max(media_id) and need at least one real media row")
+    row.getLong(0) + 1L
+  }
 
   /** media_id with the twin-collision guard folded into the expression
     * (load-bearing, so column pruning cannot skip it): a real id at or

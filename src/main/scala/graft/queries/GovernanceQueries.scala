@@ -295,11 +295,17 @@ object GovernanceQueries extends QueryPack {
           .select(col("user_id"))
           .where(bucket(col("user_id").cast("string")) < 100000L)
           .distinct()
+        // value quantizes to micro-longs (the rel_q9 convention): a
+        // half-INTEGER tie is binary-exact below 2^51 so both engines
+        // round it away from zero identically, whereas round(x, 2)'s
+        // half-CENT ties are not representable and Spark (decimal-string
+        // HALF_UP) and DuckDB (binary half-away-from-zero) can disagree.
         latest.join(broadcast(requests), Seq("user_id"), "left_anti")
           .select(col("user_id"),
             col("event_id").as("last_event_id"),
             col("event_type").as("last_type"),
-            round(col("value"), 2).as("last_value"))
+            round(col("value") * lit(1e6), 0).cast("long")
+              .as("last_value_micro"))
           .orderBy("user_id")
       },
       Some("""WITH latest AS (
@@ -310,7 +316,8 @@ object GovernanceQueries extends QueryPack {
                         WHERE (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
                                % 1000000) < 100000)
               SELECT user_id, event_id AS last_event_id,
-                     event_type AS last_type, round(value, 2) AS last_value
+                     event_type AS last_type,
+                     CAST(round(value * 1e6, 0) AS BIGINT) AS last_value_micro
               FROM latest
               WHERE user_id NOT IN (SELECT user_id FROM req)
               ORDER BY user_id""")),

@@ -43,19 +43,24 @@ object ContaminationGuard {
     * driver-side — the model-size contract (an eval suite, not a
     * corpus). Throws when the distinct-fingerprint count exceeds
     * [[MaxIndexSize]]: ONE pass — the collect is capped at
-    * MaxIndexSize+1 rows, so the driver holds at most one row past the
-    * bound before failing (a separate count() would run the whole
-    * shingle+winnow+distinct pipeline twice per index build).
+    * MaxIndexSize+1 rows and lands as a PRIMITIVE Array[Long]
+    * (`as[Long]`, not Row objects — a boxed-Row collect of 10M+1
+    * entries costs several hundred MB of object headers before the
+    * bound could fire; the primitive array is the ~80 MB it claims),
+    * so the driver holds at most ~80 MB past the bound before failing
+    * (a separate count() would run the whole shingle+winnow+distinct
+    * pipeline twice per index build).
     */
   def standingIndex(docs: DataFrame): Set[Long] = {
+    import docs.sparkSession.implicits._
     val fps = Winnow.fingerprintsDf(docs).select("fp").distinct()
-      .limit(MaxIndexSize.toInt + 1).collect()
+      .limit(MaxIndexSize.toInt + 1).as[Long].collect()
     require(fps.length <= MaxIndexSize,
       s"standing contamination index exceeds $MaxIndexSize fingerprints: " +
         "this side must be the EVAL suite, not a corpus — for a corpus-" +
         "sized index, run the stream-static broadcast-join form over the " +
         "exploded fingerprints (the text_winnow_matches shape) instead")
-    fps.map(_.getLong(0)).toSet
+    fps.toSet
   }
 
   /** Annotate a (doc_id, text) stream (or batch frame — the projection

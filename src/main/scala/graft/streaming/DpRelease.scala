@@ -31,26 +31,45 @@ object DpRelease {
   /** Seeded Laplace(1/eps) noise in 1e-6 micro-units: deterministic in
     * the seed column, bit-identical at any parallelism (the
     * gov_dp_counts arithmetic, verbatim).
+    *
+    * PRIVACY CAVEAT (applies to every entry point below): with the
+    * default empty `salt`, the noise is a deterministic function of
+    * PUBLIC values (the group key / window start), so anyone can
+    * recompute and subtract it — the released counts are exactly
+    * recoverable and the ε-DP guarantee is NOMINAL, fit only for
+    * tests and the DuckDB oracle. A production release MUST pass a
+    * `salt` the adversary cannot know (a secret deployment seed, or a
+    * column carrying per-release CSPRNG draws); the key-derived seed
+    * stays the default only so the batch query, the stream, and the
+    * oracle can share one replayable mechanism.
     */
-  def laplaceMicro(seed: Column, eps: Double): Column = {
-    val bkt = graft.functions.Hashing.md5Bucket(seed)
+  def laplaceMicro(seed: Column, eps: Double,
+      salt: Column = lit("")): Column = {
+    val bkt = graft.functions.Hashing.md5Bucket(concat(salt, seed))
     val u = (bkt.cast("double") + lit(0.5)) / lit(1e6) - lit(0.5)
     round(lit(-1.0 / eps) * signum(u) *
       log(lit(1.0) - lit(2.0) * abs(u)) * lit(1e6), 0).cast("long")
   }
 
-  /** Released count in micro-units, clamped at zero. */
-  def releasedMicro(n: Column, seed: Column, eps: Double): Column =
-    greatest(lit(0L), n * lit(1000000L) + laplaceMicro(seed, eps))
+  /** Released count in micro-units, clamped at zero. `salt` defaults to
+    * the recomputable test/oracle seed — see the caveat on
+    * [[laplaceMicro]] before releasing real data.
+    */
+  def releasedMicro(n: Column, seed: Column, eps: Double,
+      salt: Column = lit("")): Column =
+    greatest(lit(0L), n * lit(1000000L) + laplaceMicro(seed, eps, salt))
 
   /** The monitor: an event stream (`ts` timestamp, `key` string) → one
     * row per closed (window, key) with the ε-DP released count.
+    * `noiseSalt` defaults to the recomputable test/oracle seed — see
+    * the caveat on [[laplaceMicro]] before releasing real data.
     */
   def noisyCountsPerWindow(
       events: DataFrame,
       eps: Double,
       windowDuration: String,
-      watermarkDelay: String): DataFrame =
+      watermarkDelay: String,
+      noiseSalt: Column = lit("")): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowDuration), col("key"))
@@ -60,5 +79,5 @@ object DpRelease {
         col("key"),
         releasedMicro(col("n"),
           concat(col("window.start").cast("long").cast("string"),
-            lit("|"), col("key")), eps).as("released_micro"))
+            lit("|"), col("key")), eps, noiseSalt).as("released_micro"))
 }

@@ -360,32 +360,57 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(full === Set(1L))
   }
 
+  // NOTE on the two pin tests below: the SparkSession (and its
+  // ContextCleaner) is SHARED across every suite in the forked test
+  // JVM, and the cleaner unpersists GC'd RDDs (earlier suites'
+  // localCheckpoints, dropped cache pins) asynchronously — so a global
+  // getPersistentRDDs.SIZE can shrink between two reads through no
+  // action of this suite (the r10 1-in-3 full-suite flake). Both tests
+  // therefore assert on RDD-ID SETS: background cleaning only REMOVES
+  // ids, while the failure mode under test (a leaked pin) ADDS ids, so
+  // "no NEW ids appeared" is exact and load-independent.
   test("shared shingle index: repeated query calls do not grow the pinned-plan set") {
+    def pinnedIds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
     def run(): Unit = {
       SparkEntry.queries("doc_dedup_ngram")(spark, sfDir).count()
       SparkEntry.queries("doc_dedup_clusters")(spark, sfDir).count()
       ()
     }
     run() // builds + pins the one shared index
-    val after1 = spark.sparkContext.getPersistentRDDs.size
+    val after1 = pinnedIds
     run(); run()
-    val after3 = spark.sparkContext.getPersistentRDDs.size
-    assert(after3 === after1,
-      s"pinned-plan count grew across repeated calls: $after1 -> $after3")
+    // any transient pin inside run() unpersists non-blocking — poll
+    // before declaring a leak
+    val deadline = System.nanoTime() + 10e9.toLong
+    while ((pinnedIds -- after1).nonEmpty
+        && System.nanoTime() < deadline) Thread.sleep(50)
+    val leaked = pinnedIds -- after1
+    assert(leaked.isEmpty,
+      s"repeated calls pinned NEW plans (leaked RDD ids $leaked)")
   }
 
   test("withShingleIndex pins for the scope of f and releases on exit") {
-    val before = spark.sparkContext.getPersistentRDDs.size
-    val pairs = Dedup.withShingleIndex(docs, "doc_id", "text", n = 3) { idx =>
-      assert(spark.sparkContext.getPersistentRDDs.size >= before)
-      Dedup.jaccardPairsFromIndex(idx, minJaccard = 0.8).collect()
+    def pinnedIds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = pinnedIds
+    var inside: Set[Int] = Set.empty
+    // n = 4: a plan no other test caches — CacheManager dedupes by plan,
+    // so persisting the n = 3 index SessionMemo already pinned would add
+    // no new id (and its scope-exit unpersist would evict the memo's pin)
+    val pairs = Dedup.withShingleIndex(docs, "doc_id", "text", n = 4) { idx =>
+      val res = Dedup.jaccardPairsFromIndex(idx, minJaccard = 0.8).collect()
+      // the cache pin registers on MATERIALIZATION, not at persist() —
+      // snapshot after the first action over the index
+      inside = pinnedIds -- before
+      assert(inside.nonEmpty, "the index must be pinned inside the scope")
+      res
     }
     assert(pairs.nonEmpty)
-    // unpersist is async — poll briefly for the pin to drop
+    // unpersist is async — poll briefly for the scope's own pins to drop
     val deadline = System.nanoTime() + 10e9.toLong
-    while (spark.sparkContext.getPersistentRDDs.size > before
+    while ((pinnedIds & inside).nonEmpty
         && System.nanoTime() < deadline) Thread.sleep(50)
-    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+    assert((pinnedIds & inside).isEmpty,
+      s"scope-pinned RDDs ${pinnedIds & inside} survived the exit")
   }
 
   test("incremental candidates: shuffled fallback above the broadcast bound, same rows") {
