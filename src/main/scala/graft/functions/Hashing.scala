@@ -13,5 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
   def md5Bucket(key: Column, mod: Long = 1000000L): Column =
-    pmod(conv(substring(md5(key), 1, 8), 16, 10).cast("long"), lit(mod))
+    md5Bucket(key, lit(mod))
+
+  /** Column-mod form — the SQL surface's `md5_bucket(key, mod)` builder
+    * routes here so both arities share the one definition.
+    */
+  def md5Bucket(key: Column, mod: Column): Column =
+    pmod(conv(substring(md5(key), 1, 8), 16, 10).cast("long"), mod)
 }

@@ -20,18 +20,44 @@ class ExtensionsSpec extends SparkSpec {
 
   test("every declared function builder constructs an evaluable expression") {
     import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftglue.glue
+    // a real serialized Bloom filter so the probe evaluates to a value
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100)
+    bloom.putLong(1L)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    val oid = Literal.create(Array.fill[Byte](12)(7),
+      org.apache.spark.sql.types.BinaryType)
     val sampleArgs = Map(
       "ext_json_canonical" -> Seq(Literal(1L)),
       "cosine_similarity" -> Seq(
         Literal.create(Array(1.0f, 0.0f)), Literal.create(Array(1.0f, 0.0f))),
       "dot_product" -> Seq(
-        Literal.create(Array(1.0f, 2.0f)), Literal.create(Array(3.0f, 4.0f))))
+        Literal.create(Array(1.0f, 2.0f)), Literal.create(Array(3.0f, 4.0f))),
+      "bloom_might_contain" -> Seq(
+        Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        Literal(1L)),
+      "md5_bucket" -> Seq(Literal("abc")),
+      "ext_json_get" -> Seq(Literal("""{"a":1}"""), Literal("$.a")),
+      "object_id" -> Seq(oid),
+      "bson_timestamp" -> Seq(Literal(7L), Literal(1L)),
+      "bson_regex" -> Seq(Literal("^a"), Literal("i")),
+      "bson_decimal128" -> Seq(Literal("1E-6143")),
+      "bson_binary" -> Seq(oid, Literal("04")),
+      "winnow_fingerprints" -> Seq(
+        Literal("one two three four five six seven eight nine ten")))
+    // composed builders return unresolved trees — evaluate each through
+    // the analyzer (a 1-row select), which is exactly the SQL path
     GraftFunctions.all.foreach { case (name, info, builder) =>
       assert(info != null)
       val expr = builder(sampleArgs(name))
-      assert(expr.checkInputDataTypes().isSuccess, s"$name type check")
-      assert(expr.eval(null) != null, s"$name eval")
+      val out = spark.range(1).select(glue.toColumn(expr).as("v")).head()
+      assert(!out.isNullAt(0), s"$name eval produced null")
     }
+    assert(sampleArgs.keySet === GraftFunctions.all.map(_._1).toSet,
+      "sampleArgs must cover exactly the declared registry")
   }
 
   test("salted aggregation equals direct aggregation") {
