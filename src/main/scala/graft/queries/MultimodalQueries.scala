@@ -12,6 +12,51 @@ import graft.multimodal.Multimodal
   */
 object MultimodalQueries extends QueryPack {
 
+  /** Shared oracle device for the dHash queries: regenerates the
+    * fixture images' pixels (per `variants` row: channels brightened by
+    * `delta` and clamped at 255, output ids offset by `off`) and folds
+    * them into the 9×8 box-average grid → 64-char gradient-sign bit
+    * string — the JVM dHash step for step, integer-exact (cell sums
+    * compared by cross-multiplication, never divided). Both mm_phash
+    * and mm_phash_pairs splice this one string, so their oracles cannot
+    * drift from each other.
+    */
+  private def PhashCte(variantsSelect: String): String =
+    s"""variants AS (SELECT $variantsSelect),
+        img AS (
+          SELECT doc_id AS media_id, 16 + doc_id % 48 AS w,
+                 16 + (doc_id * 7) % 48 AS h
+          FROM documents WHERE doc_id % 3 = 0),
+        vimg AS (
+          SELECT media_id, w, h, delta, off FROM img CROSS JOIN variants),
+        idx AS (
+          SELECT media_id, w, h, delta, off, unnest(range(0, w * h)) AS i
+          FROM vimg),
+        gray AS (
+          SELECT media_id, delta, off,
+                 (((i // w) * 8) // h) AS gy, (((i % w) * 9) // w) AS gx,
+                 least(((p >> 16) & 255) + delta, 255) * 299
+                   + least(((p >> 8) & 255) + delta, 255) * 587
+                   + least((p & 255) + delta, 255) * 114 AS g
+          FROM (SELECT *,
+                  ((media_id * 2654435761 + (i % w) * 31 + (i // w) * 17)
+                    & 16777215) AS p
+                FROM idx)),
+        cells AS (
+          SELECT media_id, delta, off, gy, gx, sum(g) AS sm, count(*) AS c
+          FROM gray GROUP BY 1, 2, 3, 4, 5),
+        bits AS (
+          SELECT a.media_id, a.off, a.gy, a.gx,
+                 CASE WHEN a.sm * b.c > b.sm * a.c THEN '1' ELSE '0' END AS bit
+          FROM cells a JOIN cells b
+            ON a.media_id = b.media_id AND a.delta = b.delta
+           AND a.off = b.off AND a.gy = b.gy AND b.gx = a.gx + 1
+          WHERE a.gx < 8),
+        hashes AS (
+          SELECT media_id + off AS media_id,
+                 string_agg(bit, '' ORDER BY gy DESC, gx DESC) AS fp_bits
+          FROM bits GROUP BY media_id + off)"""
+
   /** The fixture media frame (PNG encode included), memoized per
     * (session, fixture) and pinned: building the fixture is test-harness
     * work — the operators under measurement are the DECODE paths, which
@@ -160,28 +205,60 @@ object MultimodalQueries extends QueryPack {
               ORDER BY media_id""")))
 
     // Perceptual hash of every image payload: real PNG decode →
-    // grayscale 9×8 box grid → 64-bit gradient-sign dHash. No SQL engine
-    // can decode PNG, so the driver records rows-only; determinism and
-    // the near-dup property are pinned by MultimodalSpec (same bytes →
-    // same hash; brightness-shifted re-encode lands within 6 bits;
-    // unrelated images ~32 bits apart).
+    // grayscale 9×8 box grid → 64-bit gradient-sign dHash, emitted as
+    // the 64-char bit string (the mm_audio_fp convention). ORACLED
+    // bit-for-bit since r11: PNG is lossless and the fixture pixels are
+    // arithmetic in (media_id, x, y) — the mm_image_stats move — and
+    // the dHash itself is integer-only (box-cell sums compared by
+    // cross-multiplication), so DuckDB regenerates every pixel, every
+    // 9×8 cell, and every gradient-sign bit and must agree exactly.
+    // MultimodalSpec still pins the perceptual properties (re-encode
+    // stability, twin proximity, unrelated-image separation).
     .appended(Q("mm_phash",
       (s, dir) => Multimodal.imagePhashes(SharedMedia(s, dir))
+        .select(col("media_id"),
+          lpad(bin(col("phash")), 64, "0").as("fp_bits"))
         .orderBy("media_id"),
-      None))
+      Some(s"""WITH ${PhashCte("0 AS delta, 0 AS off")}
+              SELECT media_id, fp_bits FROM hashes ORDER BY media_id""")))
 
     // Near-duplicate image detection end-to-end: the fixture corpus plus
     // a brightness-shifted RE-ENCODE of every image (twin ids offset by
-    // 1e6) → per-image dHash → banded hamming join (7 chunks, guaranteed
-    // recall at ≤ 6 bits) → exact bit_count verify. Every emitted pair
-    // is original × its planted twin — the image analog of the SimHash
-    // text path, one shuffle keyed on (band, chunk), never image×image.
+    // max(id)+1) → per-image dHash → banded hamming join (7 chunks,
+    // guaranteed recall at ≤ 6 bits) → exact bit_count verify. Every
+    // emitted pair is original × its planted twin — the image analog of
+    // the SimHash text path, one shuffle keyed on (band, chunk), never
+    // image×image. ORACLED since r11: the brightened twin's pixels are
+    // least(c+8, 255) of the fixture formula — still pure arithmetic —
+    // and DuckDB replays the SAME pigeonhole banding (7 chunks of the
+    // bit string) + exact BITSTRING hamming verify, so the oracle stays
+    // pair-count-linear instead of image×image at every scale.
     .appended(Q("mm_phash_pairs",
       (s, dir) => Multimodal.phashPairs(
           Multimodal.imagePhashes(SharedMediaWithTwins(s, dir)),
           maxHamming = 6)
         .orderBy("a_id", "b_id"),
-      None))
+      Some(s"""WITH ${PhashCte(
+                "0 AS delta, 0 AS off UNION ALL SELECT 8 AS delta, " +
+                  "(SELECT max(doc_id) + 1 FROM documents) AS off")},
+              banded AS (
+                SELECT media_id, fp_bits, unnest(range(0, 7)) AS band
+                FROM hashes),
+              keyed AS (
+                SELECT media_id, fp_bits, band,
+                       substr(fp_bits, 56 - 9 * band, 9) AS chunk
+                FROM banded),
+              cand AS (
+                SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
+                       a.fp_bits AS a_fp, b.fp_bits AS b_fp
+                FROM keyed a JOIN keyed b
+                  ON a.band = b.band AND a.chunk = b.chunk
+                WHERE a.media_id < b.media_id)
+              SELECT a_id, b_id,
+                     bit_count(xor(a_fp::BIT, b_fp::BIT))::BIGINT AS hamming
+              FROM cand
+              WHERE bit_count(xor(a_fp::BIT, b_fp::BIT)) <= 6
+              ORDER BY a_id, b_id""")))
 
     // Audio energy-contour FINGERPRINT — the audio twin of mm_phash:
     // real RIFF→PCM decode, |sample| sums over 65 equal time windows,
