@@ -321,13 +321,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("graph pagerank: edge build is in-row (no position self-join)") {
+  test("graph edge ARTIFACT build is in-row (no position self-join)") {
     // ONE aggregation keyed by l_orderkey builds baskets; pairs explode
-    // in-row — there must be no join at all upstream of the edge list
-    val edges = graft.queries.GraphQueries.edgesFor(spark, sfDir)
-    val p = edges.queryExecution.analyzed.toString()
+    // in-row — there must be no join at all upstream of the pair table
+    val build = graft.queries.GraphQueries.edgeBuildPlanFor(spark, sfDir)
+    val p = build.queryExecution.analyzed.toString()
     assert(!p.contains("Join"), p)
     assert(p.toLowerCase.contains("explode"), p)
+  }
+
+  test("graph query path reads the durable edge artifact, never rebuilds pairs") {
+    // the served edge frame's lineage starts at the artifact parquet:
+    // no Generate (in-row pair build) and no lineitem scan on any query
+    val edges = graft.queries.GraphQueries.edgesFor(spark, sfDir)
+    val p = edges.queryExecution.analyzed.toString()
+    assert(!p.toLowerCase.contains("explode"), p)
+    assert(!p.contains("lineitem"), p)
+    // the scan's file location is the artifact root (the plan string
+    // elides paths — read them off the relation's FileIndex)
+    val locs = edges.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }
+    assert(locs.nonEmpty && locs.forall(_.contains("graft_edges")), locs)
   }
 
   test("graph pagerank iterations reuse the pinned edge partitioning") {
