@@ -1,0 +1,167 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.{DriftMonitor, ForgetFilter, GovernancePipeline}
+import graft.streaming.GovernancePipeline.Ev
+
+/** The composed governance DAG (suppress → release → monitor): routing
+  * end to end, and the ordering guarantee that a purged user's
+  * post-tombstone events never reach a DP count or drift histogram
+  * released after the tombstone landed.
+  */
+class GovernancePipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def withRocksDb[T](f: => T): T = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  private val T0 = 1700000000L // epoch-hour-ish anchor
+  private def ts(offsetSec: Long) = new Timestamp((T0 + offsetSec) * 1000L)
+
+  /** Driver replay of the seeded Laplace mechanism (micro-units). */
+  private def noiseMicro(seed: String, eps: Double): Long = {
+    val bkt = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(seed).take(8),
+      16) % 1000000L
+    val u = (bkt + 0.5) / 1e6 - 0.5
+    math.round(-1.0 / eps * math.signum(u) *
+      math.log(1.0 - 2.0 * math.abs(u)) * 1e6)
+  }
+
+  // flat standing reference: 10 buckets of 100
+  private val ref = Array.fill(DriftMonitor.NumBuckets)(100L)
+
+  //            user  seq  tomb   ts          key      n_chars
+  private val batch1 = Seq(
+    Ev(1L, 1L, tombstone = false, ts(60),   "click", 10L),
+    Ev(1L, 2L, tombstone = false, ts(70),   "click", 60L),
+    Ev(2L, 1L, tombstone = false, ts(80),   "view",  120L),
+    Ev(2L, 2L, tombstone = true,  ts(90),   "view",  0L))
+  // post-tombstone events of user 2 land in window 1 under "view":
+  // if suppression failed, window 1 would publish a "view" release
+  private val batch2 = Seq(
+    Ev(2L, 3L, tombstone = false, ts(3660), "view",  200L),
+    Ev(2L, 4L, tombstone = false, ts(3670), "view",  300L),
+    Ev(1L, 3L, tombstone = false, ts(3680), "click", 450L))
+  private val flush = Seq(
+    Seq(Ev(99L, 1L, tombstone = false, ts(10000000), "_flush", 0L)),
+    Seq(Ev(99L, 2L, tombstone = false, ts(10000001), "_flush", 0L)))
+
+  test("suppress → release → monitor: routing, and suppression gates every release") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Ev]
+      val o = GovernancePipeline.run(input.toDS(), ref, eps = 0.5,
+        windowDuration = "1 hour", watermarkDelay = "0 seconds")
+      def mem(df: org.apache.spark.sql.DataFrame, name: String): StreamingQuery =
+        df.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+      val qs = Seq(mem(o.admitted, "gp_adm"), mem(o.ledger, "gp_led"),
+        mem(o.released, "gp_rel"), mem(o.drift, "gp_drift"))
+      try {
+        (Seq(batch1, batch2) ++ flush).foreach { b =>
+          input.addData(b: _*); qs.foreach(_.processAllAvailable())
+        }
+      } finally qs.foreach(_.stop())
+
+      // routing: pre-tombstone rows admitted (in-batch order by seq puts
+      // user 2's seq 1 before its tombstone), post-tombstone suppressed
+      val adm = spark.table("gp_adm")
+        .select("user_id", "seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(adm.filter(_._1 != 99L) ===
+        Set((1L, 1L), (1L, 2L), (2L, 1L), (1L, 3L)))
+      val led = spark.table("gp_led")
+        .select("user_id", "seq", "tombstone").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(led === Set((2L, 2L, true), (2L, 3L, false), (2L, 4L, false)),
+        "ledger = tombstone ack + every suppressed row")
+
+      // releases derive from the ADMITTED side only: window 0 has
+      // click=2 / view=1 (the pre-tombstone event); window 1 has click=1
+      // and NO view row at all — the purged user's events left no trace
+      val rel = spark.table("gp_rel")
+        .filter(col("key") =!= "_flush")
+        .select(unix_timestamp(col("w_start")), col("key"),
+          col("released_micro"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val byWinKey = rel.map(t => (t._1, t._2) -> t._3).toMap
+      assert(rel.length === byWinKey.size, "one release per (window, key)")
+      val wins = rel.map(_._1).distinct.sorted
+      assert(wins.length === 2, s"two released windows: ${rel.toSeq}")
+      val (w0, w1) = (wins(0), wins(1))
+      def expected(wStart: Long, key: String, n: Long): Long =
+        math.max(0L, n * 1000000L + noiseMicro(s"$wStart|$key", 0.5))
+      assert(byWinKey((w0, "click")) === expected(w0, "click", 2L))
+      assert(byWinKey((w0, "view")) === expected(w0, "view", 1L))
+      assert(byWinKey((w1, "click")) === expected(w1, "click", 1L))
+      assert(!byWinKey.contains((w1, "view")),
+        "a purged user's events must not produce a release")
+
+      // drift histograms count ADMITTED documents only: window 0 buckets
+      // 10→0, 60→1, 120→2 chars (user 2's 200/300-char suppressed rows
+      // absent from window 1, which holds only the 450-char admitted row)
+      val drift = spark.table("gp_drift")
+        .filter(unix_timestamp(col("w_start")) < T0 + 100000)
+        .select(unix_timestamp(col("w_start")), col("hist"), col("psi_micro"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+      def histOf(chars: Seq[Long]): Seq[Long] = {
+        val h = Array.fill(DriftMonitor.NumBuckets)(0L)
+        chars.foreach(c => h(math.min(c / 50, 9L).toInt) += 1)
+        h.toSeq
+      }
+      assert(drift(w0)._1 === histOf(Seq(10L, 60L, 120L)))
+      assert(drift(w1)._1 === histOf(Seq(450L)))
+      // psi replays bit-identically through the shared arithmetic
+      val psiCheck = Seq(w0, w1).map { w =>
+        spark.range(1)
+          .select(DriftMonitor.psiMicro(typedLit(drift(w)._1), ref).as("p"))
+          .head().getLong(0)
+      }
+      assert(Seq(drift(w0)._2, drift(w1)._2) === psiCheck)
+    }
+  }
+
+  test("the pipeline guard's verdicts are ForgetFilter's, bit for bit") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      // the composed pipeline's guard on the shared replay
+      val inputA = MemoryStream[Ev]
+      val oA = GovernancePipeline.run(inputA.toDS(), ref, eps = 0.5,
+        windowDuration = "1 hour", watermarkDelay = "0 seconds")
+      val qA = oA.admitted.unionByName(oA.ledger)
+        .writeStream.format("memory").queryName("gp_parity_a")
+        .outputMode("append").start()
+      // the standalone ForgetFilter on the projected identical stream
+      val inputB = MemoryStream[ForgetFilter.Ev]
+      val qB = ForgetFilter.guard(inputB.toDS())
+        .toDF().writeStream.format("memory").queryName("gp_parity_b")
+        .outputMode("append").start()
+      try {
+        Seq(batch1, batch2).foreach { b =>
+          inputA.addData(b: _*); qA.processAllAvailable()
+          inputB.addData(b.map(e =>
+            ForgetFilter.Ev(e.user_id, e.seq, e.tombstone)): _*)
+          qB.processAllAvailable()
+        }
+      } finally { qA.stop(); qB.stop() }
+      def verdicts(t: String): Set[(Long, Long, Boolean, Boolean)] =
+        spark.table(t).select("user_id", "seq", "tombstone", "admitted")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+            r.getBoolean(3))).toSet
+      assert(verdicts("gp_parity_a") === verdicts("gp_parity_b"))
+    }
+  }
+}

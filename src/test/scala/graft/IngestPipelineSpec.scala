@@ -108,6 +108,95 @@ class IngestPipelineSpec extends SparkSpec {
     assert(all)
   }
 
+  test("crash-restart: the COMPOSED DAG resumes exactly-once, verdicts ≡ uninterrupted run") {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    withRocksDb {
+      // 10 files × 3 docs, one file per micro-batch. Routing mix per id:
+      //   id % 10 == 7 → quality reject (no decisive token)
+      //   id % 10 == 8 → contaminated (carries the eval span)
+      //   else        → admitted content, DUPLICATED 3× across files
+      //                 (same id % 10 ⇒ same text, group straddles any
+      //                 kill point by construction)
+      val nFiles = 10; val perFile = 3
+      def textOf(id: Int): String = (id % 10) match {
+        case 7 => badText
+        case 8 => contamText
+        case r => s"goodword payload $r with extra novel filler words"
+      }
+      def writeSource(): String = {
+        val src = Files.createTempDirectory("ingest_src").toString
+        for (f <- 0 until nFiles)
+          Files.writeString(java.nio.file.Paths.get(s"$src/f$f.json"),
+            (0 until perFile).map { i =>
+              val id = f * perFile + i
+              s"""{"doc_id":$id,"text":"${textOf(id)}"}"""
+            }.mkString("\n"))
+        src
+      }
+      def start(src: String, out: String, chk: String, trigger: Trigger) = {
+        val env = spark.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .json(src)
+        IngestPipeline.curate(env, model, standing)
+          .writeStream
+          .option("checkpointLocation", chk)
+          .trigger(trigger)
+          // epoch-overwrite sink: replayed epoch is idempotent, so
+          // checkpoint + idempotent sink = exactly-once
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            b.write.mode("overwrite").parquet(s"$out/batch=$id")
+          }.start()
+      }
+      def verdicts(out: String): Map[Long, (Boolean, String, Any)] =
+        spark.read.parquet(out)
+          .select("doc_id", "keep", "reason", "first_id").collect()
+          .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2),
+            if (r.isNullAt(3)) null else r.getLong(3)))).toMap
+
+      // interrupted run: kill after the first processed batch
+      val src1 = writeSource()
+      val out1 = Files.createTempDirectory("ingest_out").toString
+      val chk1 = Files.createTempDirectory("ingest_chk").toString
+      val q1 = start(src1, out1, chk1, Trigger.ProcessingTime("1 second"))
+      val deadline = System.nanoTime() + 60e9.toLong
+      while (q1.recentProgress.count(_.numInputRows > 0) < 1
+          && System.nanoTime() < deadline) Thread.sleep(50)
+      q1.stop() // the crash: dedup state + offsets live only in the checkpoint
+      val afterKill = spark.read.parquet(out1).count()
+      assert(afterKill < (nFiles * perFile).toLong,
+        s"kill was supposed to land mid-source, but all $afterKill rows are there")
+      start(src1, out1, chk1, Trigger.AvailableNow()).awaitTermination()
+
+      // uninterrupted reference run: same files, fresh checkpoint
+      val src2 = writeSource()
+      val out2 = Files.createTempDirectory("ingest_out2").toString
+      val chk2 = Files.createTempDirectory("ingest_chk2").toString
+      start(src2, out2, chk2, Trigger.AvailableNow()).awaitTermination()
+
+      val crashed = verdicts(out1)
+      val clean = verdicts(out2)
+      // exactly-once: every doc verdicted exactly once across the restart
+      assert(crashed.keySet === (0 until nFiles * perFile).map(_.toLong).toSet,
+        "resume must verdict every doc exactly once")
+      // and the mid-crash state did not double-admit or split-brain:
+      // verdicts are BIT-IDENTICAL to the uninterrupted run
+      assert(crashed === clean, "crash-restart verdicts diverged from the clean run")
+      // the fixture really exercised all three stages
+      val reasons = crashed.values.map(_._2).toSet
+      assert(reasons === Set(null, "quality", "contaminated", "duplicate"))
+      // dedup: per admitted content group, ONE winner, duplicates point at it
+      (0 until 10).filterNot(r => r == 7 || r == 8).foreach { r =>
+        val group = (0 until nFiles * perFile).filter(_ % 10 == r).map(_.toLong)
+        val winners = group.filter(id => crashed(id)._1)
+        assert(winners.size === 1, s"group $r: ${winners.size} winners")
+        group.foreach(id => assert(crashed(id)._3 === winners.head,
+          s"doc $id points at ${crashed(id)._3}, winner ${winners.head}"))
+      }
+    }
+  }
+
   private def runBatchesSplitCheck(): Boolean = withRocksDb {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
