@@ -57,6 +57,76 @@ object MultimodalQueries extends QueryPack {
                  string_agg(bit, '' ORDER BY gy DESC, gx DESC) AS fp_bits
           FROM bits GROUP BY media_id + off)"""
 
+  /** Shared oracle device for the audio-fingerprint queries: the
+    * mm_audio_fp pipeline (signed 16-bit fixture samples → 65 window
+    * |s| sums → 64 cross-multiplied ordering bits) parameterized per
+    * `variants` row by a num/den gain (truncated toward ZERO, the
+    * Scala `(s0 * num / den).toShort` semantics — DuckDB `//` floors,
+    * so negatives sign-adjust) and an id offset for the planted twins.
+    */
+  private def AudioFpCte(variantsSelect: String): String =
+    s"""variants AS (SELECT $variantsSelect),
+        audio AS (
+          SELECT doc_id AS media_id,
+                 (256 + doc_id % 512) * (1 + doc_id % 2) AS n
+          FROM documents WHERE doc_id % 3 = 1),
+        vaudio AS (
+          SELECT media_id, n, num, den, off FROM audio CROSS JOIN variants),
+        idx AS (
+          SELECT media_id, n, num, den, off, unnest(range(0, n)) AS i
+          FROM vaudio),
+        sgn AS (
+          SELECT media_id, n, off, i,
+                 CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s0,
+                 num, den
+          FROM (SELECT *,
+                  ((media_id * 2654435761 + i * 40503) & 65535) AS u
+                FROM idx)),
+        scaled AS (
+          SELECT media_id, n, off, i,
+                 CASE WHEN s0 >= 0 THEN (s0 * num) // den
+                      ELSE -(((-s0) * num) // den) END AS s
+          FROM sgn),
+        wins AS (
+          SELECT media_id + off AS media_id, (i * 65) // n AS w,
+                 sum(abs(s)) AS sm, count(*) AS c
+          FROM scaled GROUP BY 1, 2),
+        bits AS (
+          SELECT a.media_id, a.w,
+                 CASE WHEN a.sm * b.c > b.sm * a.c THEN '1' ELSE '0' END AS bit
+          FROM wins a JOIN wins b
+            ON a.media_id = b.media_id AND b.w = a.w + 1),
+        hashes AS (
+          SELECT media_id, string_agg(bit, '' ORDER BY w DESC) AS fp_bits
+          FROM bits GROUP BY media_id)"""
+
+  /** Shared oracle tail for both banded near-dup pair queries: replay
+    * the pigeonhole banding (7 × 9-bit chunks of the 64-char bit
+    * string — bit 63 is outside every chunk, which cannot lose a ≤ 6
+    * pair: 7 differences would be needed to blind all 7 bands) over a
+    * `hashes(media_id, fp_bits)` CTE, then the exact BITSTRING hamming
+    * verify. Keeps the oracle pair-count-linear at every scale.
+    */
+  private val BandedPairsSql: String =
+    """banded AS (
+         SELECT media_id, fp_bits, unnest(range(0, 7)) AS band
+         FROM hashes),
+       keyed AS (
+         SELECT media_id, fp_bits, band,
+                substr(fp_bits, 56 - 9 * band, 9) AS chunk
+         FROM banded),
+       cand AS (
+         SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
+                a.fp_bits AS a_fp, b.fp_bits AS b_fp
+         FROM keyed a JOIN keyed b
+           ON a.band = b.band AND a.chunk = b.chunk
+         WHERE a.media_id < b.media_id)
+       SELECT a_id, b_id,
+              bit_count(xor(a_fp::BIT, b_fp::BIT))::BIGINT AS hamming
+       FROM cand
+       WHERE bit_count(xor(a_fp::BIT, b_fp::BIT)) <= 6
+       ORDER BY a_id, b_id"""
+
   /** The fixture media frame (PNG encode included), memoized per
     * (session, fixture) and pinned: building the fixture is test-harness
     * work — the operators under measurement are the DECODE paths, which
@@ -241,24 +311,7 @@ object MultimodalQueries extends QueryPack {
       Some(s"""WITH ${PhashCte(
                 "0 AS delta, 0 AS off UNION ALL SELECT 8 AS delta, " +
                   "(SELECT max(doc_id) + 1 FROM documents) AS off")},
-              banded AS (
-                SELECT media_id, fp_bits, unnest(range(0, 7)) AS band
-                FROM hashes),
-              keyed AS (
-                SELECT media_id, fp_bits, band,
-                       substr(fp_bits, 56 - 9 * band, 9) AS chunk
-                FROM banded),
-              cand AS (
-                SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
-                       a.fp_bits AS a_fp, b.fp_bits AS b_fp
-                FROM keyed a JOIN keyed b
-                  ON a.band = b.band AND a.chunk = b.chunk
-                WHERE a.media_id < b.media_id)
-              SELECT a_id, b_id,
-                     bit_count(xor(a_fp::BIT, b_fp::BIT))::BIGINT AS hamming
-              FROM cand
-              WHERE bit_count(xor(a_fp::BIT, b_fp::BIT)) <= 6
-              ORDER BY a_id, b_id""")))
+              $BandedPairsSql""")))
 
     // Audio energy-contour FINGERPRINT — the audio twin of mm_phash:
     // real RIFF→PCM decode, |sample| sums over 65 equal time windows,
@@ -272,45 +325,31 @@ object MultimodalQueries extends QueryPack {
       (s, dir) => Multimodal.audioFingerprints(SharedMedia(s, dir))
         .select(col("media_id"), lpad(bin(col("phash")), 64, "0").as("fp_bits"))
         .orderBy("media_id"),
-      Some("""WITH audio AS (
-                SELECT doc_id AS media_id,
-                       (256 + doc_id % 512) * (1 + doc_id % 2) AS n
-                FROM documents WHERE doc_id % 3 = 1),
-              idx AS (
-                SELECT media_id, n, unnest(range(0, n)) AS i FROM audio),
-              sgn AS (
-                SELECT media_id, n, i,
-                       CASE WHEN ((media_id * 2654435761 + i * 40503) & 65535) >= 32768
-                            THEN ((media_id * 2654435761 + i * 40503) & 65535) - 65536
-                            ELSE ((media_id * 2654435761 + i * 40503) & 65535)
-                       END AS s
-                FROM idx),
-              wins AS (
-                SELECT media_id, (i * 65) // n AS w,
-                       sum(abs(s)) AS sm, count(*) AS c
-                FROM sgn GROUP BY 1, 2),
-              bits AS (
-                SELECT a.media_id, a.w,
-                       CASE WHEN a.sm * b.c > b.sm * a.c
-                            THEN '1' ELSE '0' END AS bit
-                FROM wins a JOIN wins b
-                  ON a.media_id = b.media_id AND b.w = a.w + 1)
-              SELECT media_id, string_agg(bit, '' ORDER BY w DESC) AS fp_bits
-              FROM bits GROUP BY media_id ORDER BY media_id""")))
+      Some(s"""WITH ${AudioFpCte("1 AS num, 1 AS den, 0 AS off")}
+              SELECT media_id, fp_bits FROM hashes ORDER BY media_id""")))
 
     // Near-duplicate audio end-to-end: the corpus plus a gain-scaled
     // (×7/8, truncated) RE-ENCODE of every clip → energy-contour
     // fingerprints → the SAME pigeonhole banding join as the image path
     // (phashPairs serves both modalities) → exact bit_count verify.
     // Every emitted pair is original × its planted twin (MultimodalSpec
-    // pins recovery + separation); rows-only for the driver, as with
-    // mm_phash_pairs.
+    // pins recovery + separation). ORACLED since r11, completing the
+    // pair-query symmetry with mm_phash_pairs: the scaled twin samples
+    // are (s·7/8 truncated toward zero) of the fixture arithmetic, and
+    // the oracle replays the shared AudioFpCte + BandedPairsSql —
+    // banding included, so it stays pair-count-linear. NOTE the twin
+    // offset here is max(AUDIO id) + 1 (the twin frame is pre-filtered
+    // to audio rows before the offset derives), not max over all media.
     .appended(Q("mm_audio_fp_pairs",
       (s, dir) => Multimodal.phashPairs(
           Multimodal.audioFingerprints(SharedAudioWithTwins(s, dir)),
           maxHamming = 6)
         .orderBy("a_id", "b_id"),
-      None))
+      Some(s"""WITH ${AudioFpCte(
+                "1 AS num, 1 AS den, 0 AS off UNION ALL " +
+                  "SELECT 7 AS num, 8 AS den, (SELECT max(doc_id) + 1 " +
+                  "FROM documents WHERE doc_id % 3 = 1) AS off")},
+              $BandedPairsSql""")))
 
     // Loudness/clipping profile over REAL PCM: every audio payload runs
     // through AudioSystem's RIFF→PCM decode (the full sample stream,
