@@ -352,7 +352,8 @@ object Multimodal {
     * frame CODEC exists in this container, but every structural field a
     * demuxer walks is spec-correct.
     */
-  def encodeMp4(mediaId: Long): Array[Byte] = {
+  def encodeMp4(mediaId: Long, gainNum: Int = 1, gainDen: Int = 1)
+      : Array[Byte] = {
     val (w, h, fps, nF) = videoParams(mediaId)
     val ftyp = mp4Box("ftyp", {
       val bb = ByteBuffer.allocate(16)
@@ -425,13 +426,24 @@ object Multimodal {
     val filler = new Array[Byte](sizes.sum)
     var i = 0
     while (i < filler.length) {
-      filler(i) = ((mediaId * 31 + i * 131) & 0xff).toByte
+      filler(i) =
+        ((((mediaId * 31 + i * 131) & 0xff) * gainNum / gainDen).toByte)
       i += 1
     }
     ftyp ++ moov(mdatPayloadOff) ++ mp4Box("mdat", filler)
   }
 
-  private val encodeMp4Udf = udf(encodeMp4 _)
+  /** Re-encode `mediaId`'s fixture video with every elementary-stream
+    * byte scaled by num/den (truncated; bytes are unsigned so floor =
+    * truncation) — the planted near-duplicate for [[videoFingerprints]]:
+    * the video twin of [[encodeWavScaled]]. The container boxes are
+    * byte-identical (same sample table); only the mdat content dims.
+    */
+  def encodeMp4Scaled(mediaId: Long, num: Int, den: Int): Array[Byte] =
+    encodeMp4(mediaId, num, den)
+
+  private val encodeMp4Udf = udf((id: Long) => encodeMp4(id))
+  private val encodeMp4ScaledUdf = udf(encodeMp4Scaled _)
 
   private def beInt(bytes: Array[Byte], off: Int): Int =
     ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
@@ -744,6 +756,77 @@ object Multimodal {
       .unionByName(media.filter(col("kind") === "audio")
         .select((col("media_id") + twinOffset).as("media_id"), col("kind"),
           encodeWavScaledUdf(col("media_id"), lit(num), lit(den)).as("bytes")))
+  }
+
+  /** 64-bit content-contour fingerprint of an MP4 payload — the video
+    * member of the perceptual-hash family ([[dHash]] / [[audioFingerprint]]):
+    * the REAL stsz/stco sample-table walk locates every frame's byte
+    * range, the frames' bytes concatenate into the elementary stream
+    * (exactly what a demuxer hands the decoder), unsigned byte values
+    * sum into 65 equal stream windows, and bit k records whether window
+    * k's mean exceeds window k+1's (cross-multiplied exact integers —
+    * the [[audioFingerprint]] convention). A uniform content gain
+    * scales every window sum by the same positive factor and leaves
+    * the contour signs intact. None for unparseable containers, frame
+    * ranges outside the payload, or streams shorter than 65 bytes.
+    * ORACLE-able: the fixture mdat bytes are arithmetic in
+    * (media_id, i), so DuckDB regenerates windows and bits exactly.
+    */
+  def videoFingerprint(bytes: Array[Byte]): Option[Long] =
+    decodeMp4SampleTable(bytes).flatMap { case (offsets, sizes) =>
+      val total = sizes.foldLeft(0L)(_ + _)
+      val inBounds = sizes.length > 0 && offsets(0) >= 0 &&
+        offsets(sizes.length - 1) + sizes(sizes.length - 1) <= bytes.length
+      if (total < 65 || !inBounds) None
+      else {
+        val sums = new Array[Long](65)
+        val cnts = new Array[Long](65)
+        var pos = 0L
+        var f = 0
+        while (f < sizes.length) {
+          var j = 0
+          while (j < sizes(f)) {
+            val w = (pos * 65 / total).toInt
+            sums(w) += (bytes((offsets(f) + j).toInt) & 0xff).toLong
+            cnts(w) += 1
+            pos += 1
+            j += 1
+          }
+          f += 1
+        }
+        var fp = 0L
+        var k = 0
+        while (k < 64) {
+          if (sums(k) * cnts(k + 1) > sums(k + 1) * cnts(k)) fp |= 1L << k
+          k += 1
+        }
+        Some(fp)
+      }
+    }
+
+  private val videoFpUdf = udf(videoFingerprint _)
+
+  /** Content-contour fingerprints of the video rows, `(media_id, phash)`
+    * — named like the image hash so [[phashPairs]]'s pigeonhole banding
+    * serves all three modalities unchanged.
+    */
+  def videoFingerprints(media: DataFrame): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), videoFpUdf(col("bytes")).as("phash"))
+      .filter(col("phash").isNotNull)
+
+  /** The fixture media plus a gain-scaled re-encode of every video clip
+    * (twin ids offset by `twinOffset`) — input for the video near-dup
+    * pair demo/test, mirroring [[withScaledAudioTwins]].
+    */
+  def withScaledVideoTwins(media: DataFrame, num: Int, den: Int,
+      twinOffset: Long): DataFrame = {
+    requireMediaSchema(media, "withScaledVideoTwins")
+    media.select(guardedId(twinOffset).as("media_id"), col("kind"),
+        col("bytes"))
+      .unionByName(media.filter(col("kind") === "video")
+        .select((col("media_id") + twinOffset).as("media_id"), col("kind"),
+          encodeMp4ScaledUdf(col("media_id"), lit(num), lit(den)).as("bytes")))
   }
 
   /** Twin-builder input contract: positional unions silently misalign a

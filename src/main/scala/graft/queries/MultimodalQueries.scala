@@ -100,7 +100,48 @@ object MultimodalQueries extends QueryPack {
           SELECT media_id, string_agg(bit, '' ORDER BY w DESC) AS fp_bits
           FROM bits GROUP BY media_id)"""
 
-  /** Shared oracle tail for both banded near-dup pair queries: replay
+  /** Shared oracle device for the video-fingerprint queries: the
+    * mm_video_fp pipeline (fixture mdat bytes → 65 stream-window sums →
+    * 64 cross-multiplied ordering bits) parameterized per `variants`
+    * row by a num/den gain (bytes are unsigned, so DuckDB `//` floor IS
+    * the Scala truncation — no sign adjust, unlike [[AudioFpCte]]) and
+    * an id offset for the planted twins. The elementary-stream length
+    * is the stsz sum in closed form: Σ(8 + (i%4)·2) over nf frames.
+    */
+  private def VideoFpCte(variantsSelect: String): String =
+    s"""variants AS (SELECT $variantsSelect),
+        video AS (
+          SELECT doc_id AS media_id, 24 + doc_id % 240 AS nf
+          FROM documents WHERE doc_id % 3 = 2),
+        vv AS (
+          SELECT media_id,
+                 8 * nf + 2 * (6 * (nf // 4)
+                   + CASE nf % 4 WHEN 2 THEN 1 WHEN 3 THEN 3 ELSE 0 END)
+                   AS len,
+                 num, den, off
+          FROM video CROSS JOIN variants),
+        idx AS (
+          SELECT media_id, len, num, den, off, unnest(range(0, len)) AS i
+          FROM vv),
+        byt AS (
+          SELECT media_id, len, off, i,
+                 (((media_id * 31 + i * 131) & 255) * num) // den AS b
+          FROM idx),
+        wins AS (
+          SELECT media_id + off AS media_id, (i * 65) // len AS w,
+                 sum(b) AS sm, count(*) AS c
+          FROM byt GROUP BY 1, 2),
+        bits AS (
+          SELECT a.media_id, a.w,
+                 CASE WHEN a.sm * b.c > b.sm * a.c THEN '1' ELSE '0' END AS bit
+          FROM wins a JOIN wins b
+            ON a.media_id = b.media_id AND b.w = a.w + 1),
+        hashes AS (
+          SELECT media_id, string_agg(bit, '' ORDER BY w DESC) AS fp_bits
+          FROM bits GROUP BY media_id)"""
+
+  /** Shared oracle tail for the banded near-dup pair queries of all
+    * three modalities: replay
     * the pigeonhole banding (7 × 9-bit chunks of the 64-char bit
     * string — bit 63 is outside every chunk, which cannot lose a ≤ 6
     * pair: 7 differences would be needed to blind all 7 bands) over a
@@ -178,6 +219,23 @@ object MultimodalQueries extends QueryPack {
         // never read from this pin
         val base = SharedMedia(s, dir).filter(col("kind") === "audio")
         Multimodal.withScaledAudioTwins(base, num = 7, den = 8,
+            twinOffset = Multimodal.twinOffsetFor(base))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+  }
+
+  /** Fixture media + gain-scaled video twins, memoized like
+    * [[SharedAudioWithTwins]] (same reasoning and the same pre-filter:
+    * only the video rows are read from this pin).
+    */
+  private object SharedVideoWithTwins {
+    private val memo = new SessionMemo[String, org.apache.spark.sql.DataFrame](
+      SessionMemo.unpersistDf, pinsExecutorStorage = true)
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame =
+      memo(s, dir) {
+        val base = SharedMedia(s, dir).filter(col("kind") === "video")
+        Multimodal.withScaledVideoTwins(base, num = 7, den = 8,
             twinOffset = Multimodal.twinOffsetFor(base))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
@@ -443,4 +501,46 @@ object MultimodalQueries extends QueryPack {
                      sum(((p00 & 255) + (p01 & 255)
                           + (p10 & 255) + (p11 & 255)) // 4)::BIGINT AS sum_b
               FROM pix GROUP BY media_id ORDER BY media_id""")))
+
+    // Video content-contour FINGERPRINT — the third member of the
+    // perceptual-hash family (image dHash / audio energy contour /
+    // video content contour): a REAL stsz/stco sample-table walk
+    // locates every frame's byte range, the demuxed elementary stream's
+    // unsigned bytes sum into 65 equal windows, and the 64 gradient-sign
+    // bits emit as the shared fp_bits convention. ORACLED bit-for-bit:
+    // the fixture mdat bytes are arithmetic in (media_id, i) and the
+    // stream length is the stsz sum in closed form, so DuckDB regenerates
+    // every window and every bit. Scale: decode-per-row narrow scan,
+    // zero shuffle before the ORDER BY.
+    .appended(Q("mm_video_fp",
+      (s, dir) => Multimodal.videoFingerprints(SharedMedia(s, dir))
+        .select(col("media_id"),
+          lpad(bin(col("phash")), 64, "0").as("fp_bits"))
+        .orderBy("media_id"),
+      Some(s"""WITH ${VideoFpCte("1 AS num, 1 AS den, 0 AS off")}
+              SELECT media_id, fp_bits FROM hashes ORDER BY media_id""")))
+
+    // Near-duplicate video end-to-end: the corpus plus a gain-scaled
+    // (×7/8, truncated) RE-ENCODE of every clip (container boxes
+    // byte-identical, mdat content dimmed — a uniform "brightness"
+    // change of the stream) → content-contour fingerprints → the SAME
+    // pigeonhole banding as the image and audio paths (phashPairs
+    // serves all three modalities) → exact bit_count verify. ORACLED
+    // via the shared VideoFpCte + BandedPairsSql — banding included,
+    // so the oracle stays pair-count-linear at every scale. Unlike the
+    // image/audio fixtures, the video byte pattern (mid·31 + i·131 mod
+    // 256) gives some UNRELATED clips genuinely similar contours; those
+    // pairs are real ≤6-bit neighbors, appear identically in both
+    // engines, and the spec separately pins that every planted twin is
+    // among the pairs at distance ≤ 1.
+    .appended(Q("mm_video_fp_pairs",
+      (s, dir) => Multimodal.phashPairs(
+          Multimodal.videoFingerprints(SharedVideoWithTwins(s, dir)),
+          maxHamming = 6)
+        .orderBy("a_id", "b_id"),
+      Some(s"""WITH ${VideoFpCte(
+                "1 AS num, 1 AS den, 0 AS off UNION ALL " +
+                  "SELECT 7 AS num, 8 AS den, (SELECT max(doc_id) + 1 " +
+                  "FROM documents WHERE doc_id % 3 = 2) AS off")},
+              $BandedPairsSql""")))
 }

@@ -126,12 +126,23 @@ class IngestPipelineSpec extends SparkSpec {
       }
       def writeSource(): String = {
         val src = Files.createTempDirectory("ingest_src").toString
-        for (f <- 0 until nFiles)
-          Files.writeString(java.nio.file.Paths.get(s"$src/f$f.json"),
+        val t0 = System.currentTimeMillis() - 60000L
+        for (f <- 0 until nFiles) {
+          val p = java.nio.file.Paths.get(s"$src/f$f.json")
+          Files.writeString(p,
             (0 until perFile).map { i =>
               val id = f * perFile + i
               s"""{"doc_id":$id,"text":"${textOf(id)}"}"""
             }.mkString("\n"))
+          // FileStreamSource orders batches by modification time; ten
+          // files written in the same millisecond would leave the
+          // arrival order to the directory-listing order, which differs
+          // between temp dirs — and first-seen-wins dedup verdicts are
+          // a function of arrival order. Distinct mtimes pin f0 < f1 <
+          // … in BOTH runs so the crash is the only variable under test.
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + f * 1000L))
+        }
         src
       }
       def start(src: String, out: String, chk: String, trigger: Trigger) = {

@@ -262,4 +262,42 @@ class MultimodalSpec extends SparkSpec {
       s"${twinPairs.length} of $nAudio planted twins recovered")
     pairs.foreach(r => assert(r.getLong(2) <= 6))
   }
+
+  test("video fingerprint: deterministic, gain-invariant-ish, garbage-rejecting") {
+    val h1 = Multimodal.videoFingerprint(Multimodal.encodeMp4(5L))
+    val h2 = Multimodal.videoFingerprint(Multimodal.encodeMp4(5L))
+    assert(h1.isDefined && h1 == h2)
+    // a 7/8 content-gain scale preserves the stream contour to a few bits
+    Seq(2L, 5L, 8L, 11L).foreach { id =>
+      val orig = Multimodal.videoFingerprint(Multimodal.encodeMp4(id)).get
+      val twin = Multimodal.videoFingerprint(
+        Multimodal.encodeMp4Scaled(id, 7, 8)).get
+      val d = java.lang.Long.bitCount(orig ^ twin)
+      assert(d <= 6, s"clip $id: gain-scaled twin $d bits away")
+    }
+    // these clips' contours are far apart (the fixture byte pattern DOES
+    // give some id pairs similar contours — the pair query documents
+    // that — but not these)
+    val others = Seq(8L, 11L, 14L, 17L).map(id => java.lang.Long.bitCount(
+      h1.get ^ Multimodal.videoFingerprint(Multimodal.encodeMp4(id)).get))
+    others.foreach(d => assert(d > 10, s"unrelated clips only $d bits apart"))
+    assert(Multimodal.videoFingerprint("not an mp4".getBytes).isEmpty)
+  }
+
+  test("video banding join recovers every planted gain-scaled twin") {
+    val media = Multimodal.fakeMediaFromDocs(
+      Tables.table(spark, sfDir, "documents").limit(90))
+    val withTwins = Multimodal.withScaledVideoTwins(media, num = 7, den = 8,
+      twinOffset = 2000000L)
+    val nVideo = media.filter(col("kind") === "video").count()
+    val pairs = Multimodal.phashPairs(
+      Multimodal.videoFingerprints(withTwins), maxHamming = 6).collect()
+    // unlike the audio fixture, unrelated clips CAN fall within 6 bits
+    // (documented in mm_video_fp_pairs) — so assert twin RECOVERY plus
+    // the exact-verify bound, not output exclusivity
+    val twinPairs = pairs.filter(r => r.getLong(1) === r.getLong(0) + 2000000L)
+    assert(twinPairs.length === nVideo,
+      s"${twinPairs.length} of $nVideo planted twins recovered")
+    pairs.foreach(r => assert(r.getLong(2) <= 6))
+  }
 }
