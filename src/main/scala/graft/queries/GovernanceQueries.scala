@@ -157,6 +157,127 @@ object GovernanceQueries extends QueryPack {
               FROM lv GROUP BY 1, 2, 3, 4
               ORDER BY level, event_type, h, d""")),
 
+    // ℓ-DIVERSITY release audit (distinct ℓ = 3, Machanavajjhala et al.
+    // 2007): k-anonymity bounds group SIZE but a uniform group still
+    // leaks its members' sensitive value; distinct ℓ-diversity requires
+    // each released QI cell to carry ≥ ℓ DISTINCT sensitive values. QI
+    // here is the (hour, day-of-month) "when" cell and the sensitive
+    // attribute is event_type (what the user did) — a cell of 40 rows
+    // that are all 'purchase' still re-identifies behavior and is
+    // suppressed. Same scale contract as gov_k_anon: ONE corpus shuffle
+    // to the (cell, type) frame; diversity is a count over the frame
+    // (distinct-of-≤|types| collapses into the frame's row count, no
+    // count_distinct Expand on the corpus); suppressed cells roll up
+    // into the always-present (-1, -1) row. The fixture exercises both
+    // regimes (sf0.001 cells are sparse/uniform, sf0.1 nearly all pass).
+    Q("gov_l_diversity",
+      (s, dir) => {
+        val ct = t(s, dir, "events")
+          .groupBy(
+            hour(col("ts")).cast("long").as("h"),
+            dayofmonth(col("ts")).cast("long").as("d"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_ct"))
+        val cell = ct.groupBy("h", "d")
+          .agg(sum("n_ct").as("n"), count(lit(1)).as("l_div"))
+        val spine = s.range(1).select(
+          lit(-1L).as("h"), lit(-1L).as("d"), lit(0L).as("n"),
+          lit(0L).as("l_div"))
+        cell.select(
+            when(col("l_div") >= 3, col("h")).otherwise(-1L).as("h"),
+            when(col("l_div") >= 3, col("d")).otherwise(-1L).as("d"),
+            col("n"),
+            when(col("l_div") >= 3, col("l_div")).otherwise(0L).as("l_div"))
+          .unionByName(spine)
+          .groupBy("h", "d", "l_div")
+          .agg(sum("n").as("n"))
+          .select("h", "d", "n", "l_div")
+          .orderBy("h", "d")
+      },
+      Some("""WITH ct AS (SELECT extract(hour FROM ts) AS h,
+                                 extract(day FROM ts) AS d,
+                                 event_type, count(*) AS n_ct
+                          FROM events GROUP BY 1, 2, 3),
+                cell AS (SELECT h, d, sum(n_ct) AS n, count(*) AS l_div
+                         FROM ct GROUP BY 1, 2)
+              SELECT h, d, CAST(n AS BIGINT) AS n,
+                     CAST(l_div AS BIGINT) AS l_div
+              FROM cell WHERE l_div >= 3
+              UNION ALL
+              SELECT -1, -1, CAST(COALESCE(sum(n), 0) AS BIGINT), 0
+              FROM cell WHERE l_div < 3
+              ORDER BY h, d""")),
+
+    // t-CLOSENESS measurement (Li, Li & Venkatasubramanian 2007, with
+    // the categorical ground metric, under which the earth-mover
+    // distance IS the total-variation distance): even an ℓ-diverse cell
+    // leaks when its sensitive-value DISTRIBUTION skews far from the
+    // corpus-wide one. Per QI cell (hour, day), TVD(cell types ‖ global
+    // types) in micro-units plus the release flag at t = 0.2. EXACT
+    // integer arithmetic end to end: the per-type term is the
+    // cross-multiplied |n_ct·N − n_t·n_c| (a long, no division), absent
+    // types contribute (N − Σ_present n_t)·n_c in closed form (no type
+    // spine join), and the single division quantizes the final sum to
+    // micro-longs — bit-stable at any parallelism, same release in any
+    // engine. Scale: ONE corpus shuffle to the (cell, type) frame
+    // (≤ |cells|·|types| rows); every marginal (per-type, corpus total,
+    // per-cell) is a WINDOW over that frame — a separate `glob`/`tot`
+    // aggregation would make Catalyst re-plan the corpus scan once per
+    // reference (measured: 3 corpus shuffles); the whole-frame window
+    // funnels the ≤|cells|·|types| frame through one partition, which
+    // is the point — release logic runs on the frame, never the corpus.
+    Q("gov_t_closeness",
+      (s, dir) => {
+        val ct = t(s, dir, "events")
+          .groupBy(
+            hour(col("ts")).cast("long").as("h"),
+            dayofmonth(col("ts")).cast("long").as("d"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_ct"))
+        val wT = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        val wc = org.apache.spark.sql.expressions.Window.partitionBy("h", "d")
+        val f = ct
+          .withColumn("n_t", sum("n_ct").over(wT))
+          .withColumn("nn", sum("n_ct").over(wAll))
+          .withColumn("n_c", sum("n_ct").over(wc))
+          .withColumn("snt", sum("n_t").over(wc))
+        f.groupBy("h", "d", "n_c", "snt", "nn")
+          .agg(sum(abs(col("n_ct") * col("nn") - col("n_t") * col("n_c")))
+            .as("num_present"))
+          // `div`, not `/`: Spark's / on longs is DOUBLE division, and a
+          // floor over a ~2^45 double quotient can land on the wrong
+          // side of an integer; integer div keeps the release exact
+          // (longs throughout — exact while nn·n_c·4e6 < 2^63; a bigger
+          // corpus pre-scales its counts by a common factor first)
+          .withColumn("num_total",
+            (col("num_present") + (col("nn") - col("snt")) * col("n_c"))
+              * lit(1000000L))
+          .select(col("h"), col("d"), col("n_c").as("n"),
+            expr("num_total div (2 * n_c * nn)").as("tvd_micro"))
+          .withColumn("released", col("tvd_micro") <= 200000L)
+          .orderBy("h", "d")
+      },
+      Some("""WITH ct AS (SELECT extract(hour FROM ts) AS h,
+                                 extract(day FROM ts) AS d,
+                                 event_type, count(*) AS n_ct
+                          FROM events GROUP BY 1, 2, 3),
+                gm AS (SELECT event_type, sum(n_ct) AS n_t FROM ct GROUP BY 1),
+                tot AS (SELECT sum(n_ct) AS nn FROM ct),
+                f AS (SELECT h, d, n_ct, n_t, nn,
+                             sum(n_ct) OVER (PARTITION BY h, d) AS n_c,
+                             sum(n_t) OVER (PARTITION BY h, d) AS snt
+                      FROM ct JOIN gm USING (event_type) CROSS JOIN tot)
+              SELECT h, d, CAST(n_c AS BIGINT) AS n,
+                     CAST((sum(abs(n_ct * nn - n_t * n_c))
+                           + (nn - snt) * n_c) * 1000000
+                          // (2 * n_c * nn) AS BIGINT) AS tvd_micro,
+                     CAST((sum(abs(n_ct * nn - n_t * n_c))
+                           + (nn - snt) * n_c) * 1000000
+                          // (2 * n_c * nn) <= 200000 AS BOOLEAN) AS released
+              FROM f GROUP BY h, d, n_c, snt, nn
+              ORDER BY h, d""")),
+
     // DIFFERENTIALLY-PRIVATE count release (ε = 0.5 Laplace): per-type
     // event counts plus Laplace(1/ε) noise, released in micro-units so
     // the noisy value never re-rounds. The noise is SEEDED from the

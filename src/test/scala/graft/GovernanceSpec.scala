@@ -193,6 +193,67 @@ class GovernanceSpec extends SparkSpec {
       "ref + cur snapshots partition the corpus")
   }
 
+  test("gov_l_diversity: released cells are ℓ-diverse; the release is exhaustive") {
+    val out = run("gov_l_diversity").collect()
+    // independent replay of the cell diversity from the raw events
+    val truth = events
+      .groupBy(hour(col("ts")).cast("long").as("h"),
+        dayofmonth(col("ts")).cast("long").as("d"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_type")).as("l_div"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val released = out.filter(r => r.getLong(0) != -1L)
+    released.foreach { r =>
+      val (n, l) = truth((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(3) >= 3L && r.getLong(3) == l && r.getLong(2) == n,
+        s"cell (${r.getLong(0)}, ${r.getLong(1)}) diverges from the replay")
+    }
+    // the suppressed rollup is always present and the accounting is total
+    val rollup = out.filter(r => r.getLong(0) == -1L)
+    assert(rollup.length == 1, "exactly one suppressed rollup row")
+    assert(out.map(_.getLong(2)).sum == events.count(),
+      "released + suppressed must account for every event")
+    // every sub-ℓ cell of the replay is absent from the released rows
+    val releasedKeys = released.map(r => (r.getLong(0), r.getLong(1))).toSet
+    truth.foreach { case (k, (_, l)) =>
+      assert((l >= 3L) == releasedKeys.contains(k),
+        s"cell $k: diversity $l vs released=${releasedKeys.contains(k)}")
+    }
+  }
+
+  test("gov_t_closeness: TVD is the exact integer replay, bounded, flag-consistent") {
+    val out = run("gov_t_closeness").collect()
+    // driver-side exact replay with BigInt (no precision ceiling)
+    val ct = events
+      .groupBy(hour(col("ts")).cast("long").as("h"),
+        dayofmonth(col("ts")).cast("long").as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n_ct")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(2), r.getLong(3)))
+    val nT = ct.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val nn = BigInt(nT.values.sum)
+    val byCell = ct.groupBy(_._1)
+    assert(out.length == byCell.size, "one measurement row per QI cell")
+    out.foreach { r =>
+      val cell = (r.getLong(0), r.getLong(1))
+      val rows = byCell(cell)
+      val nC = BigInt(rows.map(_._3).sum)
+      val present = rows.map { case (_, t, n) =>
+        (BigInt(n) * nn - BigInt(nT(t)) * nC).abs
+      }.sum
+      val absent = (nn - BigInt(rows.map(c => nT(c._2)).sum)) * nC
+      val expect = (present + absent) * BigInt(1000000) / (BigInt(2) * nC * nn)
+      assert(BigInt(r.getLong(3)) == expect,
+        s"cell $cell: tvd ${r.getLong(3)} != replay $expect")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L,
+        "TVD is a probability distance — inside [0, 1] micro")
+      assert(r.getBoolean(4) == (r.getLong(3) <= 200000L),
+        "release flag must be the t = 0.2 cut of the measurement")
+      assert(r.getLong(2) == rows.map(_._3).sum, "cell size n mismatch")
+    }
+  }
+
   test("governance plans: no sort-merge join, aggregation-shaped") {
     // per-query exchange ceilings: every exchange past the first carries a
     // group frame (QI cells / 5 types / ≤20 histogram rows), so the
@@ -204,7 +265,12 @@ class GovernanceSpec extends SparkSpec {
     // cell-frame windows, release re-aggregation, sort)
     for ((name, ceiling) <- Seq("gov_k_anon" -> 3, "gov_dp_counts" -> 3,
         "gov_forget_audit" -> 4, "doc_drift_psi" -> 5,
-        "gov_k_generalize" -> 5)) {
+        "gov_k_generalize" -> 5,
+        // corpus agg, cell re-agg, spine-union regroup, sort
+        "gov_l_diversity" -> 4,
+        // corpus agg, global-marginal agg (broadcast side), cell window,
+        // cell re-agg, sort — every exchange past the first is frame-sized
+        "gov_t_closeness" -> 6)) {
       val df = run(name)
       df.write.format("noop").mode("overwrite").save()
       val nodes = allNodes(df.queryExecution.executedPlan)
