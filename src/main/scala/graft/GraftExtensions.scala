@@ -75,6 +75,18 @@ object GraftFunctions {
     udf((text: String) =>
       if (text == null) null else graft.text.Winnow.fingerprints(text))
 
+  private val imageDhashUdf =
+    udf((bytes: Array[Byte]) =>
+      if (bytes == null) None else graft.multimodal.Multimodal.dHash(bytes))
+  private val audioFpUdf =
+    udf((bytes: Array[Byte]) =>
+      if (bytes == null) None
+      else graft.multimodal.Multimodal.audioFingerprint(bytes))
+  private val videoFpUdf =
+    udf((bytes: Array[Byte]) =>
+      if (bytes == null) None
+      else graft.multimodal.Multimodal.videoFingerprint(bytes))
+
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     // ---- native Catalyst expressions (codegen'd) ----
     ("ext_json_canonical",
@@ -125,7 +137,21 @@ object GraftFunctions {
     //      streaming ContaminationGuard ships per-task) ----
     ("winnow_fingerprints",
       info("winnow_fingerprints", "winnow_fingerprints(text) - winnowed rolling-hash fingerprint array"),
-      (exprs: Seq[Expression]) => toExpr(winnowUdf(toCol(exprs(0))))))
+      (exprs: Seq[Expression]) => toExpr(winnowUdf(toCol(exprs(0))))),
+
+    // ---- codec UDF boundary: the three perceptual hashes, same
+    //      functions the mm_* queries run (JVM codec walks — PNG
+    //      decode, RIFF→PCM, stsz/stco demux — cannot be composed
+    //      expressions); NULL for undecodable payloads ----
+    ("image_dhash",
+      info("image_dhash", "image_dhash(png_bytes) - 64-bit gradient-sign perceptual hash"),
+      (exprs: Seq[Expression]) => toExpr(imageDhashUdf(toCol(exprs(0))))),
+    ("audio_fingerprint",
+      info("audio_fingerprint", "audio_fingerprint(wav_bytes) - 64-bit energy-contour fingerprint"),
+      (exprs: Seq[Expression]) => toExpr(audioFpUdf(toCol(exprs(0))))),
+    ("video_fingerprint",
+      info("video_fingerprint", "video_fingerprint(mp4_bytes) - 64-bit content-contour fingerprint"),
+      (exprs: Seq[Expression]) => toExpr(videoFpUdf(toCol(exprs(0))))))
 
   /** Register on a live session (temp functions, session-scoped). */
   def registerAll(spark: SparkSession): Unit =
