@@ -590,6 +590,45 @@ object VectorQueries extends QueryPack {
       },
       None),
 
+    // Recall measurement for the PQ dial — the eval op the PQ family
+    // was missing (IVF has vec_ivf_recall + vec_ivf_recall_drift; the
+    // shortlist depth had no measured curve): recall@10 of the
+    // two-stage ADC-shortlist + exact-rerank search vs the EXACT
+    // L2 top-10 (same metric as the search — a cosine ground truth
+    // would conflate metric disagreement with quantization error), at
+    // shortlist ∈ {10, 25, 50, ALL}. The ALL row reranks the whole
+    // corpus — provably exact, recall 1.0, the parity anchor inside the
+    // result (the vec_ivf_recall convention). ONE codes table and ONE
+    // exact top-10 feed every branch (lazy local checkpoints); each
+    // shortlist branch reads only the m-byte codes column + ≤shortlist
+    // raw rows. The corpus-count anchor is an eval-only corpus rerank —
+    // the measurement you run at a sample SF before committing a
+    // shortlist depth, not a serving path. Rows-only by design (learned
+    // codebooks); ProductQuantizerSpec pins monotonicity in shortlist
+    // depth, the 1.0 anchor, and determinism.
+    Q("vec_pq_recall",
+      (s, dir) => {
+        val embs = t(s, dir, "embeddings")
+        val probe = SharedProbe(s, dir, ProbeId).toArray
+        val cb = SharedPqCodebook(s, dir)
+        val codes = ProductQuantizer.encode(embs, "vec_id", "embedding", cb)
+          .localCheckpoint(eager = false)
+        val nAll = embs.count().toInt
+        val truth = ProductQuantizer.adcRerank(codes, embs, "vec_id",
+            "embedding", cb, probe, shortlist = nAll, k = 10)
+          .select("id").localCheckpoint(eager = false)
+        Seq(10, 25, 50, nAll).map { sl =>
+          ProductQuantizer.adcRerank(codes, embs, "vec_id", "embedding",
+              cb, probe, shortlist = sl, k = 10)
+            .select("id")
+            .join(truth, "id")
+            .agg(count(lit(1)).as("hits"))
+            .select(lit(sl.toLong).as("shortlist"), col("hits"),
+              round(col("hits") / lit(10.0), 2).as("recall"))
+        }.reduce(_ unionByName _).orderBy("shortlist")
+      },
+      None),
+
     // Batched IVF ([[ivfBatchKnn]]): the SERVING shape — many probes per
     // request, each routed to its centroids, answered in ONE statically
     // pruned pass over the union of touched partitions (per-centroid

@@ -47,7 +47,17 @@ class ExtensionsSpec extends SparkSpec {
       "bson_decimal128" -> Seq(Literal("1E-6143")),
       "bson_binary" -> Seq(oid, Literal("04")),
       "winnow_fingerprints" -> Seq(
-        Literal("one two three four five six seven eight nine ten")))
+        Literal("one two three four five six seven eight nine ten")),
+      // real fixture payloads so the codec walks actually decode
+      "image_dhash" -> Seq(Literal.create(
+        graft.multimodal.Multimodal.encodePng(3L),
+        org.apache.spark.sql.types.BinaryType)),
+      "audio_fingerprint" -> Seq(Literal.create(
+        graft.multimodal.Multimodal.encodeWav(4L),
+        org.apache.spark.sql.types.BinaryType)),
+      "video_fingerprint" -> Seq(Literal.create(
+        graft.multimodal.Multimodal.encodeMp4(5L),
+        org.apache.spark.sql.types.BinaryType)))
     // composed builders return unresolved trees — evaluate each through
     // the analyzer (a 1-row select), which is exactly the SQL path
     GraftFunctions.all.foreach { case (name, info, builder) =>

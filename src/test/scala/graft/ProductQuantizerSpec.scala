@@ -75,4 +75,25 @@ class ProductQuantizerSpec extends SparkSpec {
     // the probe itself (distance 0) must always survive both stages
     assert(reranked.contains(42L))
   }
+
+  test("vec_pq_recall: monotone in shortlist depth, anchored at 1.0, deterministic") {
+    val run = SparkEntry.queries("vec_pq_recall")(spark, sfDir).collect()
+    assert(run.length === 4)
+    // sorted by shortlist; deeper shortlists can only add candidates,
+    // and rerank is exact, so recall is monotone non-decreasing
+    val recalls = run.map(r => r.getLong(0) -> r.getLong(1))
+    recalls.sliding(2).foreach { case Array((s1, h1), (s2, h2)) =>
+      assert(s1 < s2 && h1 <= h2,
+        s"recall not monotone: $s1 -> $h1 vs $s2 -> $h2")
+    }
+    // the ALL row reranks the whole corpus — provably exact
+    val all = run.last
+    assert(all.getLong(0) === embs.count())
+    assert(all.getLong(1) === 10L && all.getDouble(2) === 1.0,
+      "full-corpus rerank must be the exact top-10")
+    run.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) <= 10L))
+    // measurement is replay-stable
+    val again = SparkEntry.queries("vec_pq_recall")(spark, sfDir).collect()
+    assert(again.map(_.toSeq).toSeq === run.map(_.toSeq).toSeq)
+  }
 }
