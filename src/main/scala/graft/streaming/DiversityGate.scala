@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Streaming ℓ-diversity release gate — the live twin of the batch
+  * `gov_l_diversity` audit: per closed event-time window, the per-type
+  * event counts are RELEASED only when the window carries at least `l`
+  * distinct sensitive values; a window whose rows are all one type
+  * (everyone in that hour did the same thing) re-identifies behavior
+  * and collapses to a single `__suppressed__` rollup row instead. Runs
+  * on the admitted side of the governance path — after the tombstone
+  * guard, before any count release — the same suppress-before-release
+  * ordering GovernancePipeline pins for the DP path.
+  *
+  * Scale design (the DriftMonitor contract):
+  *  - ONE stateful aggregation whose state per open window is a
+  *    type→count map bounded by [[MaxTracked]] entries
+  *    ([[TypeCountsAggregator]] — mergeable, partials combine map-side;
+  *    a hostile high-cardinality sensitive column folds into the
+  *    `__other__` entry rather than growing state, and the release
+  *    decision stays EXACT as long as MaxTracked ≥ l: a map at the cap
+  *    proves distinct ≥ MaxTracked ≥ l);
+  *  - the gate arithmetic (distinct count, suppression, rollup) is a
+  *    projection on the emitted (window, counts) rows — ≤ MaxTracked
+  *    entries each, never the corpus;
+  *  - append mode + watermark: each window releases exactly once on
+  *    close and its map drops — the emit-once contract a release gate
+  *    REQUIRES (re-releasing a window after more rows arrived could
+  *    flip a suppressed window to released with different counts).
+  */
+object DiversityGate {
+
+  /** State-bound on distinct sensitive values tracked per window. Far
+    * above any real sensitive domain (event types, countries, age
+    * bands); the release decision is exact whenever l ≤ MaxTracked.
+    */
+  val MaxTracked = 64
+
+  val OtherKey = "__other__"
+
+  /** Mergeable bounded type→count map: the CentroidAggregator shape
+    * with a cardinality cap. New keys past the cap fold into
+    * [[OtherKey]] (totals are never dropped); merge folds the smaller
+    * map into the larger under the same cap.
+    */
+  class TypeCountsAggregator
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    private def add(b: Map[String, Long], k: String, n: Long): Map[String, Long] = {
+      val key =
+        if (b.contains(k) || b.size < MaxTracked) k
+        else OtherKey
+      b.updated(key, b.getOrElse(key, 0L) + n)
+    }
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], v: String): Map[String, Long] =
+      add(b, if (v == null) OtherKey else v, 1L)
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val (big, small) = if (x.size >= y.size) (x, y) else (y, x)
+      small.foldLeft(big) { case (acc, (k, n)) => add(acc, k, n) }
+    }
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** The gate: events stream (`ts` timestamp, `event_type` string) →
+    * per closed window, either the per-type counts (window is
+    * ℓ-diverse) or one `__suppressed__` rollup row. Output columns:
+    * (w_start, w_end, event_type, n, l_div) — `l_div` is the window's
+    * distinct-sensitive count on every emitted row (0 on the rollup,
+    * the batch twin's convention).
+    */
+  def releasePerWindow(
+      events: DataFrame,
+      l: Int,
+      windowDuration: String,
+      watermarkDelay: String): DataFrame = {
+    require(l >= 1 && l <= MaxTracked, s"l must be in [1, $MaxTracked]")
+    val counts = udaf(new TypeCountsAggregator)
+    val gated = events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration))
+      .agg(counts(col("event_type")).as("counts"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("counts"),
+        size(map_keys(col("counts"))).cast("long").as("l_div"),
+        aggregate(map_values(col("counts")), lit(0L), (a, x) => a + x)
+          .as("total"))
+    gated.select(col("w_start"), col("w_end"),
+        when(col("l_div") >= l, map_entries(col("counts")))
+          .otherwise(array(struct(lit(OtherKey).as("key"),
+            col("total").as("value")))).as("entries"),
+        when(col("l_div") >= l, col("l_div")).otherwise(0L).as("l_div"))
+      .select(col("w_start"), col("w_end"),
+        explode(col("entries")).as("e"), col("l_div"))
+      .select(col("w_start"), col("w_end"),
+        when(col("l_div") === 0L, "__suppressed__")
+          .otherwise(col("e.key")).as("event_type"),
+        col("e.value").as("n"),
+        col("l_div"))
+  }
+}

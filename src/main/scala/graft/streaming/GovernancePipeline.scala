@@ -78,12 +78,13 @@ object GovernancePipeline {
     }
   }
 
-  /** The four output streams of one governed deployment. */
+  /** The five output streams of one governed deployment. */
   case class Outputs(
       admitted: DataFrame,
       ledger: DataFrame,
       released: DataFrame,
-      drift: DataFrame)
+      drift: DataFrame,
+      diversity: DataFrame)
 
   /** Compose the full path over an [[Ev]] stream. `ref` is the standing
     * drift reference histogram; `noiseSalt` as on
@@ -96,7 +97,7 @@ object GovernancePipeline {
     */
   def run(events: Dataset[Ev], ref: Array[Long], eps: Double,
       windowDuration: String, watermarkDelay: String,
-      noiseSalt: Column = lit("")): Outputs = {
+      noiseSalt: Column = lit(""), lDiversity: Int = 2): Outputs = {
     import events.sparkSession.implicits._
     val guarded = events.groupByKey(_.user_id)
       .transformWithState(new GuardProcessor, TimeMode.None(),
@@ -110,6 +111,13 @@ object GovernancePipeline {
     val drift = DriftMonitor.psiPerWindow(
       admitted.select(col("ts"), col("n_chars")),
       ref, windowDuration, watermarkDelay)
-    Outputs(admitted, ledger, released, drift)
+    // the ℓ-diversity gate rides the SAME admitted lineage: a purged
+    // user's post-tombstone events cannot raise a window's diversity
+    // any more than they can enter a DP count (the ordering trap the
+    // spec plants)
+    val diversity = DiversityGate.releasePerWindow(
+      admitted.select(col("ts"), col("key").as("event_type")),
+      lDiversity, windowDuration, watermarkDelay)
+    Outputs(admitted, ledger, released, drift, diversity)
   }
 }

@@ -67,7 +67,8 @@ class GovernancePipelineSpec extends SparkSpec {
         df.writeStream.format("memory").queryName(name)
           .outputMode("append").start()
       val qs = Seq(mem(o.admitted, "gp_adm"), mem(o.ledger, "gp_led"),
-        mem(o.released, "gp_rel"), mem(o.drift, "gp_drift"))
+        mem(o.released, "gp_rel"), mem(o.drift, "gp_drift"),
+        mem(o.diversity, "gp_div"))
       try {
         (Seq(batch1, batch2) ++ flush).foreach { b =>
           input.addData(b: _*); qs.foreach(_.processAllAvailable())
@@ -130,6 +131,23 @@ class GovernancePipelineSpec extends SparkSpec {
           .head().getLong(0)
       }
       assert(Seq(drift(w0)._2, drift(w1)._2) === psiCheck)
+
+      // the ℓ-diversity gate (l = 2) rides the admitted side too:
+      // window 0 carries {click, view} and releases exact counts;
+      // window 1's admitted side is click-only and SUPPRESSES — the
+      // purged user's two post-tombstone "view" events would have made
+      // it 2-diverse, so a leak would flip this row to a release
+      val div = spark.table("gp_div")
+        .filter(unix_timestamp(col("w_start")) < T0 + 100000)
+        .select(unix_timestamp(col("w_start")), col("event_type"),
+          col("n"), col("l_div"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(div === Set(
+        (w0, "click", 2L, 2L), (w0, "view", 1L, 2L),
+        (w1, "__suppressed__", 1L, 0L)),
+        s"diversity gate output: $div")
     }
   }
 
