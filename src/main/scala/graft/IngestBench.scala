@@ -240,9 +240,34 @@ object IngestBench {
       .filter(col("key") =!= "_flush").count()
     println(s"""{"metric":"dprelease_events_per_sec","value":${(nEv / secR).round},"unit":"events/s","events":$nEv,"releases":$releases,"sec":$secR,"sf":"$sfDir"}""")
 
+    // ---- leg 6: windowed ℓ-diversity gate events/s ---------------------
+    // the same replicated feed through DiversityGate (hourly windows,
+    // event_type as the sensitive attribute, l = 3) — the release-gate
+    // path; state per open window is one bounded type-count map
+    val gout = Files.createTempDirectory("gatebench_out").toString
+    val gchk = Files.createTempDirectory("gatebench_chk").toString
+    val t5 = System.nanoTime()
+    val qg = graft.streaming.DiversityGate.releasePerWindow(
+        spark.readStream.schema(bigR.schema).parquet(rsrc)
+          .select(col("ts"), col("key").as("event_type")),
+        l = 3, windowDuration = "1 hour", watermarkDelay = "0 seconds")
+      .writeStream
+      .option("checkpointLocation", gchk)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$gout/batch=$batchId")
+      }.start()
+    qg.awaitTermination()
+    val secG = (System.nanoTime() - t5) / 1e9
+    val gateRows = spark.read.parquet(gout)
+      .filter(col("event_type") =!= "_flush")
+    val gReleased = gateRows.filter(col("l_div") > 0).count()
+    val gSuppressed = gateRows.filter(col("l_div") === 0).count()
+    println(s"""{"metric":"divgate_events_per_sec","value":${(nEv / secG).round},"unit":"events/s","events":$nEv,"released_rows":$gReleased,"suppressed_windows":$gSuppressed,"sec":$secG,"sf":"$sfDir"}""")
+
     spark.stop()
     Seq(src, out, chk, psrc, pout, pchk, dsrc, dout, dchk, fsrc, fout, fchk,
-        rsrc, rout, rchk)
+        rsrc, rout, rchk, gout, gchk)
       .foreach(d =>
         graft.operators.Artifacts.deleteRecursively(java.nio.file.Paths.get(d)))
   }
