@@ -157,6 +157,60 @@ object GovernanceQueries extends QueryPack {
               FROM lv GROUP BY 1, 2, 3, 4
               ORDER BY level, event_type, h, d""")),
 
+    // The k DIAL measured — the eval op the anonymity family was
+    // missing (dedup has its banding sweep, ANN its nprobe curve; k was
+    // chosen blind): for k ∈ {2, 5, 10, 20}, how much utility the
+    // suppression release keeps (released/suppressed rows, released
+    // cells) and what it costs in re-identification exposure — the
+    // Bayardo–Agrawal discernibility metric DM* (each released record
+    // costs its cell size, each suppressed record costs the corpus
+    // size; exact long arithmetic, Σn² stays under 2^63 for corpora to
+    // ~3e9 rows/cell — a bigger corpus pre-scales, the gov_t_closeness
+    // note). ONE corpus shuffle builds the cell frame (lazy local
+    // checkpoint — the vec_ivf_recall move, without it Catalyst
+    // re-plans the corpus scan once per k branch); all four k rows are
+    // aggregations of that ≤|cells| frame.
+    Q("gov_k_eval",
+      (s, dir) => {
+        val ct = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            hour(col("ts")).cast("long").as("h"),
+            dayofmonth(col("ts")).cast("long").as("d"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(eager = false)
+        val total = ct.agg(sum("n")).head().getLong(0)
+        Seq(2L, 5L, 10L, 20L).map { k =>
+          ct.agg(
+              sum(when(col("n") >= k, col("n")).otherwise(0L)).as("released_n"),
+              sum(when(col("n") < k, col("n")).otherwise(0L)).as("suppressed_n"),
+              sum(when(col("n") >= k, 1L).otherwise(0L)).as("cells"),
+              (sum(when(col("n") >= k, col("n") * col("n")).otherwise(0L)) +
+                sum(when(col("n") < k, col("n")).otherwise(0L)) * lit(total))
+                .as("dm_cost"))
+            .select(lit(k).as("k"), col("released_n"), col("suppressed_n"),
+              col("cells"), col("dm_cost"))
+        }.reduce(_ unionByName _).orderBy("k")
+      },
+      Some("""WITH ct AS (SELECT event_type,
+                                 extract(hour FROM ts) AS h,
+                                 extract(day FROM ts) AS d,
+                                 count(*) AS n
+                          FROM events GROUP BY 1, 2, 3),
+                tot AS (SELECT sum(n) AS total FROM ct),
+                ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+              SELECT k,
+                     CAST(COALESCE(sum(CASE WHEN n >= k THEN n END), 0)
+                          AS BIGINT) AS released_n,
+                     CAST(COALESCE(sum(CASE WHEN n < k THEN n END), 0)
+                          AS BIGINT) AS suppressed_n,
+                     CAST(COALESCE(sum(CASE WHEN n >= k THEN 1 END), 0)
+                          AS BIGINT) AS cells,
+                     CAST(COALESCE(sum(CASE WHEN n >= k THEN n * n END), 0)
+                          + COALESCE(sum(CASE WHEN n < k THEN n END), 0)
+                            * max(total) AS BIGINT) AS dm_cost
+              FROM ct CROSS JOIN ks CROSS JOIN tot
+              GROUP BY k ORDER BY k""")),
+
     // ℓ-DIVERSITY release audit (distinct ℓ = 3, Machanavajjhala et al.
     // 2007): k-anonymity bounds group SIZE but a uniform group still
     // leaks its members' sensitive value; distinct ℓ-diversity requires

@@ -193,6 +193,30 @@ class GovernanceSpec extends SparkSpec {
       "ref + cur snapshots partition the corpus")
   }
 
+  test("gov_k_eval: the k dial is monotone, exhaustive, and DM-exact") {
+    val out = run("gov_k_eval").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 5L, 10L, 20L))
+    val total = events.count()
+    out.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == total,
+        s"k=${r.getLong(0)}: released + suppressed must cover the corpus")
+    }
+    // raising k can only move records from released to suppressed, and
+    // every such move raises DM (cell cost n <= corpus cost N)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) >= b.getLong(1), "released_n non-increasing in k")
+      assert(a.getLong(3) >= b.getLong(3), "cells non-increasing in k")
+      assert(a.getLong(4) <= b.getLong(4), "dm_cost non-decreasing in k")
+    }
+    // exact DM replay at k=5 from the raw events
+    val cells = events.groupBy(col("event_type"),
+        hour(col("ts")), dayofmonth(col("ts")))
+      .agg(count(lit(1)).as("n")).collect().map(_.getLong(3))
+    val dm5 = cells.filter(_ >= 5L).map(n => n * n).sum +
+      cells.filter(_ < 5L).sum * total
+    assert(out(1).getLong(4) == dm5, "DM* at k=5 diverges from the replay")
+  }
+
   test("gov_l_diversity: released cells are ℓ-diverse; the release is exhaustive") {
     val out = run("gov_l_diversity").collect()
     // independent replay of the cell diversity from the raw events
