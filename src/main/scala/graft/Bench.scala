@@ -17,6 +17,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same injection as Verify: the SQL registry is part of the
+      // measured engine, not a test-only surface
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional subset (comma-separated names) for targeted scaling

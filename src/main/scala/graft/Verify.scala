@@ -17,6 +17,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the SQL front door rides the protocol run: injection failures
+      // (a renamed class, a builder that stopped resolving) fail the
+      // round loudly instead of rotting between SqlSurfaceSpec runs
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -775,8 +775,18 @@ object Multimodal {
   def videoFingerprint(bytes: Array[Byte]): Option[Long] =
     decodeMp4SampleTable(bytes).flatMap { case (offsets, sizes) =>
       val total = sizes.foldLeft(0L)(_ + _)
-      val inBounds = sizes.length > 0 && offsets(0) >= 0 &&
-        offsets(sizes.length - 1) + sizes(sizes.length - 1) <= bytes.length
+      // EVERY frame range must be validated, not just the first offset
+      // and the last frame: decodeMp4SampleTable accepts arbitrary
+      // 32-bit stsz values (negative, non-monotonic), so a crafted
+      // container can keep the endpoints plausible while a MIDDLE
+      // frame indexes outside the payload — and video_fingerprint is
+      // SQL-registered, so the walk is user-reachable. Long-range
+      // checks against bytes.length (< 2^31) also reject any offset
+      // the later (offsets(f)+j).toInt would silently truncate.
+      val inBounds = sizes.length > 0 && (0 until sizes.length).forall { f =>
+        sizes(f) >= 0 && offsets(f) >= 0 &&
+          offsets(f) + sizes(f) <= bytes.length
+      }
       if (total < 65 || !inBounds) None
       else {
         val sums = new Array[Long](65)

@@ -226,6 +226,13 @@ object GovernanceQueries extends QueryPack {
     // regimes (sf0.001 cells are sparse/uniform, sf0.1 nearly all pass).
     Q("gov_l_diversity",
       (s, dir) => {
+        // ℓ is the SHARED default (streaming/DiversityGate.DefaultL):
+        // the live gate in GovernancePipeline reads the same constant,
+        // so the batch audit and the stream cannot drift apart. The
+        // oracle SQL below hardcodes the value — DiversityGateSpec pins
+        // DefaultL == 3 so a constant change breaks loudly, not as a
+        // silent oracle mismatch.
+        val l = graft.streaming.DiversityGate.DefaultL
         val ct = t(s, dir, "events")
           .groupBy(
             hour(col("ts")).cast("long").as("h"),
@@ -238,10 +245,10 @@ object GovernanceQueries extends QueryPack {
           lit(-1L).as("h"), lit(-1L).as("d"), lit(0L).as("n"),
           lit(0L).as("l_div"))
         cell.select(
-            when(col("l_div") >= 3, col("h")).otherwise(-1L).as("h"),
-            when(col("l_div") >= 3, col("d")).otherwise(-1L).as("d"),
+            when(col("l_div") >= l, col("h")).otherwise(-1L).as("h"),
+            when(col("l_div") >= l, col("d")).otherwise(-1L).as("d"),
             col("n"),
-            when(col("l_div") >= 3, col("l_div")).otherwise(0L).as("l_div"))
+            when(col("l_div") >= l, col("l_div")).otherwise(0L).as("l_div"))
           .unionByName(spine)
           .groupBy("h", "d", "l_div")
           .agg(sum("n").as("n"))

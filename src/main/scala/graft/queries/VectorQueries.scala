@@ -617,7 +617,11 @@ object VectorQueries extends QueryPack {
         val truth = ProductQuantizer.adcRerank(codes, embs, "vec_id",
             "embedding", cb, probe, shortlist = nAll, k = 10)
           .select("id").localCheckpoint(eager = false)
-        Seq(10, 25, 50, nAll).map { sl =>
+        // shortlist depths strictly below the ALL anchor: on a fixture
+        // with nAll <= 50 the naive Seq(10, 25, 50, nAll) would carry a
+        // duplicate — emitting duplicate rows and breaking the spec's
+        // strict-monotonicity contract at small scale factors
+        Seq(10, 25, 50).filter(_ < nAll).:+(nAll).map { sl =>
           ProductQuantizer.adcRerank(codes, embs, "vec_id", "embedding",
               cb, probe, shortlist = sl, k = 10)
             .select("id")

@@ -40,18 +40,44 @@ object DiversityGate {
 
   val OtherKey = "__other__"
 
+  /** THE ℓ default, shared by the batch audit (`gov_l_diversity`) and
+    * the streaming pipeline ([[GovernancePipeline.run]]) — one constant
+    * consumed by both surfaces, so a deployment cannot silently audit
+    * its corpus at one ℓ while gating live releases at another (the two
+    * previously disagreed: batch 3, stream 2). Distinct ℓ = 3 is the
+    * batch audit's long-standing release bar.
+    */
+  val DefaultL = 3
+
   /** Mergeable bounded type→count map: the CentroidAggregator shape
-    * with a cardinality cap. New keys past the cap fold into
-    * [[OtherKey]] (totals are never dropped); merge folds the smaller
-    * map into the larger under the same cap.
+    * with a cardinality cap — and a DETERMINISTIC one: the tracked set
+    * is always the [[MaxTracked]] lexicographically-smallest distinct
+    * keys seen so far, each with its EXACT count; everything else folds
+    * into [[OtherKey]] (totals are never dropped). A new key past the
+    * cap EVICTS the largest tracked key into [[OtherKey]] when it sorts
+    * below it, so the finished map is a pure function of the input
+    * MULTISET — independent of row order, partitioning, and merge-tree
+    * shape (replay-stable emitted counts, the repo's oracle
+    * convention). Why the invariant holds under any order: a key can
+    * only fold into [[OtherKey]] at a moment when [[MaxTracked]]
+    * strictly-smaller keys have already been seen — and those keys are
+    * in the final union too, so a folded key is never among the final
+    * MaxTracked-smallest, and a final tracked key never lost counts.
     */
   class TypeCountsAggregator
       extends Aggregator[String, Map[String, Long], Map[String, Long]] {
     private def add(b: Map[String, Long], k: String, n: Long): Map[String, Long] = {
-      val key =
-        if (b.contains(k) || b.size < MaxTracked) k
-        else OtherKey
-      b.updated(key, b.getOrElse(key, 0L) + n)
+      if (k == OtherKey || b.contains(k)) b.updated(k, b.getOrElse(k, 0L) + n)
+      else {
+        val tracked = b.size - (if (b.contains(OtherKey)) 1 else 0)
+        if (tracked < MaxTracked) b.updated(k, n)
+        else {
+          val maxK = b.keysIterator.filter(_ != OtherKey).max
+          if (k > maxK) b.updated(OtherKey, b.getOrElse(OtherKey, 0L) + n)
+          else (b - maxK).updated(k, n)
+            .updated(OtherKey, b.getOrElse(OtherKey, 0L) + b(maxK))
+        }
+      }
     }
     override def zero: Map[String, Long] = Map.empty
     override def reduce(b: Map[String, Long], v: String): Map[String, Long] =
@@ -73,13 +99,28 @@ object DiversityGate {
     * (w_start, w_end, event_type, n, l_div) — `l_div` is the window's
     * distinct-sensitive count on every emitted row (0 on the rollup,
     * the batch twin's convention).
+    *
+    * ROLLUP DISCLOSURE — an intentional relaxation of the batch twin:
+    * `gov_l_diversity` rolls ALL suppressed cells into one (-1,-1)
+    * aggregate, while this gate emits one rollup PER suppressed window
+    * — an exact, timestamped event total for each window known to be
+    * near-uniform in one sensitive value, which is strictly more than
+    * the batch release discloses. A deployment that cares should
+    * coarsen it: `suppressedGranularity = g` rounds each rollup total
+    * UP to the next multiple of g (exact longs, still deterministic),
+    * or route the rollup through [[DpRelease.releasedMicro]] before
+    * publishing. The default g = 1 keeps bit-parity with the batch
+    * rule per window (and with the specs' replays).
     */
   def releasePerWindow(
       events: DataFrame,
       l: Int,
       windowDuration: String,
-      watermarkDelay: String): DataFrame = {
+      watermarkDelay: String,
+      suppressedGranularity: Long = 1L): DataFrame = {
     require(l >= 1 && l <= MaxTracked, s"l must be in [1, $MaxTracked]")
+    require(suppressedGranularity >= 1L,
+      s"suppressedGranularity must be >= 1, got $suppressedGranularity")
     val counts = udaf(new TypeCountsAggregator)
     val gated = events
       .withWatermark("ts", watermarkDelay)
@@ -91,10 +132,14 @@ object DiversityGate {
         size(map_keys(col("counts"))).cast("long").as("l_div"),
         aggregate(map_values(col("counts")), lit(0L), (a, x) => a + x)
           .as("total"))
+    // exact ceil to the granularity in longs: ((t + g - 1) div g) * g
+    val coarse = expr(
+      s"((total + ${suppressedGranularity - 1L}) div $suppressedGranularity)" +
+        s" * $suppressedGranularity")
     gated.select(col("w_start"), col("w_end"),
         when(col("l_div") >= l, map_entries(col("counts")))
           .otherwise(array(struct(lit(OtherKey).as("key"),
-            col("total").as("value")))).as("entries"),
+            coarse.as("value")))).as("entries"),
         when(col("l_div") >= l, col("l_div")).otherwise(0L).as("l_div"))
       .select(col("w_start"), col("w_end"),
         explode(col("entries")).as("e"), col("l_div"))

@@ -97,7 +97,8 @@ object GovernancePipeline {
     */
   def run(events: Dataset[Ev], ref: Array[Long], eps: Double,
       windowDuration: String, watermarkDelay: String,
-      noiseSalt: Column = lit(""), lDiversity: Int = 2): Outputs = {
+      noiseSalt: Column = lit(""),
+      lDiversity: Int = DiversityGate.DefaultL): Outputs = {
     import events.sparkSession.implicits._
     val guarded = events.groupByKey(_.user_id)
       .transformWithState(new GuardProcessor, TimeMode.None(),

@@ -22,14 +22,16 @@ class DiversityGateSpec extends SparkSpec {
   private def ts(offsetSec: Long) = new Timestamp((T0 + offsetSec) * 1000L)
 
   private def runGate(name: String, l: Int,
-      batches: Seq[Seq[(Timestamp, String)]])
+      batches: Seq[Seq[(Timestamp, String)]],
+      suppressedGranularity: Long = 1L)
       : Seq[(Long, String, Long, Long)] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
     val q = DiversityGate.releasePerWindow(
       input.toDS().toDF("ts", "event_type"), l,
-      windowDuration = "1 hour", watermarkDelay = "0 seconds")
+      windowDuration = "1 hour", watermarkDelay = "0 seconds",
+      suppressedGranularity = suppressedGranularity)
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
@@ -103,5 +105,52 @@ class DiversityGateSpec extends SparkSpec {
     // null sensitive values fold into __other__, never NPE
     val n = agg.reduce(agg.zero, null)
     assert(n === Map(DiversityGate.OtherKey -> 1L))
+  }
+
+  test("past the cap, the fold is DETERMINISTIC: any order, any merge tree, same map") {
+    val agg = new DiversityGate.TypeCountsAggregator
+    // 200 distinct keys (> MaxTracked), with repeats so counts matter
+    val keys = (0 until 200).map(i => f"k$i%03d")
+    val multiset = keys ++ keys.take(80) ++ keys.drop(150)
+    val o1 = multiset.foldLeft(agg.zero)(agg.reduce)
+    val o2 = multiset.reverse.foldLeft(agg.zero)(agg.reduce)
+    val o3 = new scala.util.Random(42).shuffle(multiset)
+      .foldLeft(agg.zero)(agg.reduce)
+    // arbitrary merge trees over arbitrary partials
+    val parts = multiset.grouped(37)
+      .map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+    val o4 = parts.reduce(agg.merge)
+    val o5 = parts.reverse.reduce(agg.merge)
+    assert(o1 === o2 && o1 === o3 && o1 === o4 && o1 === o5,
+      "emitted counts must be a pure function of the input multiset")
+    // the tracked set is exactly the MaxTracked lexicographically-
+    // smallest keys, each with its EXACT count; the rest fold to other
+    val tracked = o1 - DiversityGate.OtherKey
+    assert(tracked.keySet ===
+      keys.sorted.take(DiversityGate.MaxTracked).toSet)
+    tracked.foreach { case (k, c) =>
+      assert(c == multiset.count(_ == k), s"count of $k") }
+    assert(o1.values.sum == multiset.size.toLong, "totals preserved")
+  }
+
+  test("suppressedGranularity coarsens the rollup total (exact ceil)") {
+    // one uniform window of 5 rows, granularity 100 → rollup reads 100
+    val out = runGate("dg_coarse", 2,
+      Seq(Seq.fill(5)((ts(60), "purchase"))) ++ flush,
+      suppressedGranularity = 100L)
+    val roll = out.filter(t => t._1 == W0 && t._2 == "__suppressed__")
+    assert(roll === Seq((W0, "__suppressed__", 100L, 0L)),
+      s"coarsened rollup: $roll")
+  }
+
+  test("the batch audit and the live pipeline share ONE ℓ default") {
+    // gov_l_diversity's oracle SQL hardcodes 3 — a constant change must
+    // break HERE, not as a silent oracle mismatch
+    assert(DiversityGate.DefaultL === 3)
+    // GovernancePipeline.run's lDiversity default (7th parameter) is
+    // the same constant — the config-drift trap the r11 verdict flagged
+    val dflt = graft.streaming.GovernancePipeline.getClass
+      .getMethod("run$default$7").invoke(graft.streaming.GovernancePipeline)
+    assert(dflt === DiversityGate.DefaultL)
   }
 }

@@ -68,6 +68,20 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(sampleArgs.keySet === GraftFunctions.all.map(_._1).toSet,
       "sampleArgs must cover exactly the declared registry")
+    // registry-complete: every declared name RESOLVES through the
+    // session FunctionRegistry (the path Bench/Verify's injected
+    // extensions and plain `spark.sql` take) and evaluates non-null —
+    // the r11 mid-round failure was exactly a registry-entry omission
+    GraftFunctions.registerAll(spark)
+    GraftFunctions.all.foreach { case (name, _, _) =>
+      val fid = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      assert(spark.sessionState.functionRegistry.functionExists(fid),
+        s"$name missing from the session registry")
+      val resolved = spark.sessionState.functionRegistry
+        .lookupFunction(fid, sampleArgs(name))
+      val out = spark.range(1).select(glue.toColumn(resolved).as("v")).head()
+      assert(!out.isNullAt(0), s"$name via the registry produced null")
+    }
   }
 
   test("salted aggregation equals direct aggregation") {

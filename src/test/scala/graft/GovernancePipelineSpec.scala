@@ -61,8 +61,13 @@ class GovernancePipelineSpec extends SparkSpec {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[Ev]
+      // ℓ = 2 explicitly: this fixture's diverse window carries exactly
+      // two types, and the trap (a purge leak flipping window 1 from
+      // suppressed to released) needs the bar at 2. The shared DEFAULT
+      // (DiversityGate.DefaultL = 3) is pinned by its own test below.
       val o = GovernancePipeline.run(input.toDS(), ref, eps = 0.5,
-        windowDuration = "1 hour", watermarkDelay = "0 seconds")
+        windowDuration = "1 hour", watermarkDelay = "0 seconds",
+        lDiversity = 2)
       def mem(df: org.apache.spark.sql.DataFrame, name: String): StreamingQuery =
         df.writeStream.format("memory").queryName(name)
           .outputMode("append").start()

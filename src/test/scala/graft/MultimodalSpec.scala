@@ -284,6 +284,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.videoFingerprint("not an mp4".getBytes).isEmpty)
   }
 
+  test("video fingerprint: a crafted middle-frame range returns None, not an OOB throw") {
+    // A hostile stsz whose ENDPOINTS stay plausible: frame 1's size is
+    // inflated by 1 MB and frame 2's deflated by the same amount, so the
+    // first offset and the last frame's end still land inside the
+    // payload while frame 1's walk would index far out of bounds (and
+    // frame 2's size goes negative). The SQL-registered UDF must return
+    // None per the contract, never ArrayIndexOutOfBoundsException.
+    val bytes = Multimodal.encodeMp4(5L)
+    val stsz = {
+      // first "stsz" tag; payload (version/flags, sample_size, count,
+      // entries) starts right after the 4-byte type
+      val tag = "stsz".getBytes("US-ASCII")
+      bytes.indexOfSlice(tag) + 4
+    }
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    assert(bb.getInt(stsz + 4) == 0, "fixture must use a per-sample table")
+    val count = bb.getInt(stsz + 8)
+    assert(count >= 3, "need at least three frames to corrupt the middle")
+    val s1 = bb.getInt(stsz + 12 + 4 * 1)
+    val s2 = bb.getInt(stsz + 12 + 4 * 2)
+    bb.putInt(stsz + 12 + 4 * 1, s1 + 1000000)
+    bb.putInt(stsz + 12 + 4 * 2, s2 - 1000000)
+    // the sample table itself still parses (it's structurally valid)...
+    assert(Multimodal.decodeMp4SampleTable(bytes).isDefined)
+    // ...but the fingerprint walk must reject the out-of-payload range
+    assert(Multimodal.videoFingerprint(bytes).isEmpty)
+  }
+
   test("video banding join recovers every planted gain-scaled twin") {
     val media = Multimodal.fakeMediaFromDocs(
       Tables.table(spark, sfDir, "documents").limit(90))
