@@ -57,6 +57,12 @@ object GovernanceQueries extends QueryPack {
     // groups), sf0.1 releases nearly everything.
     Q("gov_k_anon",
       (s, dir) => {
+        // k is the SHARED default (streaming/KAnonGate.DefaultK): the
+        // live gate in GovernancePipeline reads the same constant, so
+        // the batch audit and the stream cannot drift (the
+        // gov_l_diversity/DiversityGate.DefaultL convention). The
+        // oracle SQL below hardcodes 5 — KAnonGateSpec pins the value.
+        val k = graft.streaming.KAnonGate.DefaultK
         val g = t(s, dir, "events")
           .groupBy(col("event_type"),
             hour(col("ts")).cast("long").as("h"),
@@ -66,10 +72,10 @@ object GovernanceQueries extends QueryPack {
           lit("__suppressed__").as("event_type"),
           lit(-1L).as("h"), lit(-1L).as("d"), lit(0L).as("n"))
         g.select(
-            when(col("n") >= 5, col("event_type")).otherwise("__suppressed__")
+            when(col("n") >= k, col("event_type")).otherwise("__suppressed__")
               .as("event_type"),
-            when(col("n") >= 5, col("h")).otherwise(-1L).as("h"),
-            when(col("n") >= 5, col("d")).otherwise(-1L).as("d"),
+            when(col("n") >= k, col("h")).otherwise(-1L).as("h"),
+            when(col("n") >= k, col("d")).otherwise(-1L).as("d"),
             col("n"))
           .unionByName(spine)
           .groupBy("event_type", "h", "d")
@@ -414,6 +420,87 @@ object GovernanceQueries extends QueryPack {
                               * ln(1.0 - 2.0 * abs(u)) * 1e6, 0) AS BIGINT))
                        AS released_micro
               FROM s ORDER BY b""")),
+
+    // ε-COMPOSITION LEDGER — the budget accounting the DP family was
+    // missing: the engine releases scalar counts (gov_dp_counts, ε=0.5
+    // per event type), a histogram (gov_dp_hist, ε=0.5 over 10 doc-
+    // length buckets), and windowed streaming counts (DpRelease at one
+    // release per closed (hour, key) cell); nothing totalled the spend,
+    // and "can we publish all of these?" is a composition question.
+    // Per family: releases made on this corpus, ε per release, the
+    // family's ε under PARALLEL composition (McSherry 2009, PINQ: each
+    // input record lands in exactly ONE cell of a partition, so
+    // releasing every cell costs max — here all equal, so just ε), and
+    // the naive SEQUENTIAL bound (Dwork–McSherry–Nissim–Smith 2006:
+    // ε's add over releases touching the SAME records — what the
+    // family would cost if its cells overlapped). The per-dataset
+    // '__total__' rows then compose ACROSS families sequentially —
+    // dp_counts and dp_windowed both read every events row, so their
+    // family ε's add; GovernanceSpec pins the disjointness hypothesis
+    // (one removed row perturbs at most one cell per family) and the
+    // ledger arithmetic. All ε's in exact micro-longs. Scale: ONE
+    // corpus shuffle builds the (hour, type) cell frame (lazy local
+    // checkpoint — the gov_k_eval move); both event-family counts are
+    // aggregates of that ≤|cells| frame; the histogram family is a
+    // constant 10 (the release is spine-densified to 10 rows at any
+    // corpus size, no scan needed for its CARDINALITY).
+    Q("gov_eps_ledger",
+      (s, dir) => {
+        val epsMicro = 500000L // ε = 0.5, the family's declared budget
+        val cells = t(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(eager = false)
+        val nTypes = cells.select("event_type").distinct().count()
+        val nWindowCells = cells.count()
+        val fam = Seq(
+          ("documents", "dp_hist", 10L),
+          ("events", "dp_counts", nTypes),
+          ("events", "dp_windowed", nWindowCells))
+          .map { case (ds, f, n) =>
+            s.range(1).select(lit(ds).as("dataset"), lit(f).as("family"),
+              lit(n).as("releases_n"),
+              lit(epsMicro).as("eps_each_micro"),
+              lit(epsMicro).as("eps_parallel_micro"),
+              lit(n * epsMicro).as("eps_seq_bound_micro"))
+          }.reduce(_ unionByName _)
+        val totals = fam.groupBy("dataset")
+          .agg(sum("releases_n").as("releases_n"),
+            sum("eps_parallel_micro").as("eps_parallel_micro"),
+            sum("eps_seq_bound_micro").as("eps_seq_bound_micro"))
+          .select(col("dataset"), lit("__total__").as("family"),
+            col("releases_n"), lit(0L).as("eps_each_micro"),
+            col("eps_parallel_micro"), col("eps_seq_bound_micro"))
+        fam.unionByName(totals).orderBy("dataset", "family")
+      },
+      Some("""WITH cells AS (SELECT date_trunc('hour', ts) AS w,
+                                    event_type, count(*) AS n
+                             FROM events GROUP BY 1, 2),
+                fam AS (
+                  SELECT 'documents' AS dataset, 'dp_hist' AS family,
+                         CAST(10 AS BIGINT) AS releases_n
+                  UNION ALL
+                  SELECT 'events', 'dp_counts',
+                         CAST(count(DISTINCT event_type) AS BIGINT)
+                  FROM cells
+                  UNION ALL
+                  SELECT 'events', 'dp_windowed', CAST(count(*) AS BIGINT)
+                  FROM cells),
+                f AS (SELECT dataset, family, releases_n,
+                             CAST(500000 AS BIGINT) AS eps_each_micro,
+                             CAST(500000 AS BIGINT) AS eps_parallel_micro,
+                             CAST(releases_n * 500000 AS BIGINT)
+                               AS eps_seq_bound_micro
+                      FROM fam)
+              SELECT * FROM f
+              UNION ALL
+              SELECT dataset, '__total__',
+                     CAST(sum(releases_n) AS BIGINT),
+                     CAST(0 AS BIGINT),
+                     CAST(sum(eps_parallel_micro) AS BIGINT),
+                     CAST(sum(eps_seq_bound_micro) AS BIGINT)
+              FROM f GROUP BY dataset
+              ORDER BY dataset, family""")),
 
     // DELETION-REQUEST propagation audit (right to be forgotten): the
     // delete list is every user whose md5 bucket < 10% (standing in

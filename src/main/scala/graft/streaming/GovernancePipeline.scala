@@ -78,13 +78,14 @@ object GovernancePipeline {
     }
   }
 
-  /** The five output streams of one governed deployment. */
+  /** The six output streams of one governed deployment. */
   case class Outputs(
       admitted: DataFrame,
       ledger: DataFrame,
       released: DataFrame,
       drift: DataFrame,
-      diversity: DataFrame)
+      diversity: DataFrame,
+      kanon: DataFrame)
 
   /** Compose the full path over an [[Ev]] stream. `ref` is the standing
     * drift reference histogram; `noiseSalt` as on
@@ -92,33 +93,48 @@ object GovernancePipeline {
     *
     * Each returned frame is an independent sink head over the SAME
     * guarded lineage; Structured Streaming gives every started sink its
-    * own state store, so all four replay the guard identically (the
-    * guard is deterministic per batch by construction).
+    * own state store, so all six replay the guard identically (the
+    * guard is deterministic per batch by construction). Each head gets
+    * its OWN [[GuardProcessor]] INSTANCE: the driver-side
+    * StatefulProcessor handle is stored in the instance, so a single
+    * instance shared across heads races concurrent query starts on
+    * setHandle/init (observed as DUPLICATE_STATE_VARIABLE_DEFINED once
+    * a sixth head joined) — per-head instances cost nothing, since
+    * every sink replays the guard lineage independently anyway.
     */
   def run(events: Dataset[Ev], ref: Array[Long], eps: Double,
       windowDuration: String, watermarkDelay: String,
       noiseSalt: Column = lit(""),
-      lDiversity: Int = DiversityGate.DefaultL): Outputs = {
+      lDiversity: Int = DiversityGate.DefaultL,
+      kAnon: Long = KAnonGate.DefaultK): Outputs = {
     import events.sparkSession.implicits._
-    val guarded = events.groupByKey(_.user_id)
+    // fresh processor instance PER HEAD (see the class doc's race note)
+    def guarded(): DataFrame = events.groupByKey(_.user_id)
       .transformWithState(new GuardProcessor, TimeMode.None(),
         OutputMode.Append())
       .toDF()
-    val admitted = guarded.filter(col("admitted"))
-    val ledger = guarded.filter(!col("admitted"))
+    def admittedOnly(): DataFrame = guarded().filter(col("admitted"))
+    val admitted = admittedOnly()
+    val ledger = guarded().filter(!col("admitted"))
     val released = DpRelease.noisyCountsPerWindow(
-      admitted.select(col("ts"), col("key")),
+      admittedOnly().select(col("ts"), col("key")),
       eps, windowDuration, watermarkDelay, noiseSalt)
     val drift = DriftMonitor.psiPerWindow(
-      admitted.select(col("ts"), col("n_chars")),
+      admittedOnly().select(col("ts"), col("n_chars")),
       ref, windowDuration, watermarkDelay)
     // the ℓ-diversity gate rides the SAME admitted lineage: a purged
     // user's post-tombstone events cannot raise a window's diversity
     // any more than they can enter a DP count (the ordering trap the
     // spec plants)
     val diversity = DiversityGate.releasePerWindow(
-      admitted.select(col("ts"), col("key").as("event_type")),
+      admittedOnly().select(col("ts"), col("key").as("event_type")),
       lDiversity, windowDuration, watermarkDelay)
-    Outputs(admitted, ledger, released, drift, diversity)
+    // the k-anon gate too: a purged user's post-tombstone events can
+    // no more push a sub-k cell over the release bar than they can
+    // enter a DP count
+    val kanon = KAnonGate.releasePerWindow(
+      admittedOnly().select(col("ts"), col("key").as("cell")),
+      kAnon, windowDuration, watermarkDelay)
+    Outputs(admitted, ledger, released, drift, diversity, kanon)
   }
 }

@@ -67,13 +67,13 @@ class GovernancePipelineSpec extends SparkSpec {
       // (DiversityGate.DefaultL = 3) is pinned by its own test below.
       val o = GovernancePipeline.run(input.toDS(), ref, eps = 0.5,
         windowDuration = "1 hour", watermarkDelay = "0 seconds",
-        lDiversity = 2)
+        lDiversity = 2, kAnon = 2)
       def mem(df: org.apache.spark.sql.DataFrame, name: String): StreamingQuery =
         df.writeStream.format("memory").queryName(name)
           .outputMode("append").start()
       val qs = Seq(mem(o.admitted, "gp_adm"), mem(o.ledger, "gp_led"),
         mem(o.released, "gp_rel"), mem(o.drift, "gp_drift"),
-        mem(o.diversity, "gp_div"))
+        mem(o.diversity, "gp_div"), mem(o.kanon, "gp_kanon"))
       try {
         (Seq(batch1, batch2) ++ flush).foreach { b =>
           input.addData(b: _*); qs.foreach(_.processAllAvailable())
@@ -153,6 +153,21 @@ class GovernancePipelineSpec extends SparkSpec {
         (w0, "click", 2L, 2L), (w0, "view", 1L, 2L),
         (w1, "__suppressed__", 1L, 0L)),
         s"diversity gate output: $div")
+
+      // the k-anon gate (k = 2) rides the admitted side too: window 0
+      // releases the click cell (2 rows) and rolls the single view row;
+      // window 1's one admitted click stays sub-k — the purged user's
+      // two post-tombstone "view" events would have released a view
+      // cell in window 1, so a leak flips this assertion
+      val ka = spark.table("gp_kanon")
+        .filter(unix_timestamp(col("w_start")) < T0 + 100000)
+        .select(unix_timestamp(col("w_start")), col("cell"), col("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(ka === Set(
+        (w0, "click", 2L), (w0, "__suppressed__", 1L),
+        (w1, "__suppressed__", 1L)),
+        s"k-anon gate output: $ka")
     }
   }
 

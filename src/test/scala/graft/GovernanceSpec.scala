@@ -278,6 +278,71 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("gov_eps_ledger: cardinalities replay from the corpus; composition arithmetic holds") {
+    val rows = run("gov_eps_ledger").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val byKey = rows.map(t => (t._1, t._2) -> t).toMap
+    // family cardinalities replay from independent corpus aggregations
+    val types = events.select("event_type").distinct().count()
+    val cells = events
+      .select(date_trunc("hour", col("ts")), col("event_type"))
+      .distinct().count()
+    assert(byKey(("events", "dp_counts"))._3 === types)
+    assert(byKey(("events", "dp_windowed"))._3 === cells)
+    assert(byKey(("documents", "dp_hist"))._3 === 10L)
+    // PARALLEL composition (McSherry 2009): a family over disjoint
+    // cells costs its per-release ε, however many cells it releases;
+    // the SEQUENTIAL bound (Dwork et al. 2006) is what overlapping
+    // cells would cost — n × ε
+    rows.filter(_._2 != "__total__").foreach { t =>
+      assert(t._5 === t._4, s"${t._2}: parallel eps ≠ per-release eps")
+      assert(t._6 === t._3 * t._4, s"${t._2}: sequential bound ≠ n × eps")
+    }
+    // ACROSS families the composition is sequential — dp_counts and
+    // dp_windowed read the same events rows, so their ε's add
+    for (ds <- Seq("events", "documents")) {
+      val fams = rows.filter(t => t._1 == ds && t._2 != "__total__")
+      val tot = byKey((ds, "__total__"))
+      assert(tot._3 === fams.map(_._3).sum)
+      assert(tot._5 === fams.map(_._5).sum, s"$ds: total ≠ Σ family eps")
+      assert(tot._6 === fams.map(_._6).sum)
+    }
+  }
+
+  test("parallel-composition hypothesis: one removed record perturbs ≤ 1 cell per family") {
+    // The DP adjacency: neighboring datasets differ by ONE record. The
+    // ledger charges each family a single ε because its cells PARTITION
+    // the input — every record lands in exactly one cell, so neighbors'
+    // noiseless count vectors differ in at most one cell (McSherry
+    // 2009's hypothesis, checked against this engine's actual cell
+    // definitions rather than assumed).
+    def diffCells(full: Map[Seq[Any], Long], less: Map[Seq[Any], Long]): Int =
+      (full.keySet ++ less.keySet)
+        .count(k => full.getOrElse(k, 0L) != less.getOrElse(k, 0L))
+    def counts(df: org.apache.spark.sql.DataFrame, cs: Seq[org.apache.spark.sql.Column]) =
+      df.groupBy(cs: _*).count().collect()
+        .map(r => r.toSeq.init -> r.getLong(r.length - 1)).toMap
+    val victimEvent = events.agg(min("event_id")).head().getLong(0)
+    val evFull = events
+    val evLess = events.filter(col("event_id") =!= victimEvent)
+    // dp_counts cells: event_type
+    assert(diffCells(
+      counts(evFull, Seq(col("event_type"))),
+      counts(evLess, Seq(col("event_type")))) <= 1)
+    // dp_windowed cells: (hour window, event_type)
+    assert(diffCells(
+      counts(evFull, Seq(date_trunc("hour", col("ts")), col("event_type"))),
+      counts(evLess, Seq(date_trunc("hour", col("ts")), col("event_type")))) <= 1)
+    // dp_hist cells: doc-length bucket
+    val docs = Tables.table(spark, sfDir, "documents")
+    val victimDoc = docs.agg(min("doc_id")).head().getLong(0)
+    val b = graft.streaming.DriftMonitor.lengthBucket(col("n_chars")).as("b")
+    assert(diffCells(
+      counts(docs.select(b), Seq(col("b"))),
+      counts(docs.filter(col("doc_id") =!= victimDoc).select(b), Seq(col("b")))) <= 1)
+  }
+
   test("governance plans: no sort-merge join, aggregation-shaped") {
     // per-query exchange ceilings: every exchange past the first carries a
     // group frame (QI cells / 5 types / ≤20 histogram rows), so the
