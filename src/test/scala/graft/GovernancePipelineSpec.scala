@@ -171,6 +171,162 @@ class GovernancePipelineSpec extends SparkSpec {
     }
   }
 
+  test("crash-restart: every window releases exactly once, bit-identical to an uninterrupted run") {
+    // THE emit-once proof the composed DAG lacked: DpRelease's scaladoc
+    // makes re-releasing a window a privacy bug (double-spent ε), and
+    // the diversity/k-anon gates' decisions must not flip across a
+    // resume. Kill the governed stream mid-source, resume on the SAME
+    // checkpoints, and prove (a) every closed window's DP count,
+    // diversity verdict, and k-anon release emitted exactly once,
+    // (b) all six outputs bit-identical to an uninterrupted run —
+    // including the ledger and admitted sides (the IngestPipelineSpec
+    // crash template, on the governance DAG).
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    withRocksDb {
+      val nFiles = 10 // 9 data minutes + 1 flush file
+      // minute-window fixture: window f gets exactly file f's events.
+      //   user 1: one click per window
+      //   user 2: view, except every third window (f%3==2) a CLICK —
+      //           those windows are 1-type and must SUPPRESS at ℓ=2
+      //   user 7: view per window; TOMBSTONES in file 3 — its later
+      //           views are suppressed, and in the f%3==2 windows a
+      //           leaked view would flip the diversity verdict to
+      //           released (the ordering trap, now across a crash)
+      def rowsOf(f: Int): Seq[String] = {
+        def ev(u: Long, seq: Long, tomb: Boolean, tsSec: Long, key: String) =
+          s"""{"user_id":$u,"seq":$seq,"tombstone":$tomb,""" +
+            s""""ts_sec":$tsSec,"key":"$key","n_chars":${10 + f}}"""
+        val t = T0 + f * 60 + 5
+        if (f == 9) // far-future flush: closes windows 0..8 in both runs
+          Seq(ev(99L, 900L, tomb = false, T0 + 10000000, "_flush"))
+        else Seq(
+          ev(1L, 100L + f, tomb = false, t, "click"),
+          ev(2L, 200L + f, tomb = false, t, if (f % 3 == 2) "click" else "view"),
+          ev(7L, 700L + f, tomb = f == 3, t, "view"))
+      }
+      def writeSource(): String = {
+        val src = Files.createTempDirectory("gov_src").toString
+        val t0 = System.currentTimeMillis() - 60000L
+        for (f <- 0 until nFiles) {
+          val p = java.nio.file.Paths.get(s"$src/f$f.json")
+          Files.writeString(p, rowsOf(f).mkString("\n"))
+          // pin distinct mtimes: FileStreamSource orders same-mtime
+          // files by listing order, and the guard's verdicts depend on
+          // arrival order — the crash must be the only variable
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + f * 1000L))
+        }
+        src
+      }
+      import org.apache.spark.sql.streaming.StreamingQuery
+      def start(src: String, out: String, chk: String, trigger: Trigger)
+          : Seq[StreamingQuery] = {
+        val ev = spark.readStream
+          .schema("user_id LONG, seq LONG, tombstone BOOLEAN, " +
+            "ts_sec LONG, key STRING, n_chars LONG")
+          .option("maxFilesPerTrigger", 1)
+          .json(src)
+          .select(col("user_id"), col("seq"), col("tombstone"),
+            timestamp_seconds(col("ts_sec")).as("ts"), col("key"),
+            col("n_chars"))
+          .as[Ev]
+        val o = GovernancePipeline.run(ev, ref, eps = 0.5,
+          windowDuration = "1 minute", watermarkDelay = "0 seconds",
+          lDiversity = 2, kAnon = 2)
+        def sink(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.writeStream
+            .option("checkpointLocation", s"$chk/$name")
+            .trigger(trigger)
+            // epoch-overwrite sink: a replayed epoch is idempotent, so
+            // checkpoint + idempotent sink = exactly-once
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              b.write.mode("overwrite").parquet(s"$out/$name/batch=$id")
+            }.start()
+        Seq(sink(o.admitted, "admitted"), sink(o.ledger, "ledger"),
+          sink(o.released, "released"), sink(o.drift, "drift"),
+          sink(o.diversity, "diversity"), sink(o.kanon, "kanon"))
+      }
+      def read(out: String, name: String, cols: Seq[String]): Set[Seq[Any]] = {
+        val dir = new java.io.File(s"$out/$name")
+        if (!dir.exists()) Set.empty
+        else spark.read.parquet(s"$out/$name")
+          .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      }
+      val surfaces = Seq(
+        "admitted" -> Seq("user_id", "seq", "key", "n_chars"),
+        "ledger" -> Seq("user_id", "seq", "tombstone", "key"),
+        "released" -> Seq("w_start", "key", "released_micro"),
+        "drift" -> Seq("w_start", "hist", "psi_micro"),
+        "diversity" -> Seq("w_start", "event_type", "n", "l_div"),
+        "kanon" -> Seq("w_start", "cell", "n"))
+
+      // interrupted run: kill once EVERY sink has processed >= 1 batch
+      val src1 = writeSource()
+      val out1 = Files.createTempDirectory("gov_out").toString
+      val chk1 = Files.createTempDirectory("gov_chk").toString
+      val qs1 = start(src1, out1, chk1, Trigger.ProcessingTime("1 second"))
+      val deadline = System.nanoTime() + 120e9.toLong
+      while (qs1.exists(_.recentProgress.count(_.numInputRows > 0) < 1)
+          && System.nanoTime() < deadline) Thread.sleep(50)
+      qs1.foreach(_.stop()) // the crash: guard + window state live only in checkpoints
+      // total admitted in a full run: 3×3 (windows 0-2) + 2 (window 3,
+      // tombstone row ledgered) + 2×5 (windows 4-8, u7 suppressed) + 1
+      // flush = 22
+      val admittedAfterKill = read(out1, "admitted", Seq("user_id", "seq")).size
+      assert(admittedAfterKill < 22,
+        s"kill was supposed to land mid-source, but all $admittedAfterKill admitted rows are there")
+      start(src1, out1, chk1, Trigger.AvailableNow()).foreach(_.awaitTermination())
+
+      // uninterrupted reference run: same bytes and mtimes, fresh state
+      val src2 = writeSource()
+      val out2 = Files.createTempDirectory("gov_out2").toString
+      val chk2 = Files.createTempDirectory("gov_chk2").toString
+      start(src2, out2, chk2, Trigger.AvailableNow()).foreach(_.awaitTermination())
+
+      for ((name, cols) <- surfaces) {
+        val crashed = read(out1, name, cols)
+        val clean = read(out2, name, cols)
+        assert(crashed === clean,
+          s"$name diverged across the crash-restart")
+        assert(crashed.nonEmpty, s"$name: empty output proves nothing")
+      }
+
+      // exactly-once, structurally: one DP release per (window, key),
+      // one diversity verdict and one k-anon rollup set per window —
+      // counted over EVERY epoch directory the two runs wrote
+      def dupFree(out: String, name: String, keyCols: Seq[String]): Unit = {
+        val rows = spark.read.parquet(s"$out/$name")
+          .select(keyCols.map(col): _*).collect().map(_.toSeq).toSeq
+        assert(rows.size === rows.toSet.size,
+          s"$name: a window released more than once across the restart")
+      }
+      dupFree(out1, "released", Seq("w_start", "key"))
+      dupFree(out1, "diversity", Seq("w_start", "event_type"))
+      dupFree(out1, "kanon", Seq("w_start", "cell"))
+      dupFree(out1, "drift", Seq("w_start"))
+
+      // the fixture really exercised the traps across the restart:
+      // every third window suppressed at ℓ=2 (u7's post-tombstone view
+      // would have flipped it), all nine windows closed and released
+      // minute windows align to the EPOCH grid, not to T0: file f's
+      // events (at T0 + f·60 + 5) land in the window starting at
+      // (T0 − T0 % 60) + f·60, so label relative to that grid origin
+      val wBase = T0 - T0 % 60
+      val div = read(out1, "diversity", Seq("w_start", "event_type"))
+        .map(r => ((r(0).asInstanceOf[java.sql.Timestamp].getTime / 1000L
+          - wBase) / 60L).toInt -> r(1).asInstanceOf[String]).toSeq
+      val suppressed = div.filter(_._2 == "__suppressed__").map(_._1).toSet
+      assert(suppressed === Set(5, 8),
+        s"windows 5 and 8 are 1-type AFTER the tombstone and must suppress: $div")
+      assert(div.map(_._1).toSet === (0 to 8).toSet, "all nine windows released")
+      // and the purge ledger shows the acknowledgment + every
+      // suppressed row: u7's tombstone plus its 5 post-tombstone views
+      val led = read(out1, "ledger", Seq("user_id", "seq", "tombstone", "key"))
+      assert(led.count(_.head == 7L) === 6, s"ledger: $led")
+    }
+  }
+
   test("the pipeline guard's verdicts are ForgetFilter's, bit for bit") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
