@@ -265,9 +265,35 @@ object IngestBench {
     val gSuppressed = gateRows.filter(col("l_div") === 0).count()
     println(s"""{"metric":"divgate_events_per_sec","value":${(nEv / secG).round},"unit":"events/s","events":$nEv,"released_rows":$gReleased,"suppressed_windows":$gSuppressed,"sec":$secG,"sf":"$sfDir"}""")
 
+    // ---- leg 7: windowed k-anonymity gate events/s ---------------------
+    // the same replicated feed through KAnonGate (hourly windows,
+    // event_type as the QI cell, the shared k = 5 bar) — the suppression
+    // -release path; same bounded per-window map state as leg 6
+    val kout = Files.createTempDirectory("kanonbench_out").toString
+    val kchk = Files.createTempDirectory("kanonbench_chk").toString
+    val t6 = System.nanoTime()
+    val qk = graft.streaming.KAnonGate.releasePerWindow(
+        spark.readStream.schema(bigR.schema).parquet(rsrc)
+          .select(col("ts"), col("key").as("cell")),
+        k = graft.streaming.KAnonGate.DefaultK,
+        windowDuration = "1 hour", watermarkDelay = "0 seconds")
+      .writeStream
+      .option("checkpointLocation", kchk)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$kout/batch=$batchId")
+      }.start()
+    qk.awaitTermination()
+    val secK = (System.nanoTime() - t6) / 1e9
+    val kRows = spark.read.parquet(kout).filter(col("cell") =!= "_flush")
+    val kReleased = kRows.filter(col("cell") =!= "__suppressed__").count()
+    val kRolled = kRows.filter(col("cell") === "__suppressed__" && col("n") > 0)
+      .count()
+    println(s"""{"metric":"kanongate_events_per_sec","value":${(nEv / secK).round},"unit":"events/s","events":$nEv,"released_cells":$kReleased,"suppressed_windows":$kRolled,"sec":$secK,"sf":"$sfDir"}""")
+
     spark.stop()
     Seq(src, out, chk, psrc, pout, pchk, dsrc, dout, dchk, fsrc, fout, fchk,
-        rsrc, rout, rchk, gout, gchk)
+        rsrc, rout, rchk, gout, gchk, kout, kchk)
       .foreach(d =>
         graft.operators.Artifacts.deleteRecursively(java.nio.file.Paths.get(d)))
   }

@@ -111,7 +111,7 @@ object GovernanceQueries extends QueryPack {
     // sf0.1 mostly level 0).
     Q("gov_k_generalize",
       (s, dir) => {
-        val k = 5L
+        val k = graft.streaming.KAnonGate.DefaultK // shared bar, see gov_k_anon
         val c0 = t(s, dir, "events")
           .groupBy(col("event_type"),
             hour(col("ts")).cast("long").as("h"),

@@ -13,7 +13,9 @@ import pyarrow.parquet as pq
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-REPLICAS = 10
+# optional 3rd arg: replica count (default 10 = sf1; 100 = the sf10
+# decade probe). OFFSET spacing holds to 10**8 replicas of sf0.1 keys.
+REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 OFFSET = 10**8
 
 # key columns to offset per replica — every foreign key into a
