@@ -345,6 +345,135 @@ object GovernanceQueries extends QueryPack {
               FROM f GROUP BY h, d, n_c, snt, nn
               ORDER BY h, d""")),
 
+    // The ℓ DIAL measured — gov_k_eval's symmetry for the diversity
+    // bar (k has its utility/DM* sweep; ℓ = 3 was chosen blind): for
+    // ℓ ∈ {2, 3, 5, 10}, how much the distinct-ℓ-diversity release
+    // keeps (released/suppressed rows, released cells) and the
+    // diversity actually delivered (the minimum distinct-type count
+    // over released cells — the bar the release PROVES, ≥ ℓ by
+    // construction, read directly instead of trusted). ONE corpus
+    // shuffle to the (h, d, type) frame, one re-aggregation to the
+    // cell frame (lazy local checkpoint — four ℓ branches would
+    // otherwise re-plan the corpus scan); all four rows are
+    // aggregations of the ≤|cells| frame.
+    Q("gov_l_eval",
+      (s, dir) => {
+        val cell = t(s, dir, "events")
+          .groupBy(
+            hour(col("ts")).cast("long").as("h"),
+            dayofmonth(col("ts")).cast("long").as("d"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_ct"))
+          .groupBy("h", "d")
+          .agg(sum("n_ct").as("n"), count(lit(1)).as("l_div"))
+          .localCheckpoint(eager = false)
+        Seq(2L, 3L, 5L, 10L).map { l =>
+          cell.agg(
+              sum(when(col("l_div") >= l, col("n")).otherwise(0L))
+                .as("released_n"),
+              sum(when(col("l_div") < l, col("n")).otherwise(0L))
+                .as("suppressed_n"),
+              sum(when(col("l_div") >= l, 1L).otherwise(0L)).as("cells"),
+              coalesce(min(when(col("l_div") >= l, col("l_div"))), lit(0L))
+                .as("min_l_released"))
+            .select(lit(l).as("l"), col("released_n"), col("suppressed_n"),
+              col("cells"), col("min_l_released"))
+        }.reduce(_ unionByName _).orderBy("l")
+      },
+      Some("""WITH ct AS (SELECT extract(hour FROM ts) AS h,
+                                 extract(day FROM ts) AS d,
+                                 event_type, count(*) AS n_ct
+                          FROM events GROUP BY 1, 2, 3),
+                cell AS (SELECT h, d, sum(n_ct) AS n, count(*) AS l_div
+                         FROM ct GROUP BY 1, 2),
+                ls AS (SELECT unnest([2, 3, 5, 10]) AS l)
+              SELECT l,
+                     CAST(COALESCE(sum(CASE WHEN l_div >= l THEN n END), 0)
+                          AS BIGINT) AS released_n,
+                     CAST(COALESCE(sum(CASE WHEN l_div < l THEN n END), 0)
+                          AS BIGINT) AS suppressed_n,
+                     CAST(COALESCE(sum(CASE WHEN l_div >= l THEN 1 END), 0)
+                          AS BIGINT) AS cells,
+                     CAST(COALESCE(min(CASE WHEN l_div >= l THEN l_div END), 0)
+                          AS BIGINT) AS min_l_released
+              FROM cell CROSS JOIN ls
+              GROUP BY l ORDER BY l""")),
+
+    // The t DIAL measured — the third rung's sweep (k and ℓ have
+    // theirs; t = 0.2 was chosen blind): for t ∈ {0.10, 0.20, 0.30,
+    // 0.50} (micro-units), what the t-closeness release keeps and the
+    // worst skew it admits (max released TVD — the disclosure bound
+    // the release actually delivers, ≤ t by construction, read not
+    // trusted). The per-cell TVD is gov_t_closeness's exact integer
+    // arithmetic, computed ONCE (lazy local checkpoint on the scored
+    // cell frame); the four thresholds are aggregations of it.
+    Q("gov_t_eval",
+      (s, dir) => {
+        val ct = t(s, dir, "events")
+          .groupBy(
+            hour(col("ts")).cast("long").as("h"),
+            dayofmonth(col("ts")).cast("long").as("d"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_ct"))
+        val wT = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        val wc = org.apache.spark.sql.expressions.Window.partitionBy("h", "d")
+        val scored = ct
+          .withColumn("n_t", sum("n_ct").over(wT))
+          .withColumn("nn", sum("n_ct").over(wAll))
+          .withColumn("n_c", sum("n_ct").over(wc))
+          .withColumn("snt", sum("n_t").over(wc))
+          .groupBy("h", "d", "n_c", "snt", "nn")
+          .agg(sum(abs(col("n_ct") * col("nn") - col("n_t") * col("n_c")))
+            .as("num_present"))
+          .withColumn("num_total",
+            (col("num_present") + (col("nn") - col("snt")) * col("n_c"))
+              * lit(1000000L))
+          .select(col("n_c").as("n"),
+            expr("num_total div (2 * n_c * nn)").as("tvd_micro"))
+          .localCheckpoint(eager = false)
+        Seq(100000L, 200000L, 300000L, 500000L).map { tm =>
+          scored.agg(
+              sum(when(col("tvd_micro") <= tm, col("n")).otherwise(0L))
+                .as("released_n"),
+              sum(when(col("tvd_micro") > tm, col("n")).otherwise(0L))
+                .as("suppressed_n"),
+              sum(when(col("tvd_micro") <= tm, 1L).otherwise(0L)).as("cells"),
+              coalesce(max(when(col("tvd_micro") <= tm, col("tvd_micro"))),
+                lit(0L)).as("max_tvd_released_micro"))
+            .select(lit(tm).as("t_micro"), col("released_n"),
+              col("suppressed_n"), col("cells"),
+              col("max_tvd_released_micro"))
+        }.reduce(_ unionByName _).orderBy("t_micro")
+      },
+      Some("""WITH ct AS (SELECT extract(hour FROM ts) AS h,
+                                 extract(day FROM ts) AS d,
+                                 event_type, count(*) AS n_ct
+                          FROM events GROUP BY 1, 2, 3),
+                gm AS (SELECT event_type, sum(n_ct) AS n_t FROM ct GROUP BY 1),
+                tot AS (SELECT sum(n_ct) AS nn FROM ct),
+                f AS (SELECT h, d, n_ct, n_t, nn,
+                             sum(n_ct) OVER (PARTITION BY h, d) AS n_c,
+                             sum(n_t) OVER (PARTITION BY h, d) AS snt
+                      FROM ct JOIN gm USING (event_type) CROSS JOIN tot),
+                scored AS (SELECT h, d, CAST(n_c AS BIGINT) AS n,
+                                  CAST((sum(abs(n_ct * nn - n_t * n_c))
+                                        + (nn - snt) * n_c) * 1000000
+                                       // (2 * n_c * nn) AS BIGINT) AS tvd_micro
+                           FROM f GROUP BY h, d, n_c, snt, nn),
+                ts_ AS (SELECT unnest([100000, 200000, 300000, 500000]) AS t_micro)
+              SELECT t_micro,
+                     CAST(COALESCE(sum(CASE WHEN tvd_micro <= t_micro THEN n END), 0)
+                          AS BIGINT) AS released_n,
+                     CAST(COALESCE(sum(CASE WHEN tvd_micro > t_micro THEN n END), 0)
+                          AS BIGINT) AS suppressed_n,
+                     CAST(COALESCE(sum(CASE WHEN tvd_micro <= t_micro THEN 1 END), 0)
+                          AS BIGINT) AS cells,
+                     CAST(COALESCE(max(CASE WHEN tvd_micro <= t_micro THEN tvd_micro END), 0)
+                          AS BIGINT) AS max_tvd_released_micro
+              FROM scored CROSS JOIN ts_
+              GROUP BY t_micro ORDER BY t_micro""")),
+
     // DIFFERENTIALLY-PRIVATE count release (ε = 0.5 Laplace): per-type
     // event counts plus Laplace(1/ε) noise, released in micro-units so
     // the noisy value never re-rounds. The noise is SEEDED from the

@@ -133,6 +133,37 @@ class DiversityGateSpec extends SparkSpec {
     assert(o1.values.sum == multiset.size.toLong, "totals preserved")
   }
 
+  test("property: the fold is multiset-pure for ARBITRARY multisets and merge trees") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val agg = new DiversityGate.TypeCountsAggregator
+    // keys drawn from a 100-symbol alphabet (> MaxTracked so eviction
+    // fires), multisets up to 400 draws, random partition cut points
+    val keyGen = Gen.choose(0, 99).map(i => f"k$i%03d")
+    val msGen = Gen.choose(1, 400)
+      .flatMap(n => Gen.listOfN(n, keyGen))
+    val cutsGen = Gen.choose(1, 12)
+    val prop = Prop.forAll(msGen, cutsGen, Gen.long) { (ms, nCuts, seed) =>
+      val direct = ms.foldLeft(agg.zero)(agg.reduce)
+      val shuffledMs = new scala.util.Random(seed).shuffle(ms)
+      val shuffled = shuffledMs.foldLeft(agg.zero)(agg.reduce)
+      val parts = shuffledMs.grouped(math.max(1, ms.size / nCuts))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+      val merged = parts.reduce(agg.merge)
+      val mergedRev = parts.reverse.reduce(agg.merge)
+      // exactness of the tracked set: the MaxTracked smallest distinct
+      // keys carry their exact multiplicities, totals always preserved
+      val distinct = ms.distinct.sorted
+      val tracked = direct - DiversityGate.OtherKey
+      direct == shuffled && direct == merged && direct == mergedRev &&
+        direct.values.sum == ms.size.toLong &&
+        tracked.keySet == distinct.take(DiversityGate.MaxTracked).toSet &&
+        tracked.forall { case (k, n) => n == ms.count(_ == k).toLong }
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(80), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("suppressedGranularity coarsens the rollup total (exact ceil)") {
     // one uniform window of 5 rows, granularity 100 → rollup reads 100
     val out = runGate("dg_coarse", 2,

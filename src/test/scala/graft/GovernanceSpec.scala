@@ -278,6 +278,48 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("gov_l_eval: monotone in ℓ, exhaustive, delivered bar ≥ ℓ, consistent with the ℓ=3 audit") {
+    val rows = run("gov_l_eval").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    val total = events.count()
+    rows.foreach { case (l, rel, sup, cells, minL) =>
+      assert(rel + sup === total, s"ℓ=$l: release not exhaustive")
+      if (cells > 0) assert(minL >= l, s"ℓ=$l: delivered bar below ℓ")
+    }
+    // raising the bar can only shrink the release
+    rows.toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 <= a._2 && b._4 <= a._4,
+        s"released must be non-increasing in ℓ: $a -> $b")
+    }
+    // the ℓ=3 row is the standing gov_l_diversity audit's release total
+    val audited = run("gov_l_diversity").collect()
+      .filter(_.getLong(3) >= 3).map(_.getLong(2)).sum
+    assert(rows.find(_._1 == 3L).get._2 === audited)
+  }
+
+  test("gov_t_eval: monotone in t, exhaustive, worst admitted skew ≤ t, consistent with the t=0.2 audit") {
+    val rows = run("gov_t_eval").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    val total = events.count()
+    rows.foreach { case (t, rel, sup, cells, maxTvd) =>
+      assert(rel + sup === total, s"t=$t: release not exhaustive")
+      assert(maxTvd <= t, s"t=$t: released a cell skewed past the bar")
+    }
+    // loosening the bar can only grow the release
+    rows.toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 >= a._2 && b._4 >= a._4,
+        s"released must be non-decreasing in t: $a -> $b")
+    }
+    // the t=0.2 row replays the standing gov_t_closeness audit
+    val audited = run("gov_t_closeness").collect().filter(_.getBoolean(4))
+    assert(rows.find(_._1 == 200000L).get._2 ===
+      audited.map(_.getLong(2)).sum)
+    assert(rows.find(_._1 == 200000L).get._5 ===
+      (if (audited.isEmpty) 0L else audited.map(_.getLong(3)).max))
+  }
+
   test("gov_eps_ledger: cardinalities replay from the corpus; composition arithmetic holds") {
     val rows = run("gov_eps_ledger").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
