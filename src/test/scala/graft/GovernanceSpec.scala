@@ -401,7 +401,15 @@ class GovernanceSpec extends SparkSpec {
         "gov_l_diversity" -> 4,
         // corpus agg, global-marginal agg (broadcast side), cell window,
         // cell re-agg, sort — every exchange past the first is frame-sized
-        "gov_t_closeness" -> 6)) {
+        "gov_t_closeness" -> 6,
+        // the dial sweeps: ONE corpus agg builds the (checkpointed)
+        // cell frame; each bar branch is a single-partition global agg
+        // of that frame plus the union sort — every exchange past the
+        // first carries ≤|cells| rows
+        "gov_k_eval" -> 8, "gov_l_eval" -> 8, "gov_t_eval" -> 10,
+        // corpus agg to the cell frame + two frame-sized counts + the
+        // 5-row ledger union/total/sort arithmetic
+        "gov_eps_ledger" -> 8)) {
       val df = run(name)
       df.write.format("noop").mode("overwrite").save()
       val nodes = allNodes(df.queryExecution.executedPlan)
