@@ -103,6 +103,11 @@ object GraftFunctions {
         "bloom_might_contain"),
       (exprs: Seq[Expression]) =>
         new BloomFilterMightContain(exprs(0), exprs(1))),
+    ("micro_signed_dot",
+      new ExpressionInfo(classOf[graft.functions.MicroSignedDot].getName,
+        "micro_signed_dot"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.MicroSignedDot(exprs(0), exprs(1))),
 
     // ---- composed expressions delegating to the Scala Column API ----
     ("md5_bucket",

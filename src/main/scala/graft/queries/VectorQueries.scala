@@ -494,12 +494,44 @@ object VectorQueries extends QueryPack {
     // candidate path; exact verify happens on the candidates only).
     // Hyperplanes are seeded-deterministic but not SQL-mirrorable →
     // rows-only driver check + the determinism/recall ScalaTests.
+    // ORACLED since r12: the SRP hyperplanes derive from the md5-bucket
+    // convention and each bucket bit is the sign of an EXACT micro-long
+    // projection Σ round(x·1e6)·(±1), so DuckDB regenerates planes,
+    // buckets, and the candidate join bit-for-bit (previously rows-only
+    // — the planes came from a JVM PRNG no other engine could replay).
     Q("vec_lsh_candidates",
       (s, dir) => Similarity.srpCandidates(
           t(s, dir, "embeddings"), "vec_id", "embedding",
           bitsPerTable = 8, tables = 4, dim = 64)
         .orderBy("a_id", "b_id"),
-      None),
+      Some("""WITH planes AS (
+                SELECT t.t AS tbl, p.p AS p, d.d AS d,
+                       CASE WHEN (('0x' || substr(md5('srp|' || (42 + t.t)
+                                    || '|' || p.p || '|' || d.d), 1, 8))::BIGINT
+                                  % 1000000) < 500000
+                            THEN 1 ELSE -1 END AS s
+                FROM range(0, 4) t(t), range(0, 8) p(p), range(0, 64) d(d)),
+              q AS (
+                SELECT vec_id, i - 1 AS d,
+                       CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT) AS qx
+                FROM (SELECT vec_id,
+                             generate_subscripts(embedding, 1) AS i,
+                             unnest(embedding) AS x
+                      FROM embeddings)),
+              proj AS (
+                SELECT q.vec_id, pl.tbl, pl.p, sum(q.qx * pl.s) AS dp
+                FROM q JOIN planes pl ON pl.d = q.d
+                GROUP BY 1, 2, 3),
+              buckets AS (
+                SELECT vec_id, tbl,
+                       string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END,
+                                  '' ORDER BY p) AS bucket
+                FROM proj GROUP BY vec_id, tbl)
+              SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+              FROM buckets a JOIN buckets b
+                ON a.tbl = b.tbl AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id
+              ORDER BY a_id, b_id""")),
 
     // Symmetric int8 quantization of the embedding column (127/max|x|
     // scale) — the 4× memory/IO cut a 100 TB vector corpus takes before

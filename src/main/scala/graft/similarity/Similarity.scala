@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.{cosine_similarity, dot_product}
+import graft.functions.VectorFunctions.cosine_similarity
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
   * column.
@@ -36,24 +36,40 @@ object Similarity {
       .select(col(idCol), col("sim"))
 
   /** Deterministic ±1 random-hyperplane set for SRP-LSH: plane `p`,
-    * dimension `d` gets sign from a seeded hash — reproducible across
-    * runs/engines without storing plane matrices.
+    * dimension `d` gets its sign from the repo-wide md5-bucket
+    * convention (`md5("srp|seed|p|d")` first 8 hex digits mod 1e6,
+    * < 5e5 → +1) — a pure function any engine reproduces bit-for-bit,
+    * no JVM PRNG state, no stored plane matrices. (Previously
+    * scala.util.Random(seed), which only the JVM could replay — the
+    * change that let vec_lsh_candidates graduate from rows-only to a
+    * full DuckDB oracle.)
     */
-  def signedPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Float]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
-  }
+  def signedPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Long]] =
+    Seq.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { d =>
+        val hex = org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(s"srp|$seed|$p|$d").take(8)
+        if (java.lang.Long.parseLong(hex, 16) % 1000000L < 500000L) 1L
+        else -1L
+      }
+    }
 
   /** SRP-LSH bucket key per row: the sign-bit string of `planes.size`
     * signed projections. Cosine-close vectors agree on most sign bits, so
     * they collide with probability (1 - θ/π) per bit. Narrow per-row
     * compute, zero shuffle. `sign(cos(v,p)) == sign(v·p)` (norms are
-    * non-negative), so this uses the norm-free [[dot_product]] — 1/3 the
-    * flops of the cosine form for identical bucket keys.
+    * non-negative) and a positive quantization scale preserves the sign,
+    * so each bit is the sign of Σ_d round(x_d·1e6)·s_d — EXACT int64
+    * arithmetic (the repo's micro-long convention): bit-stable at any
+    * accumulation order and reproducible in any engine, where a float
+    * dot product's sign could flip near zero under a different
+    * summation order.
     */
-  def srpBucket(vec: Column, planes: Seq[Array[Float]]): Column =
+  def srpBucket(vec: Column, planes: Seq[Array[Long]]): Column =
     concat(planes.map { p =>
-      when(dot_product(vec, typedLit(p.toSeq)) >= 0, "1").otherwise("0")
+      when(graft.functions.VectorFunctions
+          .micro_signed_dot(vec, typedLit(p.toSeq)) >= 0L, "1")
+        .otherwise("0")
     }: _*)
 
   /** Multi-table SRP-LSH candidate pairs: `tables` independent bucket

@@ -39,6 +39,8 @@ class ExtensionsSpec extends SparkSpec {
       "bloom_might_contain" -> Seq(
         Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
         Literal(1L)),
+      "micro_signed_dot" -> Seq(
+        Literal.create(Array(1.5f, -2.0f)), Literal.create(Array(1L, -1L))),
       "md5_bucket" -> Seq(Literal("abc")),
       "ext_json_get" -> Seq(Literal("""{"a":1}"""), Literal("$.a")),
       "object_id" -> Seq(oid),
