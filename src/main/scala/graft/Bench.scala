@@ -22,6 +22,9 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // shared-JVM belt: builder config is skipped when getOrCreate reuses
+    // a session — attach + assert so the loud-failure goal always holds
+    GraftFunctions.ensureAttached(spark)
     // optional subset (comma-separated names) for targeted scaling
     // probes — the driver never sets this, so the contract is unchanged
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -165,6 +165,25 @@ object GraftFunctions {
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
 
+  /** Post-`getOrCreate` belt for the protocol mains (Verify/Bench):
+    * `.config("spark.sql.extensions", ...)` only takes effect when the
+    * session is actually CREATED — in a shared JVM, getOrCreate reuses
+    * the existing session and the injection is silently skipped, which
+    * would quietly degrade the "fail the round loudly on registry rot"
+    * guarantee. If the extension path didn't land, register into the
+    * live registry directly (idempotent), then ASSERT one registered
+    * name resolves either way.
+    */
+  def ensureAttached(spark: SparkSession): Unit = {
+    def attached = all.forall { case (name, _, _) =>
+      spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier(name))
+    }
+    if (!attached) registerAll(spark)
+    require(attached,
+      "graft SQL function registry failed to attach to the session")
+  }
+
   /** Name the fixture tables as temp views so plain SQL can read them —
     * `Tables.table` (not a bare parquet read) so the events.ts
     * timestamp normalization holds on the SQL surface too.

@@ -23,6 +23,9 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // shared-JVM belt: builder config is skipped when getOrCreate reuses
+    // a session — attach + assert so the loud-failure goal always holds
+    GraftFunctions.ensureAttached(spark)
     new java.io.File(outDir).mkdirs()
     // A typo'd name in `only` would otherwise be silently dropped by the
     // filters below — an empty dump that reads as "nothing to do".

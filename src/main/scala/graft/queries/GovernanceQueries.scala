@@ -310,18 +310,25 @@ object GovernanceQueries extends QueryPack {
           .withColumn("n_c", sum("n_ct").over(wc))
           .withColumn("snt", sum("n_t").over(wc))
         f.groupBy("h", "d", "n_c", "snt", "nn")
-          .agg(sum(abs(col("n_ct") * col("nn") - col("n_t") * col("n_c")))
+          // the cross-multiplied numerator is bounded by 2·n_c·nn, so a
+          // long intermediate silently wraps once n_c·nn nears 2^62 —
+          // reachable around ~1e9 events (hit by the sf10 decade
+          // probes). Widen the PRODUCTS to decimal(38,0): exact integer
+          // arithmetic to 10^38, enough for corpora to ~10^16 rows; the
+          // quotient (≤ 1e6) still lands in a long.
+          .agg(sum(abs(col("n_ct").cast("decimal(38,0)") * col("nn")
+              - col("n_t").cast("decimal(38,0)") * col("n_c")))
             .as("num_present"))
-          // `div`, not `/`: Spark's / on longs is DOUBLE division, and a
-          // floor over a ~2^45 double quotient can land on the wrong
-          // side of an integer; integer div keeps the release exact
-          // (longs throughout — exact while nn·n_c·4e6 < 2^63; a bigger
-          // corpus pre-scales its counts by a common factor first)
+          // `div`, not `/`: Spark's / is DOUBLE division, and a floor
+          // over a ~2^45 double quotient can land on the wrong side of
+          // an integer; integral div keeps the release exact
           .withColumn("num_total",
-            (col("num_present") + (col("nn") - col("snt")) * col("n_c"))
+            (col("num_present")
+              + (col("nn") - col("snt")).cast("decimal(38,0)") * col("n_c"))
               * lit(1000000L))
           .select(col("h"), col("d"), col("n_c").as("n"),
-            expr("num_total div (2 * n_c * nn)").as("tvd_micro"))
+            expr("num_total div (cast(2 as decimal(38,0)) * n_c * nn)")
+              .as("tvd_micro"))
           .withColumn("released", col("tvd_micro") <= 200000L)
           .orderBy("h", "d")
       },
@@ -336,12 +343,14 @@ object GovernanceQueries extends QueryPack {
                              sum(n_t) OVER (PARTITION BY h, d) AS snt
                       FROM ct JOIN gm USING (event_type) CROSS JOIN tot)
               SELECT h, d, CAST(n_c AS BIGINT) AS n,
-                     CAST((sum(abs(n_ct * nn - n_t * n_c))
-                           + (nn - snt) * n_c) * 1000000
-                          // (2 * n_c * nn) AS BIGINT) AS tvd_micro,
-                     CAST((sum(abs(n_ct * nn - n_t * n_c))
-                           + (nn - snt) * n_c) * 1000000
-                          // (2 * n_c * nn) <= 200000 AS BOOLEAN) AS released
+                     CAST((sum(abs(CAST(n_ct AS HUGEINT) * nn
+                                   - CAST(n_t AS HUGEINT) * n_c))
+                           + (CAST(nn AS HUGEINT) - snt) * n_c) * 1000000
+                          // (2 * CAST(n_c AS HUGEINT) * nn) AS BIGINT) AS tvd_micro,
+                     CAST((sum(abs(CAST(n_ct AS HUGEINT) * nn
+                                   - CAST(n_t AS HUGEINT) * n_c))
+                           + (CAST(nn AS HUGEINT) - snt) * n_c) * 1000000
+                          // (2 * CAST(n_c AS HUGEINT) * nn) <= 200000 AS BOOLEAN) AS released
               FROM f GROUP BY h, d, n_c, snt, nn
               ORDER BY h, d""")),
 
@@ -424,13 +433,18 @@ object GovernanceQueries extends QueryPack {
           .withColumn("n_c", sum("n_ct").over(wc))
           .withColumn("snt", sum("n_t").over(wc))
           .groupBy("h", "d", "n_c", "snt", "nn")
-          .agg(sum(abs(col("n_ct") * col("nn") - col("n_t") * col("n_c")))
+          // decimal(38,0) products — the gov_t_closeness overflow guard
+          // (a long numerator wraps silently near ~1e9 events)
+          .agg(sum(abs(col("n_ct").cast("decimal(38,0)") * col("nn")
+              - col("n_t").cast("decimal(38,0)") * col("n_c")))
             .as("num_present"))
           .withColumn("num_total",
-            (col("num_present") + (col("nn") - col("snt")) * col("n_c"))
+            (col("num_present")
+              + (col("nn") - col("snt")).cast("decimal(38,0)") * col("n_c"))
               * lit(1000000L))
           .select(col("n_c").as("n"),
-            expr("num_total div (2 * n_c * nn)").as("tvd_micro"))
+            expr("num_total div (cast(2 as decimal(38,0)) * n_c * nn)")
+              .as("tvd_micro"))
           .localCheckpoint(eager = false)
         Seq(100000L, 200000L, 300000L, 500000L).map { tm =>
           scored.agg(
@@ -457,9 +471,10 @@ object GovernanceQueries extends QueryPack {
                              sum(n_t) OVER (PARTITION BY h, d) AS snt
                       FROM ct JOIN gm USING (event_type) CROSS JOIN tot),
                 scored AS (SELECT h, d, CAST(n_c AS BIGINT) AS n,
-                                  CAST((sum(abs(n_ct * nn - n_t * n_c))
-                                        + (nn - snt) * n_c) * 1000000
-                                       // (2 * n_c * nn) AS BIGINT) AS tvd_micro
+                                  CAST((sum(abs(CAST(n_ct AS HUGEINT) * nn
+                                                - CAST(n_t AS HUGEINT) * n_c))
+                                        + (CAST(nn AS HUGEINT) - snt) * n_c) * 1000000
+                                       // (2 * CAST(n_c AS HUGEINT) * nn) AS BIGINT) AS tvd_micro
                            FROM f GROUP BY h, d, n_c, snt, nn),
                 ts_ AS (SELECT unnest([100000, 200000, 300000, 500000]) AS t_micro)
               SELECT t_micro,

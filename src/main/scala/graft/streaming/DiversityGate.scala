@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -39,6 +39,27 @@ object DiversityGate {
   val MaxTracked = 64
 
   val OtherKey = "__other__"
+
+  /** The suppressed-rollup sentinel, shared with [[KAnonGate]]. */
+  val SuppressedKey = "__suppressed__"
+
+  /** Reserved-namespace guard, applied by both gates at the entrance:
+    * an input key that is literally [[SuppressedKey]] would, on
+    * reaching the release bar, emit as a normal row COLLIDING with the
+    * always-present rollup row — (w_start, key) stops being unique and
+    * the rollup total turns ambiguous — and a key literally
+    * [[OtherKey]] silently merges into the overflow fold and can never
+    * be released. Neither corruption is detectable downstream, so the
+    * gate REJECTS the row loudly (the stream fails, the checkpoint
+    * replays) instead of releasing a corrupted window; a deployment
+    * whose domain legitimately contains these strings must escape them
+    * upstream.
+    */
+  def rejectReserved(key: Column): Column =
+    when(key.isin(SuppressedKey, OtherKey),
+      raise_error(concat(
+        lit("reserved gate sentinel in input key: "), key)))
+      .otherwise(key)
 
   /** THE ℓ default, shared by the batch audit (`gov_l_diversity`) and
     * the streaming pipeline ([[GovernancePipeline.run]]) — one constant
@@ -125,7 +146,7 @@ object DiversityGate {
     val gated = events
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowDuration))
-      .agg(counts(col("event_type")).as("counts"))
+      .agg(counts(rejectReserved(col("event_type"))).as("counts"))
       .select(col("window.start").as("w_start"),
         col("window.end").as("w_end"),
         col("counts"),
@@ -144,7 +165,7 @@ object DiversityGate {
       .select(col("w_start"), col("w_end"),
         explode(col("entries")).as("e"), col("l_div"))
       .select(col("w_start"), col("w_end"),
-        when(col("l_div") === 0L, "__suppressed__")
+        when(col("l_div") === 0L, SuppressedKey)
           .otherwise(col("e.key")).as("event_type"),
         col("e.value").as("n"),
         col("l_div"))

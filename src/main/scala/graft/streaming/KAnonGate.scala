@@ -44,7 +44,12 @@ object KAnonGate {
     */
   val DefaultK = 5L
 
-  val SuppressedKey = "__suppressed__"
+  /** The rollup sentinel — shared with [[DiversityGate]], whose
+    * [[DiversityGate.rejectReserved]] guard both gates apply at the
+    * entrance so an input cell literally equal to a sentinel can never
+    * alias the rollup row or vanish into the overflow fold.
+    */
+  val SuppressedKey: String = DiversityGate.SuppressedKey
 
   /** The gate: events stream (`ts` timestamp, `cell` string — the
     * quasi-identifier) → per closed window, the released per-cell
@@ -64,7 +69,7 @@ object KAnonGate {
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowDuration))
-      .agg(counts(col("cell")).as("counts"))
+      .agg(counts(DiversityGate.rejectReserved(col("cell"))).as("counts"))
       .select(col("window.start").as("w_start"),
         col("window.end").as("w_end"),
         map_entries(col("counts")).as("entries"))

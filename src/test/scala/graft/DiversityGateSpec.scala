@@ -174,6 +174,29 @@ class DiversityGateSpec extends SparkSpec {
       s"coarsened rollup: $roll")
   }
 
+  test("reserved sentinel input keys are rejected, not aliased") {
+    import spark.implicits._
+    // the guard is a plain column expression, so the contract is
+    // provable in batch: normal keys pass through untouched…
+    val ok = Seq("click", "view", "_other_", "__suppressed").toDF("k")
+      .select(DiversityGate.rejectReserved(col("k")))
+      .collect().map(_.getString(0)).toSeq
+    assert(ok === Seq("click", "view", "_other_", "__suppressed"))
+    // …and an input key colliding with the reserved namespace fails the
+    // job loudly instead of (a) releasing a row that aliases the rollup
+    // sentinel or (b) silently merging into the overflow fold
+    Seq(DiversityGate.SuppressedKey, DiversityGate.OtherKey).foreach { bad =>
+      val e = intercept[Exception] {
+        Seq("click", bad).toDF("k")
+          .select(DiversityGate.rejectReserved(col("k"))).collect()
+      }
+      val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+      assert(msgs.contains("reserved gate sentinel"), s"$bad → $msgs")
+    }
+  }
+
   test("the batch audit and the live pipeline share ONE ℓ default") {
     // gov_l_diversity's oracle SQL hardcodes 3 — a constant change must
     // break HERE, not as a silent oracle mismatch

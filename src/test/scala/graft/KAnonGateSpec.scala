@@ -101,6 +101,28 @@ class KAnonGateSpec extends SparkSpec {
     assert(streamed === batch, s"stream $streamed vs batch $batch")
   }
 
+  test("a sentinel-valued input cell fails the stream loudly") {
+    // a hostile QI cell literally named "__suppressed__" must not reach
+    // the release path (where it would collide with the rollup row) —
+    // the gate's entrance guard fails the batch instead
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = KAnonGate.releasePerWindow(
+      input.toDS().toDF("ts", "cell"), 5,
+      windowDuration = "1 hour", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("ka_reserved")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(60), "click"), (ts(61), KAnonGate.SuppressedKey))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+      assert(msgs.contains("reserved gate sentinel"), msgs)
+    } finally q.stop()
+  }
+
   test("the batch audit and the live gate share ONE k default") {
     // gov_k_anon's oracle SQL hardcodes 5 — a constant change must
     // break HERE, not as a silent oracle mismatch
