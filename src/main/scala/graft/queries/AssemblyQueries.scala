@@ -62,6 +62,93 @@ object AssemblyQueries extends QueryPack {
         ((col("cum") - 1) / PackBudget).cast("long").as("bin"))
   }
 
+  /** `doc_pack_emit_ids` body, parameterized on the vocabulary broadcast
+    * cap so AssemblySpec can FORCE the web-scale branch (cap = 0) and
+    * pin bit-parity against the broadcast branch. Within the cap the
+    * (word → id-array) table collects and ships as a broadcast — exactly
+    * the object a real pipeline ships as its tokenizer; beyond it (raw
+    * web vocab: 10⁸–10⁹ distinct words — the r12-flagged driver-collect
+    * scale killer) the SAME ids emit through posexplode + shuffled
+    * word-join + per-doc positional re-collect, one corpus-scale
+    * exchange instead of an unbounded driver collect.
+    */
+  private[graft] def packEmitIds(s: org.apache.spark.sql.SparkSession,
+      dir: String, cap: Long): org.apache.spark.sql.DataFrame = {
+    val merges = TextQueries.SharedBpeMerges(s, dir, 8)
+    val norm = TextFunctions.tokens(TextFunctions.normalize(col("text")))
+    // distributed vocab encode (the text_bpe_encode shape): the merge
+    // replay runs over DISTINCT words only — never a fact row; lazily
+    // local-checkpointed so the count probe, the subword inventory and
+    // the id assignment all read ONE materialization
+    val encUdf = udf((w: String) => graft.text.Bpe.encodeWord(w, merges))
+    val encoded = t(s, dir, "documents")
+      .select(explode(norm).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .select(col("word"), encUdf(col("word")).as("subs"))
+      .localCheckpoint(eager = false)
+    // subword-id assignment: the distinct SUBWORD inventory is bounded
+    // by |alphabet| + |merges| ([a-z0-9] singletons plus one unit per
+    // merge step — structurally tokenizer-sized whatever the corpus),
+    // so ITS sorted collect stays a model-sized driver value even when
+    // the word vocab is web-sized
+    val subIds: Map[String, Int] = {
+      import s.implicits._
+      encoded.select(explode(col("subs")).as("sub")).distinct()
+        .as[String].collect().sorted.zipWithIndex.toMap
+    }
+    val eosId = subIds.size
+    val facts = packPlan(t(s, dir, "documents"))
+    // counted guard (the Dedup.incrementalCandidates /
+    // ContaminationGuard.standingIndex convention): the probe job stops
+    // growing at the bound, and the branch NEVER changes the ids
+    val nWords =
+      encoded.limit((math.min(cap, Int.MaxValue - 1L) + 1L).toInt).count()
+    val withIds =
+      if (nWords <= cap) {
+        val wordIds: Map[String, Array[Int]] = encoded.collect()
+          .map(r => r.getString(0) ->
+            r.getSeq[String](1).map(subIds).toArray).toMap
+        val bcIds = s.sparkContext.broadcast(wordIds)
+        val idsUdf = udf((ws: Seq[String]) =>
+          ws.flatMap(w => bcIds.value.getOrElse(w, Array.empty[Int])))
+        facts.withColumn("ids", idsUdf(norm))
+      } else {
+        // web-scale branch: word → id-array stays distributed (ids
+        // assigned through the ≤|alphabet|+|merges| literal subword
+        // map), facts posexplode to (doc, pos, word), the shuffled
+        // word-join attaches each word's ids, and a per-doc positional
+        // re-collect rebuilds the id stream in document order
+        val wordIds = encoded.select(col("word"),
+          transform(col("subs"),
+            sb => element_at(typedLit(subIds), sb)).as("wids"))
+        val perDoc = facts
+          .select(col("doc_id"), posexplode(norm).as(Seq("pos", "word")))
+          .filter(length(col("word")) > 0)
+          .join(wordIds, Seq("word"))
+          .groupBy("doc_id")
+          .agg(flatten(transform(
+            array_sort(collect_list(struct(col("pos"), col("wids")))),
+            x => x.getField("wids"))).as("ids"))
+        facts.join(perDoc, Seq("doc_id"), "left")
+          .withColumn("ids",
+            coalesce(col("ids"), array().cast("array<int>")))
+      }
+    withIds
+      .withColumn("ids_str",
+        array_join(transform(col("ids"), i => i.cast("string")), ","))
+      .withColumn("n_ids", size(col("ids")).cast("long"))
+      .groupBy("source", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("n_ids") + count(lit(1)) - 1).as("n_ids"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("ids_str")))),
+            x => x.getField("ids_str")),
+          s",$eosId,")).as("ids_md5"))
+      .orderBy("source", "shard", "bin")
+  }
+
   /** The ONE mixture recipe both mixture queries derive from (they are
     * documented twins — expected-budget vs hard-budget — and must mix to
     * the SAME recipe): per-domain weights, token totals, and the budget
@@ -429,11 +516,14 @@ object AssemblyQueries extends QueryPack {
     // encode through the shared 8-step merge table (vocab-sized UDF pass,
     // distributed — the merge loop never sees a fact row); subword ids
     // assign deterministically (lexicographic rank; <eos> = |subwords|);
-    // the (word → id-array) table is tokenizer-sized and ships to every
-    // task as a broadcast — exactly the object a real pipeline ships as
-    // its tokenizer (if a raw web vocab outgrew broadcast, the lever is
-    // posexplode + broadcast join + per-doc re-collect, documented not
-    // shipped). Emission reuses [[packPlan]] — one exchange carries each
+    // the (word → id-array) table is tokenizer-sized on any curated
+    // corpus and ships as a broadcast — exactly the object a real
+    // pipeline ships as its tokenizer — but the collect rides a COUNTED
+    // guard: a raw web vocab past the 10M-word cap emits the same ids
+    // via posexplode + shuffled word-join + per-doc positional
+    // re-collect instead (see [[packEmitIds]]; AssemblySpec pins the
+    // two branches bit-equal). Emission reuses [[packPlan]] — one
+    // exchange carries each
     // token id once to its bin's reducer (same co-partitioning proof as
     // doc_pack_emit), and the output row certifies the id stream with
     // md5 over the comma-joined ids (eos id spliced between docs), not
@@ -442,42 +532,7 @@ object AssemblyQueries extends QueryPack {
     // proves bit-parity against a full local replay (learnLocal +
     // driver-side re-pack) at sf0.001.
     Q("doc_pack_emit_ids",
-      (s, dir) => {
-        val merges = TextQueries.SharedBpeMerges(s, dir, 8)
-        val norm = TextFunctions.tokens(TextFunctions.normalize(col("text")))
-        // distributed vocab encode (the text_bpe_encode shape), then the
-        // tokenizer-sized collect that becomes the broadcast tokenizer
-        val encUdf = udf((w: String) => graft.text.Bpe.encodeWord(w, merges))
-        val encoded = t(s, dir, "documents")
-          .select(explode(norm).as("word"))
-          .filter(length(col("word")) > 0)
-          .distinct()
-          .select(col("word"), encUdf(col("word")).as("subs"))
-          .collect()
-          .map(r => r.getString(0) -> r.getSeq[String](1))
-        val subIds = encoded.iterator.flatMap(_._2).toArray
-          .distinct.sorted.zipWithIndex.toMap
-        val eosId = subIds.size
-        val wordIds: Map[String, Array[Int]] =
-          encoded.map { case (w, subs) => w -> subs.map(subIds).toArray }.toMap
-        val bcIds = s.sparkContext.broadcast(wordIds)
-        val idsUdf = udf((ws: Seq[String]) =>
-          ws.flatMap(w => bcIds.value.getOrElse(w, Array.empty[Int])))
-        packPlan(t(s, dir, "documents"))
-          .withColumn("ids", idsUdf(norm))
-          .withColumn("ids_str",
-            array_join(transform(col("ids"), i => i.cast("string")), ","))
-          .withColumn("n_ids", size(col("ids")).cast("long"))
-          .groupBy("source", "shard", "bin")
-          .agg(count(lit(1)).as("n_docs"),
-            (sum("n_ids") + count(lit(1)) - 1).as("n_ids"),
-            md5(array_join(
-              transform(
-                array_sort(collect_list(struct(col("doc_id"), col("ids_str")))),
-                x => x.getField("ids_str")),
-              s",$eosId,")).as("ids_md5"))
-          .orderBy("source", "shard", "bin")
-      },
+      (s, dir) => packEmitIds(s, dir, VocabGuard.MaxBroadcastEntries),
       None),
 
     // Corpus VERSION DIFF — the release audit between two dataset

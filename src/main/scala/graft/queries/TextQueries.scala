@@ -325,6 +325,92 @@ object TextQueries extends QueryPack {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** `text_tfidf` body, parameterized on the vocabulary broadcast cap so
+    * VocabGuardSpec can force the web-scale shuffled-join branch
+    * (cap = 0) and pin bit-parity against the broadcast branch.
+    */
+  private[graft] def tfidfTop5(s: org.apache.spark.sql.SparkSession,
+      dir: String, cap: Long): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, dir, "documents")
+    // corpus size as an IN-PLAN 1-row aggregate (broadcast cross
+    // join), not a driver-side count() — no extra eager scan of the
+    // corpus before the pipeline even starts
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val toks = docs
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    // dfreq is one row per vocabulary term — usually ≪ the doc×term
+    // tf table, and broadcasting it keeps tf un-shuffled going into
+    // the join. "Usually" is not a 100 TB guarantee (raw web vocab
+    // runs 10⁸–10⁹ distinct words), so the broadcast rides the
+    // COUNTED guard: within VocabGuard's 10M-entry cap it broadcasts,
+    // beyond it the same join runs shuffled — bit-identical rows
+    // either way (VocabGuardSpec pins it)
+    VocabGuard.guardedJoin(tf, dfreq, Seq("token"), cap = cap)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs") / col("df")), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("doc_id", "rk", "token", "score")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** `text_ngram_lm` body, cap-parameterized (the tfidfTop5 contract). */
+  private[graft] def ngramLm(s: org.apache.spark.sql.SparkSession,
+      dir: String, cap: Long): org.apache.spark.sql.DataFrame = {
+    val toks = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).cast("double").as("cnt"))
+    val total = toks.agg(count(lit(1)).cast("double").as("total"))
+    // zipf keeps the unigram vocab ≪ token instances, but it is still
+    // corpus-derived and unbounded on raw web text — counted broadcast
+    // guard, same as text_tfidf's dfreq
+    VocabGuard.guardedJoin(toks, vocab, Seq("token"), cap = cap)
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt") / col("total"))), 4).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  /** `text_bpe_encode` body, cap-parameterized (the tfidfTop5
+    * contract). The merge-replay UDF touches only the vocab side in
+    * BOTH branches — the guard changes join strategy, never where the
+    * per-word loop runs.
+    */
+  private[graft] def bpeEncodeStats(s: org.apache.spark.sql.SparkSession,
+      dir: String, cap: Long): org.apache.spark.sql.DataFrame = {
+    val merges = SharedBpeMerges(s, dir, 8)
+    val nSub = udf((w: String) => graft.text.Bpe.encodeWord(w, merges).length)
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(TextFunctions.normalize(col("text"))))
+          .as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab = toks.select("word").distinct()
+      .withColumn("n_sub", nSub(col("word")))
+      .withColumn("n_chars", length(col("word")))
+    // the encoded vocab is tokenizer-sized on any curated corpus but
+    // corpus-derived and unbounded on raw web text — counted broadcast
+    // guard (≤10M words broadcast; beyond that the same join runs
+    // shuffled)
+    VocabGuard.guardedJoin(toks, vocab, Seq("word"), cap = cap)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_subtokens"),
+        round(sum("n_chars").cast("double") / sum("n_sub"), 4)
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   override val queries: Seq[Q] = Seq(
 
     // Tokenize → explode → frequency. The shuffle carries (token, count)
@@ -768,32 +854,7 @@ object TextQueries extends QueryPack {
     // window — the shuffle carries (token, count) partials. Scores are
     // rounded BEFORE ranking so ordering is ulp-stable across engines.
     Q("text_tfidf",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        // corpus size as an IN-PLAN 1-row aggregate (broadcast cross
-        // join), not a driver-side count() — no extra eager scan of the
-        // corpus before the pipeline even starts
-        val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-        val toks = docs
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"),
-            explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("token"))
-        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("token"))
-        // dfreq is one row per vocabulary term — orders of magnitude
-        // smaller than the doc×term tf table; broadcasting it keeps tf
-        // un-shuffled going into the join
-        tf.join(broadcast(dfreq), "token")
-          .crossJoin(broadcast(nDocs))
-          .withColumn("score",
-            round(col("tf") * log(col("n_docs") / col("df")), 4))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 5)
-          .select("doc_id", "rk", "token", "score")
-          .orderBy("doc_id", "rk")
-      },
+      (s, dir) => tfidfTop5(s, dir, VocabGuard.MaxBroadcastEntries),
       Some("""WITH toks AS (
                 SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
                 FROM documents),
@@ -818,20 +879,7 @@ object TextQueries extends QueryPack {
     // shuffles for the join; corpus total rides along as an in-plan 1-row
     // aggregate. One shuffle total (the per-doc fold), linear in tokens.
     Q("text_ngram_lm",
-      (s, dir) => {
-        val toks = t(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"),
-            explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("token"))
-        val vocab = toks.groupBy("token").agg(count(lit(1)).cast("double").as("cnt"))
-        val total = toks.agg(count(lit(1)).cast("double").as("total"))
-        toks.join(broadcast(vocab), "token")
-          .crossJoin(broadcast(total))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            round(avg(log(col("cnt") / col("total"))), 4).as("avg_logp"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => ngramLm(s, dir, VocabGuard.MaxBroadcastEntries),
       Some("""WITH toks AS (
                 SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
                 FROM documents),
@@ -1599,25 +1647,7 @@ object TextQueries extends QueryPack {
     // not SQL-mirrorable); BpeSpec pins encodeWord's merge-order
     // semantics and the concat invariant.
     Q("text_bpe_encode",
-      (s, dir) => {
-        val merges = SharedBpeMerges(s, dir, 8)
-        val nSub = udf((w: String) => graft.text.Bpe.encodeWord(w, merges).length)
-        val toks = t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            explode(TextFunctions.tokens(TextFunctions.normalize(col("text"))))
-              .as("word"))
-          .filter(length(col("word")) > 0)
-        val vocab = toks.select("word").distinct()
-          .withColumn("n_sub", nSub(col("word")))
-          .withColumn("n_chars", length(col("word")))
-        toks.join(broadcast(vocab), "word")
-          .groupBy("lang")
-          .agg(count(lit(1)).as("n_words"),
-            sum("n_sub").as("n_subtokens"),
-            round(sum("n_chars").cast("double") / sum("n_sub"), 4)
-              .as("chars_per_token"))
-          .orderBy("lang")
-      },
+      (s, dir) => bpeEncodeStats(s, dir, VocabGuard.MaxBroadcastEntries),
       None),
 
     // Sorted-neighborhood dedup — the third blocking family alongside the

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Counted broadcast guard for CORPUS-DERIVED dimension frames — the
+  * vocabulary-class scale fix (r12 verdict "What's wrong" #1).
+  *
+  * A (token → stat) frame produced by aggregating the corpus itself is
+  * "orders of magnitude smaller than the fact table" right up until the
+  * corpus is the open web: distinct raw words on a 100 TB crawl run
+  * 10⁸–10⁹ (typos, URLs, numerals, boilerplate hashes), and an
+  * unconditional `broadcast()` of that frame is a driver OOM or the 8 GB
+  * broadcast hard cap. The repo already carries the two levers for this
+  * class — [[graft.text.BigramLm.scores]]'s min-count dictionary floor
+  * and [[graft.dedup.Dedup.incrementalCandidates]]'s counted
+  * broadcast-or-shuffle split — this object is the same counted split
+  * packaged for the vocabulary joins the query packs share.
+  *
+  * Mechanics: the dimension is lazily local-checkpointed (so the count
+  * job and the join read ONE materialization instead of re-running the
+  * corpus aggregation twice — the gov_* cell-frame convention), its rows
+  * are counted with a `limit(cap+1)` probe (the count job stops growing
+  * at the bound, [[graft.streaming.ContaminationGuard.standingIndex]]'s
+  * move), and the join then either broadcasts (within the cap — every
+  * fixture, every tokenizer-sized table) or falls back to a plain
+  * shuffled equi-join (beyond it — the web-scale path). The two branches
+  * are row-identical BY CONSTRUCTION (join strategy never changes join
+  * semantics); VocabGuardSpec pins bit-parity of forced-shuffle vs
+  * broadcast output for every caller anyway, so the fallback cannot rot
+  * unexercised.
+  *
+  * Default cap: 10M entries — [[graft.streaming.ContaminationGuard]]'s
+  * documented model-size bound (~100-200 MB of strings+longs
+  * deserialized), well inside Spark's 8 GB broadcast hard cap and a
+  * shared-executor heap slice.
+  */
+object VocabGuard {
+
+  /** Max dimension rows that still broadcast (10M ≈ the
+    * ContaminationGuard.MaxIndexSize contract).
+    */
+  val MaxBroadcastEntries: Long = 10L * 1000 * 1000
+
+  /** Equi-join `fact` with the corpus-derived `dim` on `keys`,
+    * broadcasting `dim` only when its MEASURED row count is within
+    * `cap`; identical shuffled join above it. `cap = 0` forces the
+    * shuffle path (the spec's parity hook).
+    */
+  def guardedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      joinType: String = "inner",
+      cap: Long = MaxBroadcastEntries): DataFrame = {
+    val d = dim.localCheckpoint(eager = false)
+    val probe = (math.min(cap, Int.MaxValue - 1L) + 1L).toInt
+    val n = d.limit(probe).count()
+    if (n <= cap) fact.join(broadcast(d), keys, joinType)
+    else fact.join(d, keys, joinType)
+  }
+}
