@@ -50,4 +50,16 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allQueries.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+
+  /** The full oracle map for one (session, fixture): the static SQL
+    * plus the GENERATED oracles whose literal CTEs carry learned
+    * constants (PQ codebook, IVF centroids, the probe's ADC lookup
+    * table) materialized from the same fixture — see
+    * [[graft.queries.Q.oracleGen]]. Verify dumps THIS map, so the
+    * learned-constant queries get full rows/schema/hash certification
+    * instead of a rows-only check.
+    */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
+    oracleSql ++
+      allQueries.flatMap(q => q.oracleGen.map(g => q.name -> g(spark, dir)))
 }

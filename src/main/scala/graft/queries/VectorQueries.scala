@@ -37,6 +37,228 @@ object VectorQueries extends QueryPack {
           "vec_id", "embedding", m = 8, ksub = 16, iters = 4, dim = 64))
   }
 
+  /** DuckDB oracle GENERATORS for the learned-constant PQ family
+    * ([[graft.queries.Q.oracleGen]]): once the Lloyd fit is done the
+    * codebook is plain numbers, so the oracle materializes it — plus
+    * the probe's ADC lookup table and the IVF centroids — as literal
+    * CTEs and replays the whole search bit-for-bit (the r12
+    * `vec_lsh_candidates` move). Numeric conventions, each pinned to
+    * the Spark expression it mirrors:
+    *
+    *  - float → SQL: `Float.toString`/`Double.toString` are shortest
+    *    ROUND-TRIP representations, and `CAST('…' AS FLOAT/DOUBLE)` is
+    *    correctly-rounded parsing — the literal IS the binary value the
+    *    Spark side computed with, no approximation anywhere;
+    *  - encode distances: the (x−c)² chain is written out left-assoc in
+    *    DOUBLE, the exact op sequence of `aggregate(zip_with(...))` in
+    *    [[ProductQuantizer.sqDist]]; argmin ties to the smaller code
+    *    via `ORDER BY dd, code` = the struct-min convention;
+    *  - ADC estimate: the m LUT lookups sum left-assoc (`reduce(_ + _)`)
+    *    and ROUND TO 6 DECIMALS BEFORE ranking, like [[ProductQuantizer
+    *    .adcTopK]], so the shortlist cut is ulp-stable across engines;
+    *  - cosine routing/assignment (IVF-PQ only): float32 sequential
+    *    accumulation via `list_dot_product` on FLOAT[] — the
+    *    [[graft.functions.CosineSimilarity]] parity convention every
+    *    vec_knn oracle already relies on.
+    *
+    * Only the FIT stays outside the oracle (ProductQuantizerSpec pins
+    * its determinism); everything the query serves with is re-derived
+    * by DuckDB from the parquet corpus + the literal constants.
+    */
+  private object PqOracle {
+    private def d(x: Double): String = s"CAST('$x' AS DOUBLE)"
+    private def fvec(v: Seq[Float]): String =
+      "CAST([" + v.map(x => s"'$x'").mkString(", ") + "] AS FLOAT[])"
+
+    /** m·ksub flat-column codebook rows (sub, code, c1..c_dsub). */
+    private def cbCte(cb: ProductQuantizer.Codebook): String = {
+      val cols = (1 to cb.dsub).map("c" + _).mkString(", ")
+      val rows = for {
+        s <- 0 until cb.m
+        c <- 0 until cb.ksub
+      } yield s"($s, $c, " +
+        cb.centroids(s)(c).map(x => d(x.toDouble)).mkString(", ") + ")"
+      s"pqcb(sub, code, $cols) AS (VALUES\n  " +
+        rows.mkString(",\n  ") + ")"
+    }
+
+    /** The probe's m×ksub ADC lookup table, computed with the exact
+      * loop of [[ProductQuantizer.adcTopK]] and embedded as literals.
+      */
+    private def lutCte(cb: ProductQuantizer.Codebook,
+        probe: Array[Float]): String = {
+      val rows = for {
+        s <- 0 until cb.m
+        j <- 0 until cb.ksub
+      } yield {
+        var dd = 0.0
+        var i = 0
+        while (i < cb.dsub) {
+          val diff = probe(s * cb.dsub + i).toDouble -
+            cb.centroids(s)(j)(i).toDouble
+          dd += diff * diff
+          i += 1
+        }
+        s"($s, $j, ${d(dd)})"
+      }
+      "lut(sub, code, ld) AS (VALUES\n  " + rows.mkString(",\n  ") + ")"
+    }
+
+    /** encode + ADC estimate over `src` (must yield vec_id, embedding):
+      * per-subvector squared distances against every codebook cell,
+      * argmin code, LUT sum rounded to 6 before any ranking.
+      */
+    private def encodeCtes(cb: ProductQuantizer.Codebook): String = {
+      val chain = (1 to cb.dsub).map { i =>
+        val x = s"CAST(v.embedding[cb.sub * ${cb.dsub} + $i] AS DOUBLE)"
+        s"($x - cb.c$i) * ($x - cb.c$i)"
+      }.mkString("\n                  + ")
+      val pivots = (0 until cb.m).map(i =>
+        s"max(CASE WHEN c.sub = $i THEN l.ld END) AS l$i").mkString(",\n           ")
+      val esum = (0 until cb.m).map("l" + _).mkString(" + ")
+      s"""dist AS (
+        SELECT v.vec_id, cb.sub, cb.code,
+               $chain AS dd
+        FROM srcv v CROSS JOIN pqcb cb),
+      codes AS (
+        SELECT vec_id, sub, code FROM (
+          SELECT vec_id, sub, code,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY dd, code) AS rk
+          FROM dist) WHERE rk = 1),
+      lsum AS (
+        SELECT c.vec_id,
+           $pivots
+        FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+        GROUP BY c.vec_id),
+      est AS (SELECT vec_id, round($esum, 6) AS est_dist FROM lsum)"""
+    }
+
+    /** Exact-rerank distance: the dim-length (x−p)² left-assoc chain of
+      * [[ProductQuantizer.adcRerank]], probe elements as literals.
+      */
+    private def rerankExpr(probe: Array[Float]): String =
+      probe.indices.map { i =>
+        val x = s"CAST(e.embedding[${i + 1}] AS DOUBLE)"
+        val p = d(probe(i).toDouble)
+        s"($x - $p) * ($x - $p)"
+      }.mkString("\n               + ")
+
+    /** Shortlist of `sl` ids by (rounded est, id) from `est`. */
+    private def shortCte(name: String, sl: Int): String =
+      s"""$name AS (
+        SELECT vec_id FROM (
+          SELECT vec_id, row_number() OVER (ORDER BY est_dist, vec_id) AS rk
+          FROM est) WHERE rk <= $sl)"""
+
+    /** `vec_pq_adc`: full-corpus encode, ADC top-50 shortlist, exact
+      * rerank to top-10 — (id, dist).
+      */
+    def adcSql(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+      val cb = SharedPqCodebook(s, dir)
+      val probe = SharedProbe(s, dir, ProbeId).toArray
+      s"""WITH ${cbCte(cb)},
+      ${lutCte(cb, probe)},
+      srcv AS (SELECT vec_id, embedding FROM embeddings),
+      ${encodeCtes(cb)},
+      ${shortCte("short", 50)},
+      rer AS (
+        SELECT e.vec_id AS id,
+               round(${rerankExpr(probe)}, 6) AS dist
+        FROM embeddings e JOIN short s ON e.vec_id = s.vec_id)
+      SELECT id, dist FROM (
+        SELECT id, dist, row_number() OVER (ORDER BY dist, id) AS rk FROM rer)
+      WHERE rk <= 10 ORDER BY dist, id"""
+    }
+
+    /** `vec_pq_recall`: recall@10 of the two-stage search vs the exact
+      * L2 top-10, at the same literal shortlist depths the Spark side
+      * sweeps — (shortlist, hits, recall).
+      */
+    def recallSql(s: org.apache.spark.sql.SparkSession, dir: String)
+        : String = {
+      val cb = SharedPqCodebook(s, dir)
+      val probe = SharedProbe(s, dir, ProbeId).toArray
+      val nAll = graft.Tables.table(s, dir, "embeddings").count().toInt
+      val depths = Seq(10, 25, 50).filter(_ < nAll)
+      val branches = depths.map { sl =>
+        s"""${shortCte(s"sh$sl", sl)},
+      top$sl AS (
+        SELECT id FROM (
+          SELECT r.id, row_number() OVER (ORDER BY r.dist, r.id) AS rk
+          FROM rer r JOIN sh$sl s ON r.id = s.vec_id) WHERE rk <= 10),
+      row$sl AS (
+        SELECT CAST($sl AS BIGINT) AS shortlist, count(*) AS hits
+        FROM top$sl JOIN truth USING (id))"""
+      }
+      val unions = (depths.map(sl => s"SELECT * FROM row$sl") :+
+        s"SELECT CAST($nAll AS BIGINT) AS shortlist, count(*) AS hits FROM truth")
+        .mkString("\n        UNION ALL ")
+      s"""WITH ${cbCte(cb)},
+      ${lutCte(cb, probe)},
+      srcv AS (SELECT vec_id, embedding FROM embeddings),
+      ${encodeCtes(cb)},
+      rer AS (
+        SELECT e.vec_id AS id,
+               round(${rerankExpr(probe)}, 6) AS dist
+        FROM embeddings e),
+      truth AS (
+        SELECT id FROM (
+          SELECT id, row_number() OVER (ORDER BY dist, id) AS rk FROM rer)
+        WHERE rk <= 10),
+      ${branches.mkString(",\n      ")}
+      SELECT shortlist, CAST(hits AS BIGINT) AS hits,
+             round(hits / 10.0, 2) AS recall
+      FROM ($unions)
+      ORDER BY shortlist"""
+    }
+
+    /** `vec_knn_ivf_pq`: cosine-route the probe to nprobe=2 literal
+      * centroids, re-derive every vector's centroid assignment, ADC
+      * over the routed subset only, exact rerank to top-10.
+      */
+    def ivfPqSql(s: org.apache.spark.sql.SparkSession, dir: String)
+        : String = {
+      val cb = SharedPqCodebook(s, dir)
+      val probe = SharedProbe(s, dir, ProbeId).toArray
+      val cents = SharedIvfIndex(s, dir).centroids
+      val centRows = cents.map { case (cid, v) => s"($cid, ${fvec(v)})" }
+      def cosine(a: String, b: String): String =
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a))" +
+          s" * sqrt(list_dot_product($b, $b)))"
+      s"""WITH ${cbCte(cb)},
+      ${lutCte(cb, probe)},
+      cents(cid, cvec) AS (VALUES
+        ${centRows.mkString(",\n        ")}),
+      probe AS (SELECT embedding AS pv FROM embeddings
+                WHERE vec_id = $ProbeId),
+      routed AS (
+        SELECT cid FROM (
+          SELECT c.cid, ${cosine("c.cvec", "p.pv")} AS sim
+          FROM cents c, probe p)
+        ORDER BY sim DESC, cid LIMIT 2),
+      asg AS (
+        SELECT vec_id FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   ${cosine("e.embedding", "c.cvec")} DESC, c.cid) AS rk
+          FROM embeddings e CROSS JOIN cents c) x
+        WHERE rk = 1 AND cid IN (SELECT cid FROM routed)),
+      srcv AS (
+        SELECT e.vec_id, e.embedding
+        FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id),
+      ${encodeCtes(cb)},
+      ${shortCte("short", 50)},
+      rer AS (
+        SELECT e.vec_id AS id,
+               round(${rerankExpr(probe)}, 6) AS dist
+        FROM srcv e JOIN short s ON e.vec_id = s.vec_id)
+      SELECT id, dist FROM (
+        SELECT id, dist, row_number() OVER (ORDER BY dist, id) AS rk FROM rer)
+      WHERE rk <= 10 ORDER BY dist, id"""
+    }
+  }
+
   /** Probe vectors per (fixture, id), memoized: fetching a probe is one
     * driver-side `.head()` job against the corpus; four queries used to
     * fire it independently per invocation. One fetch per fixture row now
@@ -608,9 +830,11 @@ object VectorQueries extends QueryPack {
     // Product-quantized ANN, full two-stage search: learned m=8 ×
     // ksub=16 codebook (4-bit codes, 64× smaller scan than raw
     // float32), asymmetric-distance SHORTLIST over the codes, exact
-    // rerank of the 50 survivors. Learned codebooks are not
-    // SQL-mirrorable → rows-only; ProductQuantizerSpec pins determinism,
-    // code ranges, and shortlist recall vs exact brute force.
+    // rerank of the 50 survivors. FULLY ORACLED via a generated SQL
+    // ([[PqOracle.adcSql]]): the fitted codebook + probe LUT embed as
+    // literal CTEs and DuckDB replays encode/shortlist/rerank
+    // bit-for-bit; only the Lloyd fit itself stays outside (its
+    // determinism pinned by ProductQuantizerSpec).
     Q("vec_pq_adc",
       (s, dir) => {
         val embs = t(s, dir, "embeddings")
@@ -620,7 +844,8 @@ object VectorQueries extends QueryPack {
           ProductQuantizer.encode(embs, "vec_id", "embedding", cb),
           embs, "vec_id", "embedding", cb, probe, shortlist = 50, k = 10)
       },
-      None),
+      None,
+      oracleGen = Some((s, dir) => PqOracle.adcSql(s, dir))),
 
     // Recall measurement for the PQ dial — the eval op the PQ family
     // was missing (IVF has vec_ivf_recall + vec_ivf_recall_drift; the
@@ -635,8 +860,10 @@ object VectorQueries extends QueryPack {
     // shortlist branch reads only the m-byte codes column + ≤shortlist
     // raw rows. The corpus-count anchor is an eval-only corpus rerank —
     // the measurement you run at a sample SF before committing a
-    // shortlist depth, not a serving path. Rows-only by design (learned
-    // codebooks); ProductQuantizerSpec pins monotonicity in shortlist
+    // shortlist depth, not a serving path. Oracled via the generated
+    // literal-codebook SQL ([[PqOracle.recallSql]] — truth, every sweep
+    // branch, and the recall arithmetic replayed in DuckDB);
+    // ProductQuantizerSpec additionally pins monotonicity in shortlist
     // depth, the 1.0 anchor, and determinism.
     Q("vec_pq_recall",
       (s, dir) => {
@@ -663,7 +890,8 @@ object VectorQueries extends QueryPack {
               round(col("hits") / lit(10.0), 2).as("recall"))
         }.reduce(_ unionByName _).orderBy("shortlist")
       },
-      None),
+      None,
+      oracleGen = Some((s, dir) => PqOracle.recallSql(s, dir))),
 
     // Batched IVF ([[ivfBatchKnn]]): the SERVING shape — many probes per
     // request, each routed to its centroids, answered in ONE statically
@@ -702,12 +930,15 @@ object VectorQueries extends QueryPack {
     // via a broadcast semi-join against the SAME two partitions of the
     // IVF corpus. Total I/O per probe: nprobe/k of the codes column +
     // shortlist raw rows; zero shuffles (plan-asserted: PartitionFilters
-    // on both scans, broadcast join, TakeOrdered). Rows-only by design
-    // (learned centroids + codebook); IvfPqSpec pins determinism and
-    // recall against exact brute force.
+    // on both scans, broadcast join, TakeOrdered). Oracled via the
+    // generated SQL ([[PqOracle.ivfPqSql]]: literal centroids route the
+    // probe, every vector's assignment re-derives in SQL, then the
+    // ADC + rerank replay over the routed subset); IvfPqSpec pins
+    // determinism and recall against exact brute force.
     Q("vec_knn_ivf_pq",
       (s, dir) => ivfPqKnn(s, dir, k = 10, nprobe = 2, shortlist = 50),
-      None),
+      None,
+      oracleGen = Some((s, dir) => PqOracle.ivfPqSql(s, dir))),
 
     // Distributed PCA projection: ONE GramAggregator pass reduces the
     // corpus to the d×d second-moment matrix (constant-size mergeable

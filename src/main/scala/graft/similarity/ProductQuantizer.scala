@@ -29,9 +29,12 @@ import org.apache.spark.sql.functions._
   * assignment ties break toward the smaller code; empty cells keep their
   * previous centroid — identical inputs give identical codebooks/codes.
   *
-  * Not SQL-mirrorable (learned codebooks), so the queries over this are
-  * rows-only; ProductQuantizerSpec pins determinism, code ranges, and
-  * ADC recall against exact brute force.
+  * The FIT is not SQL-mirrorable (chained Lloyd rounds), but the fitted
+  * codebook is plain numbers: the queries over this are oracled by
+  * GENERATED DuckDB SQL that embeds the codebook/LUT as literal CTEs and
+  * replays encode + ADC + rerank with identical op order (see
+  * `VectorQueries.PqOracle`); ProductQuantizerSpec pins the fit's
+  * determinism, code ranges, and ADC recall against exact brute force.
   */
 object ProductQuantizer {
 
