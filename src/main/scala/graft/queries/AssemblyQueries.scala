@@ -149,6 +149,65 @@ object AssemblyQueries extends QueryPack {
       .orderBy("source", "shard", "bin")
   }
 
+  /** `doc_pack_emit_ids`' generated DuckDB oracle
+    * ([[graft.queries.Q.oracleGen]]): the learned merge table replays as
+    * chained `replace()` over the space-wrapped symbol encoding
+    * ([[TextQueries.TextOracle.mergeReplay]] — whole normalized document
+    * at once; word gaps carry 3+ spaces so no merge can cross a word
+    * boundary), each final subword then rewrites to an unambiguous
+    * `#<id>;` marker (ids = the same lexicographic ranks the Spark side
+    * assigns; markers are non-alphanumeric so no symbol pattern can
+    * match inside them), the per-doc id stream is the in-order
+    * `#(\d+);` extraction, and the bin rollup + md5 certification
+    * replays the doc_pack_emit oracle's packPlan SQL. DuckDB re-derives
+    * every token id of every document — only the merge LEARN stays
+    * outside (BpeSpec's parity), the packEmitIds convention.
+    */
+  private def packEmitIdsSql(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val merges = TextQueries.SharedBpeMerges(s, dir, 8)
+    // the same subword-inventory derivation packEmitIds runs: distinct
+    // words → merge replay → distinct subwords, sorted; bounded by
+    // |alphabet| + |merges|, a model-sized value
+    val norm = TextFunctions.tokens(TextFunctions.normalize(col("text")))
+    val encUdf = udf((w: String) => graft.text.Bpe.encodeWord(w, merges))
+    val subs: Array[String] = {
+      import s.implicits._
+      graft.Tables.table(s, dir, "documents")
+        .select(explode(norm).as("word"))
+        .filter(length(col("word")) > 0).distinct()
+        .select(explode(encUdf(col("word"))).as("sub")).distinct()
+        .as[String].collect().sorted
+    }
+    val eosId = subs.length
+    val normExpr =
+      "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    val mergedExpr = TextQueries.TextOracle.mergeReplay(
+      TextQueries.TextOracle.wrapChars(normExpr), merges)
+    val idExpr = subs.zipWithIndex.foldLeft(mergedExpr) {
+      case (acc, (sym, id)) => s"replace($acc, ' $sym ', ' #$id; ')"
+    }
+    s"""WITH enc AS (
+          SELECT doc_id,
+                 regexp_extract_all($idExpr, '#(\\d+);', 1) AS idl
+          FROM documents),
+        per AS (SELECT doc_id, array_to_string(idl, ',') AS ids_str,
+                       CAST(len(idl) AS BIGINT) AS n_ids FROM enc),
+        p AS (SELECT doc_id, source, doc_id // $PackShardDivisor AS shard,
+                     sum(len(string_split(text, ' '))) OVER
+                       (PARTITION BY source, doc_id // $PackShardDivisor
+                        ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+              FROM documents)
+        SELECT source, shard,
+               CAST(floor((cum - 1) / $PackBudget) AS BIGINT) AS bin,
+               count(*) AS n_docs,
+               CAST(sum(n_ids) + count(*) - 1 AS BIGINT) AS n_ids,
+               md5(string_agg(ids_str, ',$eosId,' ORDER BY doc_id)) AS ids_md5
+        FROM p JOIN per USING (doc_id)
+        GROUP BY source, shard, bin
+        ORDER BY source, shard, bin"""
+  }
+
   /** The ONE mixture recipe both mixture queries derive from (they are
     * documented twins — expected-budget vs hard-budget — and must mix to
     * the SAME recipe): per-domain weights, token totals, and the budget
@@ -527,13 +586,15 @@ object AssemblyQueries extends QueryPack {
     // token id once to its bin's reducer (same co-partitioning proof as
     // doc_pack_emit), and the output row certifies the id stream with
     // md5 over the comma-joined ids (eos id spliced between docs), not
-    // the ids themselves. Rows-only: 8 chained greedy BPE rewrites are
-    // not SQL-mirrorable (the text_bpe_train adjudication); AssemblySpec
-    // proves bit-parity against a full local replay (learnLocal +
-    // driver-side re-pack) at sf0.001.
+    // the ids themselves. Oracled via generated SQL
+    // ([[packEmitIdsSql]]: chained-replace merge replay + subword→id
+    // markers — DuckDB re-derives every token id of every document and
+    // the md5s must agree); AssemblySpec additionally proves bit-parity
+    // against a full local replay (learnLocal + driver-side re-pack).
     Q("doc_pack_emit_ids",
       (s, dir) => packEmitIds(s, dir, VocabGuard.MaxBroadcastEntries),
-      None),
+      None,
+      oracleGen = Some((s, dir) => packEmitIdsSql(s, dir))),
 
     // Corpus VERSION DIFF — the release audit between two dataset
     // versions ("what changed in v2 vs v1?"): docs keyed by CONTENT

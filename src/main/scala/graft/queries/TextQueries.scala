@@ -49,7 +49,7 @@ object TextQueries extends QueryPack {
     * `doc_quality_eval` (confusion aggregate) so the two oracles cannot
     * drift from each other.
     */
-  private val QualityScoredSql: String =
+  private val QualityAugSql: String =
     """docs AS (
                 SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
               lab AS (
@@ -73,7 +73,10 @@ object TextQueries extends QueryPack {
                 FROM lab),
               tk AS (SELECT doc_id, label,
                             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 128 AS b
-                     FROM (SELECT doc_id, label, unnest(ftoks) AS tok FROM aug)),
+                     FROM (SELECT doc_id, label, unnest(ftoks) AS tok FROM aug))"""
+
+  private val QualityScoredSql: String =
+    QualityAugSql + """,
               cnt AS (SELECT b,
                              CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS cp,
                              CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS cn
@@ -270,6 +273,95 @@ object TextQueries extends QueryPack {
         : graft.text.QualityModel.Model =
       lrMemo(s, dir)(QualityModel.refine(
         docs(s, dir), "ftoks", "label", nb(s, dir), iters = 3))
+  }
+
+  /** DuckDB oracle generators for the text family's learned-constant
+    * queries ([[graft.queries.Q.oracleGen]], the PQ-family convention):
+    * the BPE merge table and the refined LR weights come out of fits,
+    * but once fitted they are plain values — the generators embed them
+    * as literals and DuckDB replays the APPLY side exactly.
+    *
+    * The BPE replay trick: a symbol sequence is encoded as a string
+    * where every symbol carries its OWN leading and trailing space
+    * (`"ab c" → " a  b  c "` — adjacent symbols show 2 spaces, word
+    * boundaries 3+), and one learned merge (l, r → lr) is then EXACTLY
+    * one SQL `replace(s, ' l  r ', ' lr ')`: leftmost-first
+    * non-overlapping replacement over that encoding is the same greedy
+    * scan as [[graft.text.Bpe.mergeOnce]], and because a match consumes
+    * only the pair's own delimiters, adjacent pairs (e.g. `a a a a`
+    * under merge `a a`) merge independently exactly like the Scala
+    * loop. Chaining the 8 learned merges in step order replays
+    * [[graft.text.Bpe.encodeWord]] for every word at once.
+    */
+  private[queries] object TextOracle {
+
+    /** Chained replace() replay of the learned merges (step order) over
+      * an expression producing the space-wrapped symbol encoding.
+      */
+    def mergeReplay(init: String, merges: Seq[graft.text.Bpe.Merge])
+        : String =
+      merges.sortBy(_.step).foldLeft(init)((acc, m) =>
+        s"replace($acc, ' ${m.left}  ${m.right} ', ' ${m.merged} ')")
+
+    /** The space-wrapped symbol encoding of an expression's characters
+      * (each char → ` c `); safe for whole normalized documents — space
+      * characters become space-only symbols no merge pattern can touch.
+      */
+    def wrapChars(expr: String): String =
+      s"regexp_replace($expr, '(.)', ' \\1 ', 'g')"
+
+    /** `text_bpe_encode`: replay the learned merges over the DISTINCT
+      * words (the Spark plan's encode-the-vocab shape), count subwords
+      * as the non-space runs of the merged encoding, and roll up by
+      * lang exactly like the Spark side.
+      */
+    def bpeEncodeSql(s: org.apache.spark.sql.SparkSession, dir: String)
+        : String = {
+      val merges = SharedBpeMerges(s, dir, 8)
+      val enc = mergeReplay(wrapChars("word"), merges)
+      s"""WITH toks AS (
+            SELECT lang, unnest(string_split(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+            FROM documents),
+          w2 AS (SELECT lang, word FROM toks WHERE length(word) > 0),
+          vocab AS (SELECT DISTINCT word FROM w2),
+          enc AS (SELECT word,
+                         CAST(len(regexp_extract_all($enc, '[^ ]+'))
+                              AS BIGINT) AS n_sub,
+                         CAST(length(word) AS BIGINT) AS n_chars
+                  FROM vocab)
+          SELECT lang, count(*) AS n_words,
+                 CAST(sum(n_sub) AS BIGINT) AS n_subtokens,
+                 round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_sub) AS DOUBLE), 4)
+                   AS chars_per_token
+          FROM w2 JOIN enc USING (word)
+          GROUP BY lang ORDER BY lang"""
+    }
+
+    /** `doc_quality_model_lr`: the REFINED weights/prior (gradient
+      * descent, bit-deterministic micro-longs) embed as a literal
+      * 128-row table and the oracle replays the exact-integer scoring
+      * over the shared feature CTEs ([[QualityAugSql]] — the same
+      * prefix the NB oracle derives its weights from, so the feature
+      * pipeline cannot drift between the two).
+      */
+    def qualityLrSql(s: org.apache.spark.sql.SparkSession, dir: String)
+        : String = {
+      val m = SharedQualityModels.lr(s, dir)
+      val rows = m.weightsMicro.zipWithIndex
+        .map { case (w, b) => s"($b, CAST($w AS BIGINT))" }
+      s"""WITH $QualityAugSql,
+          lrw(b, w_l) AS (VALUES ${rows.mkString(", ")}),
+          lsc AS (SELECT tk.doc_id, CAST(sum(lrw.w_l) AS BIGINT) AS tsum
+                  FROM tk JOIN lrw USING (b) GROUP BY tk.doc_id)
+          SELECT l.doc_id,
+                 CAST(coalesce(lsc.tsum, 0) + ${m.priorMicro} AS BIGINT)
+                   AS score_micro,
+                 (coalesce(lsc.tsum, 0) + ${m.priorMicro}) > 0 AS pred_keep,
+                 l.label
+          FROM lab l LEFT JOIN lsc ON lsc.doc_id = l.doc_id
+          ORDER BY l.doc_id"""
+    }
   }
 
   /** Winnowed fingerprints (doc_id, fp), exploded — the library
@@ -1643,12 +1735,16 @@ object TextQueries extends QueryPack {
     // fact row, and codegen breaks only on the vocab-sized side. Shares
     // the learned merges with text_bpe_train via [[SharedBpeMerges]]
     // (one Lloyd's-style learn per fixture, however many queries replay
-    // it). Rows-only like the trainer (8 chained learned rewrites are
-    // not SQL-mirrorable); BpeSpec pins encodeWord's merge-order
-    // semantics and the concat invariant.
+    // it). Oracled via generated SQL ([[TextOracle.bpeEncodeSql]]): the
+    // LEARNED merges embed as a chained-replace replay over the
+    // space-wrapped symbol encoding, so DuckDB re-encodes the whole
+    // vocab independently; only the trainer itself stays rows-only.
+    // BpeSpec additionally pins encodeWord's merge-order semantics and
+    // the concat invariant.
     Q("text_bpe_encode",
       (s, dir) => bpeEncodeStats(s, dir, VocabGuard.MaxBroadcastEntries),
-      None),
+      None,
+      oracleGen = Some((s, dir) => TextOracle.bpeEncodeSql(s, dir))),
 
     // Sorted-neighborhood dedup — the third blocking family alongside the
     // postings index (doc_dedup_ngram) and LSH banding (minhash/simhash):
@@ -2249,8 +2345,10 @@ object TextQueries extends QueryPack {
     // micro-longs, so training is bit-deterministic under any
     // partitioning — QualityModelSpec proves 1-partition ≡ 32-partition
     // and that refinement does not worsen the training log-loss). The
-    // iterative float training has no SQL mirror → rows-only here,
-    // parity-spec'd like the PCA family.
+    // SCORING is oracled via generated SQL with the refined weights as
+    // a literal table over the shared feature CTEs
+    // ([[TextOracle.qualityLrSql]]); only the gradient iterations stay
+    // outside, parity-spec'd like the PCA family.
     Q("doc_quality_model_lr",
       (s, dir) => {
         val docs = SharedQualityModels.docs(s, dir)
@@ -2262,7 +2360,8 @@ object TextQueries extends QueryPack {
           .select("doc_id", "score_micro", "pred_keep", "label")
           .orderBy("doc_id")
       },
-      None),
+      None,
+      oracleGen = Some((s, dir) => TextOracle.qualityLrSql(s, dir))),
 
     // END-TO-END CURATION VERDICT — the whole cleanup as ONE declared
     // plan: quality rule → exact-dedup keeper → benchmark

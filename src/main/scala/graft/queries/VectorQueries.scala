@@ -213,6 +213,30 @@ object VectorQueries extends QueryPack {
       ORDER BY shortlist"""
     }
 
+    /** `vec_pca_project`: the fitted PCA basis (means + 2 components —
+      * driver-side eigen work, deterministic) embeds as literals and
+      * DuckDB replays the PROJECTION: x·v − μ·v with the same float32
+      * `list_dot_product` accumulation as the codegen'd DotProduct
+      * expression (v is cast to float exactly like the Spark literal),
+      * μ·v precomputed to the identical double.
+      */
+    def pcaSql(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+      val model = graft.similarity.Pca.fit(
+        graft.Tables.table(s, dir, "embeddings"), "embedding",
+        dim = 64, k = 2)
+      def proj(i: Int): String = {
+        val v = model.components(i)
+        val vLit = fvec(v.map(_.toFloat))
+        val muDotV = model.mu.zip(v).map { case (a, b) => a * b }.sum
+        s"round(CAST(list_dot_product(embedding, $vLit) AS DOUBLE)" +
+          s" - ${d(muDotV)}, 4)"
+      }
+      s"""SELECT vec_id, label,
+             ${proj(0)} AS pc1,
+             ${proj(1)} AS pc2
+      FROM embeddings ORDER BY vec_id"""
+    }
+
     /** `vec_knn_ivf_pq`: cosine-route the probe to nprobe=2 literal
       * centroids, re-derive every vector's centroid assignment, ADC
       * over the routed subset only, exact rerank to top-10.
@@ -947,9 +971,10 @@ object VectorQueries extends QueryPack {
     // via deterministic power iteration + deflation, and the projection
     // pass is a codegen'd dot_product map — (x−μ)·v computed as
     // x·v − μ·v so no centered copy of the corpus is ever materialized.
-    // Rows-only by design (no eigen solver in SQL); PcaSpec pins parity
-    // against a local reference fit, variance ordering, orthogonality,
-    // and the sign convention.
+    // The PROJECTION is oracled via generated SQL with the fitted basis
+    // as literals ([[PqOracle.pcaSql]]); only the eigen work stays
+    // outside — PcaSpec pins the fit against a local reference,
+    // variance ordering, orthogonality, and the sign convention.
     Q("vec_pca_project",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -959,7 +984,8 @@ object VectorQueries extends QueryPack {
             round(col("pc1"), 4).as("pc1"), round(col("pc2"), 4).as("pc2"))
           .orderBy("vec_id")
       },
-      None),
+      None,
+      oracleGen = Some((s, dir) => PqOracle.pcaSql(s, dir))),
 
     // Maximum-inner-product search (recommendation/retrieval scoring):
     // exact top-10 by RAW dot product — the unnormalized ranking cosine
