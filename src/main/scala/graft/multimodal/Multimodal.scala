@@ -649,7 +649,22 @@ object Multimodal {
     * the SimHash text path: ONE shuffle keyed on (band, chunk-value),
     * never image × image.
     */
-  def phashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+  def phashPairs(hashes: DataFrame, maxHamming: Int): DataFrame =
+    phashCandidates(hashes, maxHamming)
+      .filter(col("hamming") <= maxHamming)
+
+  /** The banding join's CANDIDATES (distinct same-chunk pairs with their
+    * exact hamming, before the ≤ maxHamming verdict) — exposed so the
+    * `mm_band_eval` dial sweep can measure what the bound COSTS: the
+    * chunk space is 2^(64/(maxHamming+1)), so a larger guaranteed-recall
+    * bound means exponentially fewer chunk values, and once the corpus
+    * outgrows the chunk space, bucket occupancy — and candidate count —
+    * turns quadratic (measured: the sf10 probe at maxHamming = 6 holds
+    * only 512 values for ~333k hashes). The scale dial is the bound
+    * itself (maxHamming = 3 ⇒ 65 536 values) or a longer hash; the eval
+    * row makes that trade a measured number instead of folklore.
+    */
+  def phashCandidates(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16, "maxHamming in [0, 16)")
     val bands = maxHamming + 1
     val width = 64 / bands
@@ -666,7 +681,6 @@ object Multimodal {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_ph").bitwiseXOR(col("b_ph"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
       .distinct()
   }
 

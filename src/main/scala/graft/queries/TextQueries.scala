@@ -362,6 +362,41 @@ object TextQueries extends QueryPack {
           FROM lab l LEFT JOIN lsc ON lsc.doc_id = l.doc_id
           ORDER BY l.doc_id"""
     }
+
+    /** `doc_quality_eval_lr`: the NB row re-derives its weights
+      * closed-form in SQL (the full [[QualityScoredSql]] chain), the LR
+      * row scores through the literal refined weights — one confusion
+      * table per model, both fully re-computed by DuckDB.
+      */
+    def qualityEvalLrSql(s: org.apache.spark.sql.SparkSession, dir: String)
+        : String = {
+      val m = SharedQualityModels.lr(s, dir)
+      val rows = m.weightsMicro.zipWithIndex
+        .map { case (w, b) => s"($b, CAST($w AS BIGINT))" }
+      def confusion(src: String, tag: String): String =
+        s"""SELECT '$tag' AS model,
+              CAST(sum(CASE WHEN pred_keep AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(sum(CASE WHEN pred_keep AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(sum(CASE WHEN NOT pred_keep AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              CAST(sum(CASE WHEN NOT pred_keep AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM $src"""
+      s"""WITH $QualityScoredSql,
+          lrw(b, w_l) AS (VALUES ${rows.mkString(", ")}),
+          lsc AS (SELECT tk.doc_id, CAST(sum(lrw.w_l) AS BIGINT) AS tsum
+                  FROM tk JOIN lrw USING (b) GROUP BY tk.doc_id),
+          lrscored AS (
+            SELECT l.doc_id,
+                   (coalesce(lsc.tsum, 0) + ${m.priorMicro}) > 0 AS pred_keep,
+                   l.label
+            FROM lab l LEFT JOIN lsc ON lsc.doc_id = l.doc_id),
+          both_ AS (${confusion("lrscored", "lr")}
+                    UNION ALL
+                    ${confusion("scored", "nb")})
+          SELECT model, tp, fp, fn, tn,
+                 round(tp::DOUBLE / greatest(tp + fp, 1), 4) AS prec,
+                 round(tp::DOUBLE / greatest(tp + fn, 1), 4) AS recall
+          FROM both_ ORDER BY model"""
+    }
   }
 
   /** Winnowed fingerprints (doc_id, fp), exploded — the library
@@ -2295,6 +2330,40 @@ object TextQueries extends QueryPack {
                      round(tp::DOUBLE / greatest(tp + fp, 1), 4) AS prec,
                      round(tp::DOUBLE / greatest(tp + fn, 1), 4) AS recall
               FROM m""")),
+
+    // The REFINEMENT's evaluation — the NB row and the gradient-refined
+    // LR row side by side, the one table a pipeline reads to decide
+    // whether the 3-pass refinement actually bought anything at the
+    // keep/drop operating point (the measure-before-deploy discipline:
+    // every learned swap in this library ships with its confusion
+    // table). Two aggregations over the SAME pinned scored frame (the
+    // zero-shuffle scoring projection, once per model); exact integer
+    // counts. Oracled via the mixed device: the NB side's weights
+    // re-derive closed-form in SQL (QualityScoredSql), the LR side's
+    // refined weights embed as the literal table the
+    // doc_quality_model_lr oracle already certifies.
+    Q("doc_quality_eval_lr",
+      (s, dir) => {
+        val docs = SharedQualityModels.docs(s, dir)
+        Seq("lr" -> SharedQualityModels.lr(s, dir),
+            "nb" -> SharedQualityModels.nb(s, dir)).map { case (name, m) =>
+          docs.select((QualityModel.score("ftoks", m) > 0).as("pred"),
+              col("label"))
+            .agg(
+              sum(when(col("pred") && col("label"), 1L).otherwise(0L)).as("tp"),
+              sum(when(col("pred") && !col("label"), 1L).otherwise(0L)).as("fp"),
+              sum(when(!col("pred") && col("label"), 1L).otherwise(0L)).as("fn"),
+              sum(when(!col("pred") && !col("label"), 1L).otherwise(0L)).as("tn"))
+            .select(lit(name).as("model"), col("tp"), col("fp"), col("fn"),
+              col("tn"),
+              round(col("tp").cast("double") /
+                greatest(col("tp") + col("fp"), lit(1L)), 4).as("prec"),
+              round(col("tp").cast("double") /
+                greatest(col("tp") + col("fn"), lit(1L)), 4).as("recall"))
+        }.reduce(_ unionByName _).orderBy("model")
+      },
+      None,
+      oracleGen = Some((s, dir) => TextOracle.qualityEvalLrSql(s, dir))),
 
     // CALIBRATION curve (reliability diagram) for the trained filter —
     // the third measurement column of the classifier family (eval gives

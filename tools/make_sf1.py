@@ -17,6 +17,35 @@ DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 # decade probe). OFFSET spacing holds to 10**8 replicas of sf0.1 keys.
 REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 OFFSET = 10**8
+# optional 4th arg "perturbdocs": make each replica's documents.text
+# CONTENT-DISTINCT by inserting a replica-specific token after every
+# 8th word (replica 0 unchanged). Verbatim replicas put every document
+# into a REPLICAS-sized exact-clone group, so near-dup PAIR OUTPUT
+# grows quadratically in the replica count — fine for the adjudicated
+# clone benchmarks, wrong for a dedup DECADE probe, which wants the
+# realistic growth model (corpus 100x, near-dup rate constant): the
+# every-3rd-word insertion keeps only ~1 of 3 original 3-gram windows
+# against any other replica (Jaccard ~0.2): that is below BOTH the 0.8
+# verify threshold AND the 4x4 MinHash banding's effective candidate
+# floor (collision ~0.2^4 per band) — an every-8th-word variant was
+# measured to leak ~15% of cross-replica clone pairs as CANDIDATES
+# (0.45^4 x 4 bands), which re-quadratified the probe through the
+# verify stage. Within a replica both sides of a dup pair carry the
+# same token stream and keep their relative overlap.
+PERTURB_DOCS = len(sys.argv) > 4 and sys.argv[4] == "perturbdocs"
+
+
+def perturb(text: str, r: int) -> str:
+    if r == 0 or text is None:
+        return text
+    words = text.split(" ")
+    tok = f"zrep{r}q"
+    out = []
+    for i, w in enumerate(words):
+        out.append(w)
+        if i % 3 == 2:
+            out.append(tok)
+    return " ".join(out)
 
 # key columns to offset per replica — every foreign key into a
 # REPLICATED table must shift with its target, or fact rows from all
@@ -53,6 +82,9 @@ for tbl, keys in KEYS.items():
                 typ = col.type
                 import pyarrow.compute as pc
                 col = pc.cast(pc.add(pc.cast(col, pa.int64()), r * OFFSET), typ)
+            if PERTURB_DOCS and tbl == "documents" and name == "text":
+                col = pa.array([perturb(v, r) for v in col.to_pylist()],
+                               type=col.type)
             cols.append(col)
         chunks.append(pa.table(cols, names=t.column_names))
     out = pa.concat_tables(chunks)
