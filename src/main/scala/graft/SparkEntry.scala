@@ -58,8 +58,16 @@ object SparkEntry {
     * [[graft.queries.Q.oracleGen]]. Verify dumps THIS map, so the
     * learned-constant queries get full rows/schema/hash certification
     * instead of a rows-only check.
+    *
+    * `only` restricts WHICH generators run, not just which rows survive:
+    * the generated oracles pay real fits (PQ Lloyd, IVF build, PCA, BPE
+    * learn, LR training) plus corpus scans, so a targeted Verify run
+    * must not execute generators for queries it is not dumping.
     */
-  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
-    oracleSql ++
-      allQueries.flatMap(q => q.oracleGen.map(g => q.name -> g(spark, dir)))
+  def oracleSqlFor(spark: SparkSession, dir: String,
+      only: Option[Set[String]] = None): Map[String, String] = {
+    val wanted = allQueries.filter(q => only.forall(_.contains(q.name)))
+    wanted.flatMap(q => q.oracle.map(q.name -> _)).toMap ++
+      wanted.flatMap(q => q.oracleGen.map(g => q.name -> g(spark, dir)))
+  }
 }

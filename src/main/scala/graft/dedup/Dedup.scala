@@ -342,62 +342,87 @@ object Dedup {
     */
   private[graft] def simHashBands(docs: DataFrame, idCol: String,
       textCol: String, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32, "need 0 <= maxHamming < 32 for 32-bit bands")
-    val nBands = maxHamming + 1
-    val bandKeys = (0 until nBands).map { b =>
-      val lo = b * 32 / nBands
-      val width = (b + 1) * 32 / nBands - lo
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)).as("chunk"))
+    require(maxHamming >= 0 && maxHamming < 31,
+      "need 0 <= maxHamming < 31 for >=2-shared 32-bit chunk-pair bands")
+    // ≥2-SHARED-CHUNKS combinatorial banding (the r14 move, shared with
+    // the 64-bit perceptual-hash path): c = maxHamming + 2 chunks, band
+    // key = one of the C(c,2) CHUNK PAIRS. A pair within the bound
+    // disturbs ≤ maxHamming chunks, so ≥ 2 survive intact and at least
+    // one chunk-pair key matches — same guaranteed recall as the classic
+    // one-shared split, with the per-band key space SQUARED: at the
+    // standing h = 2 that is 4 × 8-bit chunks → 2^16 keys instead of the
+    // 3 × ~11-bit chunks (2^10.7) the r13 decade probe measured
+    // saturating. Chunk boundaries are k·32/c, so all 32 bits are
+    // covered at any c. The key bit-packs into ONE long
+    // (pairIdx << 40 | chunk_i << 20 | chunk_j — chunk width ≤ 16 < 20,
+    // pairIdx < 33² < 2^11) — a single long shuffles cheaper than a
+    // 4-column key.
+    val c = maxHamming + 2
+    def chunk(k: Int): Column = {
+      val lo = k * 32 / c
+      val width = (k + 1) * 32 / c - lo
+      shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1))
     }
+    val keys = (for { i <- 0 until c; j <- (i + 1) until c } yield
+      shiftleft(lit((i * c + j).toLong), 40)
+        .bitwiseOR(shiftleft(chunk(i), 20)).bitwiseOR(chunk(j))): IndexedSeq[Column]
     simHash(docs, idCol, textCol)
       .select(col("doc_id"), col("simhash"),
-        explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+        explode(array(keys: _*)).as("bk"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, via
-    * pigeonhole banding — NOT an all-pairs join.
+    * ≥2-shared-chunks pigeonhole banding ([[simHashBands]]) — NOT an
+    * all-pairs join: the equi-join on the chunk-pair band key has
+    * **guaranteed total recall** (exact, not approximate — see the
+    * banding scaladoc), survivors are Hamming-verified with one
+    * XOR+popcount, and the ≤-bound filter runs BEFORE the pair-level
+    * dedup so the distinct shuffles only true pairs. At 100 TB the
+    * shuffle carries C(maxHamming+2, 2) longs per doc.
     *
-    * The 32-bit signature splits into `maxHamming + 1` contiguous bit
-    * chunks; two signatures within Hamming distance `maxHamming` differ
-    * in at most `maxHamming` bits, so BY PIGEONHOLE at least one chunk is
-    * bit-identical — the equi-join on (band, chunk) has **guaranteed
-    * total recall** (this is exact, not approximate). The join is
-    * hash-partitioned on the chunk value (never doc×doc); survivors are
-    * Hamming-verified with one XOR+popcount, and multi-band collisions
-    * dedup on the pair key. At 100 TB the shuffle carries
-    * (maxHamming+1) × one long per doc.
-    *
-    * Skew: an ~11-bit chunk shared by d docs concentrates d²/2 candidate
+    * Skew: a chunk-pair key shared by d docs concentrates d²/2 candidate
     * comparisons on one reducer (boilerplate/templated corpora make hot
-    * chunks real). AQE's skew-join split is the first line of defense;
+    * keys real). AQE's skew-join split is the first line of defense;
     * `saltBuckets = S > 1` is the guaranteed bound: the left side salts
     * each row into one of S sub-keys by doc-id hash, the right side
     * replicates each row to all S sub-keys, so every unordered pair still
     * meets exactly once (at the left doc's salt) while each reducer does
-    * ~1/S of the hot chunk's comparisons. Cost: S× replication of the
-    * (doc_id, simhash) band rows — cheap, they are three longs wide.
+    * ~1/S of the hot key's comparisons. Cost: S× replication of the
+    * (doc_id, simhash, bk) band rows — cheap, they are three longs wide.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, saltBuckets: Int = 1): DataFrame = {
+      maxHamming: Int, saltBuckets: Int = 1): DataFrame =
+    simHashRawCandidates(docs, idCol, textCol, maxHamming, saltBuckets)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+
+  /** The banding join's DISTINCT candidates with their exact hamming,
+    * before the ≤ maxHamming verdict — the probe/eval surface (what does
+    * the banding scheme COST in candidate volume at this corpus?); the
+    * serving path is [[simHashPairs]], which verifies before the
+    * pair-level distinct.
+    */
+  def simHashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, saltBuckets: Int = 1): DataFrame =
+    simHashRawCandidates(docs, idCol, textCol, maxHamming, saltBuckets)
+      .distinct()
+
+  private def simHashRawCandidates(docs: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int, saltBuckets: Int): DataFrame = {
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
     val banded = simHashBands(docs, idCol, textCol, maxHamming)
     val (aSide, bSide, keys) =
-      if (saltBuckets == 1) (banded, banded, Seq("band", "chunk"))
+      if (saltBuckets == 1) (banded, banded, Seq("bk"))
       else (
         banded.withColumn("salt",
           pmod(xxhash64(col("doc_id")), lit(saltBuckets)).cast("int")),
         banded.withColumn("salt",
           explode(sequence(lit(0), lit(saltBuckets - 1)))),
-        Seq("band", "chunk", "salt"))
+        Seq("bk", "salt"))
     aSide.as("a").join(bSide.as("b"), keys)
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(expr("a.simhash ^ b.simhash")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Exact embedding-cosine near-dup pairs above `minCos`, as a

@@ -886,21 +886,87 @@ object ExtendedQueries extends QueryPack {
               FROM cum WHERE cumw * 2 >= totw
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // Interval-overlap self-join via time-bucket blocking — the temporal
-    // analog of the dedup postings index, and the pattern genomics/
-    // session-overlap workloads need at scale. Each event carries the
-    // interval [ts, ts + floor(value) minutes] (whole-second arithmetic
-    // so both engines compare identical µs timestamps); the naive
-    // overlap join is an O(n²) inequality join, while here every
-    // interval EXPLODES into the hour buckets it spans (≤ 4, bounded by
-    // the 200-min value cap), pairs equi-join on (event_type, bucket) —
-    // a plain hash shuffle, no theta join. Multi-bucket double-counting
-    // is eliminated WITHOUT a pair-level distinct (which was a second
-    // full shuffle of the pair set): an overlapping pair is counted only
-    // in the REPORTING bucket — the one holding the later of the two
-    // starts, which both intervals provably span — so each pair survives
-    // the filter exactly once and the count aggregates directly.
+    // Interval-overlap COUNT per event_type — the sweep-line form. The
+    // r13 sf1 audit measured the previous bucket-blocked self-join at
+    // 51× per decade on this count-only output: at fixed time span,
+    // colliding pairs per bucket grow quadratically with density, so a
+    // query that only COUNTS pairs must never enumerate them. Sweep-line
+    // identity instead: a pair of closed intervals is DISJOINT iff the
+    // earlier one ends strictly before the later one starts, so
+    //   overlaps = C(n,2) − Σ_starts #{ends strictly before that start}
+    // — each disjoint pair is counted exactly once (both orderings
+    // disjoint would need a_te < b_ts ≤ b_te < a_ts ≤ a_te). The
+    // "#ends before each start" rank computes DISTRIBUTED, not via a
+    // per-type global sort: endpoints land in hour buckets, a window
+    // over (event_type, bucket) — bounded partitions — gives the
+    // intra-bucket running end-count with starts ordered BEFORE ends at
+    // the same instant (touching endpoints overlap, closed intervals),
+    // and the cross-bucket prefix is a per-type cumulative over the
+    // TINY (type, bucket) end-count frame, broadcast back. One bounded
+    // shuffle + one broadcast — no join of the fact against itself, no
+    // pair ever materialized, O(n log n) at any density.
     Q("join_interval",
+      (s, dir) => {
+        val iv = t(s, dir, "events").select(
+          col("event_id"), col("event_type"), col("ts"),
+          expr("timestampadd(MINUTE, CAST(floor(value) AS INT), ts)").as("te"))
+        val pts = iv.select(col("event_type"), col("ts").as("t"),
+            lit(0L).as("is_end"))
+          .unionAll(iv.select(col("event_type"), col("te").as("t"),
+            lit(1L).as("is_end")))
+          .withColumn("bk", date_trunc("hour", col("t")))
+        // per-(type, bucket) end totals → exclusive running prefix over
+        // the bucket spine (tiny: |types| × |hours| rows)
+        val wBk = Window.partitionBy("event_type").orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prefix = pts.groupBy("event_type", "bk")
+          .agg(sum("is_end").as("ends_in_bk"))
+          .withColumn("ends_before_bk",
+            sum("ends_in_bk").over(wBk) - col("ends_in_bk"))
+          .select("event_type", "bk", "ends_before_bk")
+        // intra-bucket running end-count: ROWS frame ordered (t, is_end)
+        // — ends at exactly a start's instant sort AFTER it, so only
+        // STRICTLY earlier ends are counted (touching pairs overlap)
+        val wIn = Window.partitionBy("event_type", "bk")
+          .orderBy(col("t"), col("is_end"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pts.withColumn("ends_running", sum("is_end").over(wIn))
+          .filter(col("is_end") === 0L)
+          .join(broadcast(prefix), Seq("event_type", "bk"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("ends_running") + col("ends_before_bk")).as("d"))
+          .select(col("event_type"),
+            expr("n * (n - 1) div 2 - d").as("n_overlaps"))
+          .orderBy("event_type")
+      },
+      Some("""WITH iv AS (SELECT event_id, event_type, ts,
+                                 ts + to_minutes(CAST(floor(value) AS BIGINT)) AS te
+                          FROM events)
+              SELECT a.event_type, count(*) AS n_overlaps
+              FROM iv a JOIN iv b
+                ON a.event_type = b.event_type AND a.event_id < b.event_id
+               AND a.ts <= b.te AND b.ts <= a.te
+              GROUP BY a.event_type ORDER BY a.event_type""")),
+
+    // Interval-overlap PAIR EMISSION via time-bucket blocking — the
+    // temporal analog of the dedup postings index, kept as its own
+    // operator now that join_interval counts by sweep-line: when the
+    // pairs themselves ARE the output (session stitching, co-occurrence
+    // edges), enumeration is the job and output-linear cost is the
+    // floor. Each event carries [ts, ts + floor(value) minutes]
+    // (whole-second arithmetic so both engines compare identical µs
+    // timestamps); every interval EXPLODES into the hour buckets it
+    // spans (≤ 4, bounded by the 200-min value cap) and pairs
+    // equi-join on (event_type, bucket) — a plain hash shuffle, no
+    // theta join. Multi-bucket double-counting is eliminated WITHOUT a
+    // pair-level distinct (a second full shuffle of the pair set): a
+    // pair is emitted only from its REPORTING bucket — the one holding
+    // the later of the two starts, which both intervals provably span.
+    // Bounded to ≥ 60 overlapping minutes: the emitting form of this
+    // operator always ships with a selectivity dial (emit-everything is
+    // the count query's job to size first).
+    Q("join_interval_pairs",
       (s, dir) => {
         val iv = t(s, dir, "events").select(
           col("event_id"), col("event_type"), col("ts"),
@@ -918,18 +984,27 @@ object ExtendedQueries extends QueryPack {
           .filter(col("a_id") < col("b_id") &&
             col("a_ts") <= col("b_te") && col("b_ts") <= col("a_te") &&
             date_trunc("hour", greatest(col("a_ts"), col("b_ts"))) === col("bk"))
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_overlaps"))
-          .orderBy("event_type")
+          .select(col("event_type"), col("a_id"), col("b_id"),
+            (unix_timestamp(least(col("a_te"), col("b_te"))) -
+              unix_timestamp(greatest(col("a_ts"), col("b_ts"))))
+              .divide(lit(60L)).cast("long").as("ov_minutes"))
+          .filter(col("ov_minutes") >= 60L)
+          .orderBy("a_id", "b_id")
       },
       Some("""WITH iv AS (SELECT event_id, event_type, ts,
                                  ts + to_minutes(CAST(floor(value) AS BIGINT)) AS te
                           FROM events)
-              SELECT a.event_type, count(*) AS n_overlaps
+              SELECT a.event_type,
+                     a.event_id AS a_id, b.event_id AS b_id,
+                     CAST(floor(date_diff('second',
+                            greatest(a.ts, b.ts), least(a.te, b.te)) / 60.0)
+                          AS BIGINT) AS ov_minutes
               FROM iv a JOIN iv b
                 ON a.event_type = b.event_type AND a.event_id < b.event_id
                AND a.ts <= b.te AND b.ts <= a.te
-              GROUP BY a.event_type ORDER BY a.event_type""")),
+              WHERE date_diff('second', greatest(a.ts, b.ts),
+                              least(a.te, b.te)) >= 3600
+              ORDER BY a_id, b_id""")),
 
     // Pairwise Pearson correlation matrix over the lineitem measures —
     // the feature-audit pass before model training. All six pairs come

@@ -307,6 +307,18 @@ object GovernanceQueries extends QueryPack {
         val f = ct
           .withColumn("n_t", sum("n_ct").over(wT))
           .withColumn("nn", sum("n_ct").over(wAll))
+          // exact-arithmetic CAPACITY guard, folded into the column every
+          // product below reads (load-bearing, so pruning can't skip it):
+          // num_total ≤ 2·n_c·nn·10^6 ≤ 2·nn²·10^6 exceeds decimal(38,0)
+          // once nn > ~7.07e15 events, and with ANSI off a decimal
+          // overflow yields NULL silently — the exact failure class the
+          // widening exists to prevent. Past the bound, fail loudly.
+          .withColumn("nn",
+            when(col("nn") <= lit(7000000000000000L), col("nn"))
+              .otherwise(raise_error(concat(
+                lit("gov_t_closeness: corpus exceeds the exact decimal(38,0) " +
+                  "capacity (~7.07e15 events) — tvd_micro would overflow to " +
+                  "NULL; nn="), col("nn")))))
           .withColumn("n_c", sum("n_ct").over(wc))
           .withColumn("snt", sum("n_t").over(wc))
         f.groupBy("h", "d", "n_c", "snt", "nn")
@@ -314,8 +326,9 @@ object GovernanceQueries extends QueryPack {
           // long intermediate silently wraps once n_c·nn nears 2^62 —
           // reachable around ~1e9 events (hit by the sf10 decade
           // probes). Widen the PRODUCTS to decimal(38,0): exact integer
-          // arithmetic to 10^38, enough for corpora to ~10^16 rows; the
-          // quotient (≤ 1e6) still lands in a long.
+          // arithmetic to 10^38, enough for corpora to ~7e15 events
+          // (2·nn²·10^6 < 10^38), with the guard above failing loudly
+          // beyond; the quotient (≤ 1e6) still lands in a long.
           .agg(sum(abs(col("n_ct").cast("decimal(38,0)") * col("nn")
               - col("n_t").cast("decimal(38,0)") * col("n_c")))
             .as("num_present"))

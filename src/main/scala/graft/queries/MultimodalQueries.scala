@@ -168,42 +168,73 @@ object MultimodalQueries extends QueryPack {
        WHERE bit_count(xor(a_fp::BIT, b_fp::BIT)) <= 6
        ORDER BY a_id, b_id"""
 
-  /** `mm_band_eval`'s oracle: the [[BandedPairsSql]] banding replayed at
-    * each swept bound h (h+1 chunks of 64/(h+1) bits over the same
-    * twin-planted hashes), counting candidates and verified pairs per
-    * bound — pure arithmetic, statically mirrorable.
+  /** `mm_band_eval`'s oracle: BOTH banding schemes replayed at each
+    * swept bound h over the same twin-planted hashes — `share1` = the
+    * classic split into h+1 chunks of 64/(h+1) bits joined on one chunk,
+    * `share2` = the ≥2-shared-chunks combinatorial banding (h+2 chunks,
+    * joined on C(h+2,2) chunk PAIRS — the serving path's scheme) —
+    * counting candidates and verified pairs per (bound, scheme). Pure
+    * arithmetic, statically mirrorable.
     */
   private val BandEvalSql: String = {
-    val legs = Seq(1, 3, 6).map { h =>
+    val legs1 = Seq(1, 3, 6).map { h =>
       val bands = h + 1
       val width = 64 / bands
-      s"""c$h AS (
+      s"""k1_$h AS (
+           SELECT media_id, fp_bits, band,
+                  substr(fp_bits, ${65 - width} - $width * band, $width) AS chunk
+           FROM hashes, (SELECT unnest(range(0, $bands)) AS band) bb),
+         c1_$h AS (
            SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
                   a.fp_bits AS a_fp, b.fp_bits AS b_fp
-           FROM (SELECT media_id, fp_bits, band,
-                        substr(fp_bits, ${65 - width} - $width * band, $width) AS chunk
-                 FROM hashes, (SELECT unnest(range(0, $bands)) AS band) bb) a
-           JOIN (SELECT media_id, fp_bits, band,
-                        substr(fp_bits, ${65 - width} - $width * band, $width) AS chunk
-                 FROM hashes, (SELECT unnest(range(0, $bands)) AS band) bb) b
+           FROM k1_$h a JOIN k1_$h b
              ON a.band = b.band AND a.chunk = b.chunk
            WHERE a.media_id < b.media_id),
-         m$h AS (
-           SELECT CAST($h AS BIGINT) AS max_hamming,
-                  CAST($bands AS BIGINT) AS bands,
-                  CAST($width AS BIGINT) AS chunk_bits,
+         m1_$h AS (
+           SELECT CAST($h AS BIGINT) AS max_hamming, 'share1' AS scheme,
+                  CAST($bands AS BIGINT) AS n_bands,
+                  CAST($width AS BIGINT) AS key_bits,
                   count(*) AS n_cand,
                   CAST(coalesce(sum(CASE WHEN
                     bit_count(xor(a_fp::BIT, b_fp::BIT)) <= $h
                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
-           FROM c$h)"""
+           FROM c1_$h)"""
     }
-    legs.mkString(",\n         ") + s"""
-       SELECT max_hamming, bands, chunk_bits, n_cand, n_pairs,
+    val legs2 = Seq(1, 3, 6).map { h =>
+      val c = h + 2
+      val width = 64 / c
+      s"""k2_$h AS (
+           SELECT media_id, fp_bits, pp.i, pp.j,
+                  substr(fp_bits, 65 - $width * (pp.i + 1), $width) AS ci,
+                  substr(fp_bits, 65 - $width * (pp.j + 1), $width) AS cj
+           FROM hashes, (SELECT x.i AS i, y.j AS j
+                         FROM (SELECT unnest(range(0, $c)) AS i) x,
+                              (SELECT unnest(range(0, $c)) AS j) y
+                         WHERE x.i < y.j) pp),
+         c2_$h AS (
+           SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
+           FROM k2_$h a JOIN k2_$h b
+             ON a.i = b.i AND a.j = b.j AND a.ci = b.ci AND a.cj = b.cj
+           WHERE a.media_id < b.media_id),
+         m2_$h AS (
+           SELECT CAST($h AS BIGINT) AS max_hamming, 'share2' AS scheme,
+                  CAST(${c * (c - 1) / 2} AS BIGINT) AS n_bands,
+                  CAST(${2 * width} AS BIGINT) AS key_bits,
+                  count(*) AS n_cand,
+                  CAST(coalesce(sum(CASE WHEN
+                    bit_count(xor(ha.fp_bits::BIT, hb.fp_bits::BIT)) <= $h
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+           FROM c2_$h
+           JOIN hashes ha ON ha.media_id = a_id
+           JOIN hashes hb ON hb.media_id = b_id)"""
+    }
+    (legs1 ++ legs2).mkString(",\n         ") + s"""
+       SELECT max_hamming, scheme, n_bands, key_bits, n_cand, n_pairs,
               round(n_pairs::DOUBLE / greatest(n_cand, 1), 4) AS precision
-       FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m3
-             UNION ALL SELECT * FROM m6)
-       ORDER BY max_hamming"""
+       FROM (SELECT * FROM m1_1 UNION ALL SELECT * FROM m1_3
+             UNION ALL SELECT * FROM m1_6 UNION ALL SELECT * FROM m2_1
+             UNION ALL SELECT * FROM m2_3 UNION ALL SELECT * FROM m2_6)
+       ORDER BY max_hamming, scheme"""
   }
 
   /** The fixture media frame (PNG encode included), memoized per
@@ -409,36 +440,48 @@ object MultimodalQueries extends QueryPack {
                   "(SELECT max(doc_id) + 1 FROM documents) AS off")},
               $BandedPairsSql""")))
 
-    // The BANDING dial measured — the trade the sf10 decade probe
-    // surfaced: pigeonhole banding at guaranteed-recall bound h uses
-    // h+1 chunks of 64/(h+1) bits, so the CHUNK SPACE is
-    // 2^(64/(h+1)) — 512 values at h=6, 65 536 at h=3, 2^32 at h=1 —
-    // and once the corpus outgrows it, bucket occupancy (and candidate
-    // count, and join cost) turns quadratic while verified pairs stay
-    // flat. This row sweeps h ∈ {1, 3, 6} over the same twin-planted
-    // corpus and reports candidates vs verified pairs per bound, the
+    // The BANDING dial measured — the trade the r13 sf10 decade probe
+    // surfaced, now swept across BOTH schemes: `share1` (the classic
+    // h+1-chunk split joined on one chunk — key space 2^(64/(h+1)):
+    // 512 values at h=6, where the probe measured saturation at ~300k
+    // hashes and a 20.6×/decade candidate join) and `share2` (the
+    // ≥2-shared-chunks combinatorial banding that now SERVES
+    // mm_*_pairs — h+2 chunks, C(h+2,2) chunk-pair bands, key space
+    // squared to 2^(2·64/(h+2)): 65 536 at h=6 for a 4× explode).
+    // For h ∈ {1, 3, 6} × scheme, candidates vs verified pairs — the
     // doc_dedup_eval s-curve convention for the hamming family: the
-    // number a deployment reads before picking its recall bound at
-    // 100 TB (or moving to a longer hash). ONE hash table feeds all
-    // three branches (lazy local checkpoint); each branch is one
-    // banded self-join + count. Fully oracled — the banding is
-    // arithmetic, no learned constants.
+    // number a deployment reads before picking its recall bound and
+    // banding scheme at 100 TB. ONE hash table feeds all branches
+    // (lazy local checkpoint); each branch is one banded self-join +
+    // count. Fully oracled — the banding is arithmetic, no learned
+    // constants.
     .appended(Q("mm_band_eval",
       (s, dir) => {
         val hashes = graft.multimodal.Multimodal
           .imagePhashes(SharedMediaWithTwins(s, dir))
           .localCheckpoint(eager = false)
-        Seq(1, 3, 6).map { h =>
-          graft.multimodal.Multimodal.phashCandidates(hashes, h)
+        (for { h <- Seq(1, 3, 6); scheme <- Seq("share1", "share2") } yield {
+          val share1 = scheme == "share1"
+          val cand =
+            if (share1) graft.multimodal.Multimodal.phashCandidates(hashes, h)
+            else graft.multimodal.Multimodal.phashCandidatesPairBand(hashes, h)
+          val c = if (share1) h + 1 else h + 2
+          val width = 64 / c
+          cand
+            // count() is 0 on an empty candidate set but sum() is NULL —
+            // coalesce so a bound that yields no candidates reports 0
+            // like the oracle, not NULL
             .agg(count(lit(1)).as("n_cand"),
-              sum(when(col("hamming") <= h, 1L).otherwise(0L)).as("n_pairs"))
+              coalesce(sum(when(col("hamming") <= h, 1L).otherwise(0L)),
+                lit(0L)).as("n_pairs"))
             .select(lit(h.toLong).as("max_hamming"),
-              lit((h + 1).toLong).as("bands"),
-              lit((64 / (h + 1)).toLong).as("chunk_bits"),
+              lit(scheme).as("scheme"),
+              lit((if (share1) c else c * (c - 1) / 2).toLong).as("n_bands"),
+              lit((if (share1) width else 2 * width).toLong).as("key_bits"),
               col("n_cand"), col("n_pairs"),
               round(col("n_pairs").cast("double") /
                 greatest(col("n_cand"), lit(1L)), 4).as("precision"))
-        }.reduce(_ unionByName _).orderBy("max_hamming")
+        }).reduce(_ unionByName _).orderBy("max_hamming", "scheme")
       },
       Some(s"""WITH ${PhashCte(
                 "0 AS delta, 0 AS off UNION ALL SELECT 8 AS delta, " +

@@ -310,6 +310,54 @@ object TextQueries extends QueryPack {
     def wrapChars(expr: String): String =
       s"regexp_replace($expr, '(.)', ' \\1 ', 'g')"
 
+    /** `text_bpe_train`'s oracle — the LEARN itself replayed in SQL, no
+      * learned constants injected (a STATIC oracle, unlike the
+      * [[Q.oracleGen]] family): DuckDB re-derives the word-freq dict
+      * from the corpus, then chains `steps` CTE triplets each doing one
+      * full BPE iteration — pair-count over the space-wrapped symbol
+      * encodings (adjacent-symbol extraction via list indexing, freq-
+      * weighted sum), the deterministic argmax (cnt DESC, l ASC, r ASC —
+      * [[graft.text.Bpe.learn]]'s exact tie-break), and the greedy
+      * non-overlapping merge rewrite as ONE `replace()` over the
+      * encoding (the r13 [[mergeReplay]] device: every symbol owns both
+      * its delimiters, so leftmost-first replacement IS the Scala scan).
+      * The merge table is a pure function of the corpus, so the two
+      * engines must agree bit-for-bit — the trainer was the last
+      * non-sketch rows-only entry.
+      */
+    def bpeTrainSql(steps: Int): String = {
+      val stepCtes = (1 to steps).map { k =>
+        val prev = s"dict${k - 1}"
+        s"""pairs$k AS (
+             SELECT syms[i] AS l, syms[i + 1] AS r,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT regexp_extract_all(enc, '[^ ]+') AS syms, freq
+                   FROM $prev) d,
+                  LATERAL (SELECT unnest(range(1, len(d.syms))) AS i) ii
+             GROUP BY 1, 2),
+           top$k AS (
+             SELECT $k AS step, l, r, l || r AS merged, cnt AS freq
+             FROM pairs$k ORDER BY cnt DESC, l, r LIMIT 1),
+           dict$k AS (
+             SELECT replace(enc, ' ' || t.l || '  ' || t.r || ' ',
+                            ' ' || t.merged || ' ') AS enc, $prev.freq
+             FROM $prev, top$k t)"""
+      }
+      val union = (1 to steps).map(k => s"SELECT * FROM top$k")
+        .mkString(" UNION ALL ")
+      s"""WITH toks AS (
+            SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+            FROM documents),
+          dict0 AS (
+            SELECT ${wrapChars("word")} AS enc, count(*)::BIGINT AS freq
+            FROM toks WHERE length(word) > 0 GROUP BY 1),
+          ${stepCtes.mkString(",\n          ")}
+          SELECT CAST(step AS INTEGER) AS step, l AS "left", r AS "right",
+                 merged, freq
+          FROM ($union) ORDER BY step"""
+    }
+
     /** `text_bpe_encode`: replay the learned merges over the DISTINCT
       * words (the Spark plan's encode-the-vocab shape), count subwords
       * as the non-space runs of the merged encoding, and roll up by
@@ -1570,12 +1618,15 @@ object TextQueries extends QueryPack {
                      sum(CASE WHEN votes > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
               FROM votes GROUP BY doc_id ORDER BY doc_id""")),
 
-    // SimHash near-dup PAIRS via pigeonhole banding: the signature splits
-    // into maxHamming+1 chunks and pairs equi-join on (band, chunk) —
-    // guaranteed-total recall (≤ maxHamming differing bits can't touch
-    // every chunk), hash-partitioned, never doc×doc. The oracle is the
-    // O(n²) all-pairs SQL — DuckDB re-derives the same answer the
-    // brute-force way, proving the banding loses nothing.
+    // SimHash near-dup PAIRS via ≥2-shared-chunks pigeonhole banding
+    // (r14): the signature splits into maxHamming+2 chunks and pairs
+    // equi-join on the C(maxHamming+2, 2) chunk-PAIR keys — guaranteed-
+    // total recall (≤ maxHamming differing bits leave ≥ 2 chunks intact),
+    // hash-partitioned, never doc×doc, and the per-band key space is
+    // SQUARED vs the classic one-shared split (2^16 vs 2^10.7 at h=2 —
+    // the r13 decade probe measured the latter saturating at sf1). The
+    // oracle is the O(n²) all-pairs SQL — DuckDB re-derives the same
+    // answer the brute-force way, proving the banding loses nothing.
     Q("doc_dedup_simhash_pairs",
       (s, dir) => Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
           maxHamming = 2)
@@ -1746,10 +1797,14 @@ object TextQueries extends QueryPack {
     // the vocab-sized dict with in-row pair generation, partial-
     // aggregated counts, and a single collected argmax row per step —
     // Lloyd's-iteration driver contract, lineage truncated per step
-    // (see text/Bpe.scala). Rows-only by design (8 chained iterative
-    // rewrites aren't SQL-mirrorable); BpeSpec proves the distributed
-    // learner bit-equal to a local reference implementation on the
-    // same dict, plus tie-break determinism.
+    // (see text/Bpe.scala). ORACLED since r14, and by a STATIC SQL
+    // string: the 8 chained iterations replay in DuckDB as CTE triplets
+    // (pair-count → deterministic argmax → one-replace() merge rewrite
+    // over the space-wrapped encoding — [[TextOracle.bpeTrainSql]]), so
+    // the LEARN itself is certified bit-for-bit against an independent
+    // engine, not just the apply. BpeSpec additionally proves the
+    // distributed learner bit-equal to a local reference implementation
+    // on the same dict, plus tie-break determinism.
     Q("text_bpe_train",
       (s, dir) => {
         val merges = SharedBpeMerges(s, dir, 8)
@@ -1758,7 +1813,7 @@ object TextQueries extends QueryPack {
           .select(col("step"), col("left"), col("right"), col("merged"), col("freq"))
           .orderBy("step")
       },
-      None),
+      Some(TextOracle.bpeTrainSql(8))),
 
     // Tokenizer APPLY — the other half of the train/encode loop and the
     // single most-run op in a training-data pipeline (every document of

@@ -169,12 +169,12 @@ class DedupSimilaritySpec extends SparkSpec {
     // the salt splits the hot key's LEFT side (the pair-generation
     // driver): max per-key group drops from n to ~n/S
     val banded = Dedup.simHashBands(hotDocs, "doc_id", "text", maxHamming = 3)
-    val hotMax = banded.groupBy("band", "chunk").count()
+    val hotMax = banded.groupBy("bk").count()
       .agg(max("count")).head().getLong(0)
     assert(hotMax === 60L)
     val saltedMax = banded
       .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(8)))
-      .groupBy("band", "chunk", "salt").count()
+      .groupBy("bk", "salt").count()
       .agg(max("count")).head().getLong(0)
     assert(saltedMax <= 20L,
       s"hot chunk not split by salt: max group $saltedMax of 60")

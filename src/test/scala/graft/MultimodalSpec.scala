@@ -328,4 +328,60 @@ class MultimodalSpec extends SparkSpec {
       s"${twinPairs.length} of $nVideo planted twins recovered")
     pairs.foreach(r => assert(r.getLong(2) <= 6))
   }
+
+  // splitmix64 finalizer — deterministic pseudo-random 64-bit hashes for
+  // the banding property tests (no Random: repeatable across runs)
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  test("pair banding: recall guarantee vs brute force at every swept bound") {
+    import spark.implicits._
+    // 60 pseudo-random hashes plus, for each, a planted twin exactly ≤ h
+    // bits away (flip h deterministic positions; coincident flips cancel,
+    // which only lowers the distance — still within the bound). Brute
+    // force over the union is the ground truth: phashPairs (≥2-shared-
+    // chunks combinatorial banding) must emit EXACTLY the ≤ h pairs —
+    // recall is the pigeonhole guarantee under test, precision is the
+    // exact bit_count verify.
+    for (h <- Seq(0, 1, 3, 6)) {
+      val base = (0L until 60L).map(i => (i, mix(i)))
+      val twins = base.map { case (i, ph) =>
+        (i + 10000L, (0 until h).foldLeft(ph)((acc, k) =>
+          acc ^ (1L << ((mix(i * 131 + k) & 63L).toInt))))
+      }
+      val all = base ++ twins
+      val want = (for {
+        (i, pi) <- all; (j, pj) <- all if i < j
+        d = java.lang.Long.bitCount(pi ^ pj) if d <= h
+      } yield (i, j, d.toLong)).toSet
+      assert(want.nonEmpty, s"h=$h fixture planted no pairs")
+      val df = all.toDF("media_id", "phash")
+      val got = Multimodal.phashPairs(df, h).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, s"h=$h: combinatorial banding missed/invented pairs")
+      // cross-scheme parity: the classic one-shared-chunk banding (the
+      // mm_band_eval measuring device) verifies to the same set
+      val share1 = Multimodal.phashCandidates(df, h)
+        .filter(col("hamming") <= h).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(share1 === want, s"h=$h: share1 banding disagrees")
+    }
+  }
+
+  test("phashPairs fails loudly past the banding capacity, not silently quadratic") {
+    import spark.implicits._
+    // h = 15 ⇒ 17 chunks of 3 bits ⇒ 6-bit band keys ⇒ capacity 16·2^6
+    assert(Multimodal.bandCapacity(15) === 1024L)
+    val df = (0 until 1100).map(i => (i.toLong, mix(i.toLong)))
+      .toDF("media_id", "phash")
+    val e = intercept[IllegalStateException](Multimodal.phashPairs(df, 15))
+    assert(e.getMessage.contains("capacity"), e.getMessage)
+    // under the cap the same frame serves normally
+    assert(Multimodal.phashPairs(df.limit(500), 15).columns.toSeq ===
+      Seq("a_id", "b_id", "hamming"))
+  }
 }

@@ -366,8 +366,21 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
-  test("join_interval: bucket blocking turns the theta join into an equi join") {
+  test("join_interval: sweep-line count — no self-join of the fact at all") {
     val p = plan("join_interval")
+    // count-only output must never enumerate pairs: no join of the
+    // endpoint stream against itself — the only join is the BROADCAST
+    // of the tiny per-bucket prefix frame — and the rank windows
+    // partition by (event_type, bucket), never one global per-type sort
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Window".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("hashpartitioning(event_type") , p)
+  }
+
+  test("join_interval_pairs: bucket blocking turns the theta join into an equi join") {
+    val p = plan("join_interval_pairs")
     // the O(n²) inequality join must NOT appear — blocking makes it a
     // plain hash-partitioned equi join on (event_type, bucket)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)

@@ -19,7 +19,7 @@ REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 OFFSET = 10**8
 # optional 4th arg "perturbdocs": make each replica's documents.text
 # CONTENT-DISTINCT by inserting a replica-specific token after every
-# 8th word (replica 0 unchanged). Verbatim replicas put every document
+# 3rd word (replica 0 unchanged). Verbatim replicas put every document
 # into a REPLICAS-sized exact-clone group, so near-dup PAIR OUTPUT
 # grows quadratically in the replica count — fine for the adjudicated
 # clone benchmarks, wrong for a dedup DECADE probe, which wants the
