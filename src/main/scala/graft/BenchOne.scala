@@ -17,12 +17,20 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_RUNS trims the repeat count for expensive decade-probe
+    // legs; SPARK_GRAFT_ROWS=1 additionally reports the result row count
+    // AFTER the timed runs (the pair-count denominator for output-linear
+    // adjudication) — counted separately so timing stays the noop write.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val wantRows = sys.env.get("SPARK_GRAFT_ROWS").contains("1")
     args.foreach { name =>
-      (1 to 3).foreach { i =>
+      (1 to runs).foreach { i =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"[benchone] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+      if (wantRows)
+        println(s"[benchone] $name rows=${SparkEntry.queries(name)(spark, sfDir).count()}")
     }
     spark.stop()
   }

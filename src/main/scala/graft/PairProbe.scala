@@ -35,6 +35,12 @@ object PairProbe {
     def report(k: String, v: Long): Unit = println(s"[pairprobe] $k=$v")
 
     val docs = Tables.table(spark, sfDir, "documents")
+    // "cheap" (the sf10u leg): report only the closed-form WORK drivers
+    // (Σ C(group,2) over postings / band buckets — one groupBy each, no
+    // pair row ever materialized); the verified-pair counts come from
+    // the single BenchOne SPARK_GRAFT_ROWS=1 run of each query instead
+    // of duplicating the full join here.
+    val cheap = args.contains("cheap")
 
     // doc_dedup_contain: cost driver = the postings-list pair explosion
     // Σ_shingle C(df,2); candidates = doc pairs sharing ≥ 1 shingle
@@ -44,17 +50,26 @@ object PairProbe {
     val explosion = idx.groupBy("shingle").count()
       .agg(sum(expr("count * (count - 1) div 2"))).head().getLong(0)
     report("contain_explosion_pairs", explosion)
-    report("contain_candidates",
-      Dedup.containmentPairsFromIndex(idx, 0.0).count())
-    report("contain_pairs",
-      Dedup.containmentPairsFromIndex(idx, 0.9).count())
+    if (!cheap) {
+      report("contain_candidates",
+        Dedup.containmentPairsFromIndex(idx, 0.0).count())
+      report("contain_pairs",
+        Dedup.containmentPairsFromIndex(idx, 0.9).count())
+    }
     idx.unpersist()
 
-    // doc_dedup_simhash_pairs: candidates = distinct banded collisions
-    report("simhash_candidates",
-      Dedup.simHashCandidates(docs, "doc_id", "text", 2).count())
-    report("simhash_pairs",
-      Dedup.simHashPairs(docs, "doc_id", "text", 2).count())
+    // doc_dedup_simhash_pairs: banded row volume Σ_bk C(cnt,2) is the
+    // join's emitted-row count (the work); distinct candidates dedup it
+    val bandRows = Dedup.simHashBands(docs, "doc_id", "text", 2)
+      .groupBy("bk").count()
+      .agg(sum(expr("count * (count - 1) div 2"))).head().getLong(0)
+    report("simhash_band_rows", bandRows)
+    if (!cheap) {
+      report("simhash_candidates",
+        Dedup.simHashCandidates(docs, "doc_id", "text", 2).count())
+      report("simhash_pairs",
+        Dedup.simHashPairs(docs, "doc_id", "text", 2).count())
+    }
 
     // vec_near_dup: EXACT all-pairs by declaration — candidates are
     // C(n,2) in closed form; the measure of interest is verified output

@@ -823,6 +823,83 @@ object VectorQueries extends QueryPack {
                        * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.45
               ORDER BY a_id, b_id""")),
 
+    // Embedding near-dup via SRP-LSH candidates → exact cosine verify —
+    // the SUB-QUADRATIC near-dup path. [[Dedup.embeddingPairs]] (the
+    // vec_near_dup operator above) is exact all-pairs BY DECLARATION:
+    // its cost is C(n,2) however cleverly blocked — the honest exact
+    // baseline at moderate thresholds (its scaladoc derives why LSH
+    // cannot beat n²/2 at cos ≈ 0.45) but the wrong instrument for TRUE
+    // near-dup thresholds, where a few SRP tables give near-total recall
+    // at candidate volume ≪ n²/2: candidates shuffle on (table, bucket)
+    // keys, verify joins vectors back by id — corpus-linear + output.
+    // The fixture's embeddings carry no pair above cos 0.7 (near-dup is
+    // a clone-regime operator), so the query plants its own clone
+    // structure deterministically: every even vec_id gets an exact twin
+    // at id + 100000 — identical vectors agree on every SRP sign bit, so
+    // each twin pair collides in all 4 tables and recall is CERTAIN,
+    // while the base pairs at cos ≈ 0.45 that leak into the candidate
+    // set must be rejected by the exact verify (the filter the oracle
+    // replays). Same SRP convention as vec_lsh_candidates (md5-derived
+    // hyperplane signs, exact micro-long projections), so DuckDB
+    // regenerates planes, buckets, candidates, and the verify
+    // bit-for-bit.
+    Q("vec_near_dup_lsh",
+      (s, dir) => {
+        val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val corpus = base.unionAll(
+          base.filter(col("vec_id") % 2 === 0)
+            .select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding")))
+        Dedup.embeddingPairsViaCandidates(corpus, "vec_id", "embedding",
+            minCos = 0.999, dim = 64, bitsPerTable = 8, tables = 4)
+          .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH corpus AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id % 2 = 0),
+              planes AS (
+                SELECT t.t AS tbl, p.p AS p, d.d AS d,
+                       CASE WHEN (('0x' || substr(md5('srp|' || (42 + t.t)
+                                    || '|' || p.p || '|' || d.d), 1, 8))::BIGINT
+                                  % 1000000) < 500000
+                            THEN 1 ELSE -1 END AS s
+                FROM range(0, 4) t(t), range(0, 8) p(p), range(0, 64) d(d)),
+              q AS (
+                SELECT vec_id, i - 1 AS d,
+                       CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT) AS qx
+                FROM (SELECT vec_id,
+                             generate_subscripts(embedding, 1) AS i,
+                             unnest(embedding) AS x
+                      FROM corpus)),
+              proj AS (
+                SELECT q.vec_id, pl.tbl, pl.p, sum(q.qx * pl.s) AS dp
+                FROM q JOIN planes pl ON pl.d = q.d
+                GROUP BY 1, 2, 3),
+              buckets AS (
+                SELECT vec_id, tbl,
+                       string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END,
+                                  '' ORDER BY p) AS bucket
+                FROM proj GROUP BY vec_id, tbl),
+              cands AS (
+                SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM buckets a JOIN buckets b
+                  ON a.tbl = b.tbl AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id)
+              SELECT c.a_id, c.b_id,
+                     round(list_dot_product(ea.embedding, eb.embedding)
+                           / (sqrt(list_dot_product(ea.embedding, ea.embedding))
+                              * sqrt(list_dot_product(eb.embedding, eb.embedding))),
+                           6) AS cos
+              FROM cands c
+              JOIN corpus ea ON ea.vec_id = c.a_id
+              JOIN corpus eb ON eb.vec_id = c.b_id
+              WHERE list_dot_product(ea.embedding, eb.embedding)
+                    / (sqrt(list_dot_product(ea.embedding, ea.embedding))
+                       * sqrt(list_dot_product(eb.embedding, eb.embedding))) >= 0.999
+              ORDER BY a_id, b_id""")),
+
     // Embedding near-dup CLUSTERS: the packed triangle join's pair table
     // fed through the same min-label-propagation connected components the
     // text dedup uses — the full "semantic dedup" composition (pairs →
