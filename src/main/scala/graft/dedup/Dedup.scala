@@ -336,40 +336,88 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** The per-band (band, chunk) keys of each doc's 32-bit SimHash — the
-    * pigeonhole banding behind [[simHashPairs]], exposed so skew can be
-    * inspected/tested without re-deriving the chunk arithmetic.
+  /** 64-bit frequency-weighted SimHash — [[simHash]] carried to the
+    * signature width web-scale banding needs: the ≥2-shared-chunks
+    * chunk-pair key space is 2^(2·bits/c), so a 32-bit signature at
+    * h = 2 caps the banded self-join at ~1M docs (16 × 2^16 mean-
+    * occupancy capacity) while 64 bits lift the same bound to
+    * 16 × 2^32 ≈ 68 BILLION — the difference between a fixture and a
+    * web corpus. Same one-aggregation shape (64 integer vote sums, map-
+    * side combined, order-independent); the token hash takes BOTH 32-bit
+    * halves of the same md5 the 32-bit path reads its first half from,
+    * so the low 32 bits of this signature EQUAL [[simHash]]'s output
+    * (spec-pinned) and the two operators can never drift. The bits
+    * assemble with bitwiseOR (disjoint powers of two — bit 63 would
+    * overflow an ANSI sum).
+    */
+  def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(TextFunctions.normalize(col(textCol))))
+          .as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hlo"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("hhi"))
+    val votes = (0 until 64).map { b =>
+      val h = if (b < 32) col("hlo") else col("hhi")
+      sum(when(shiftright(h, b % 32) % 2 === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    hashed.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** The C(c,2) chunk-pair band keys of a `bits`-wide `simhash` column —
+    * the ≥2-SHARED-CHUNKS combinatorial banding (the r14 move, shared
+    * with the 64-bit perceptual-hash path): c = maxHamming + 2 chunks,
+    * band key = one of the C(c,2) CHUNK PAIRS. A pair within the bound
+    * disturbs ≤ maxHamming chunks, so ≥ 2 survive intact and at least
+    * one chunk-pair key matches — same guaranteed recall as the classic
+    * one-shared split, with the per-band key space SQUARED: at the
+    * standing 32-bit h = 2 that is 4 × 8-bit chunks → 2^16 keys instead
+    * of the 3 × ~11-bit chunks (2^10.7) the r13 decade probe measured
+    * saturating; at 64-bit h = 2 it is 2^32. Chunk boundaries are
+    * k·bits/c, so all bits are covered at any c. The key bit-packs into
+    * ONE long (pairIdx << 44 | chunk_i << 22 | chunk_j — chunk width
+    * ≤ 22 enforced, pairIdx < 33² < 2^11, total < 2^55) — a single long
+    * shuffles cheaper than a 4-column key. `shiftrightunsigned` so a
+    * set 64-bit sign bit cannot smear into the extracted chunk.
+    */
+  private def chunkPairKeys(c: Int, bits: Int): IndexedSeq[Column] = {
+    require(bits == 32 || bits == 64, "simhash width is 32 or 64")
+    require(bits / c + 1 <= 22,
+      s"chunk width ${bits / c + 1} exceeds the 22-bit key pack at c=$c")
+    def chunk(k: Int): Column = {
+      val lo = k * bits / c
+      val width = (k + 1) * bits / c - lo
+      shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1))
+    }
+    for { i <- 0 until c; j <- (i + 1) until c } yield
+      shiftleft(lit((i * c + j).toLong), 44)
+        .bitwiseOR(shiftleft(chunk(i), 22)).bitwiseOR(chunk(j))
+  }
+
+  /** The banded (doc_id, simhash, bk) rows behind [[simHashPairs]],
+    * exposed so skew can be inspected/tested without re-deriving the
+    * chunk arithmetic.
     */
   private[graft] def simHashBands(docs: DataFrame, idCol: String,
-      textCol: String, maxHamming: Int): DataFrame = {
+      textCol: String, maxHamming: Int, bits: Int = 32): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 31,
-      "need 0 <= maxHamming < 31 for >=2-shared 32-bit chunk-pair bands")
-    // ≥2-SHARED-CHUNKS combinatorial banding (the r14 move, shared with
-    // the 64-bit perceptual-hash path): c = maxHamming + 2 chunks, band
-    // key = one of the C(c,2) CHUNK PAIRS. A pair within the bound
-    // disturbs ≤ maxHamming chunks, so ≥ 2 survive intact and at least
-    // one chunk-pair key matches — same guaranteed recall as the classic
-    // one-shared split, with the per-band key space SQUARED: at the
-    // standing h = 2 that is 4 × 8-bit chunks → 2^16 keys instead of the
-    // 3 × ~11-bit chunks (2^10.7) the r13 decade probe measured
-    // saturating. Chunk boundaries are k·32/c, so all 32 bits are
-    // covered at any c. The key bit-packs into ONE long
-    // (pairIdx << 40 | chunk_i << 20 | chunk_j — chunk width ≤ 16 < 20,
-    // pairIdx < 33² < 2^11) — a single long shuffles cheaper than a
-    // 4-column key.
-    val c = maxHamming + 2
-    def chunk(k: Int): Column = {
-      val lo = k * 32 / c
-      val width = (k + 1) * 32 / c - lo
-      shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1))
-    }
-    val keys = (for { i <- 0 until c; j <- (i + 1) until c } yield
-      shiftleft(lit((i * c + j).toLong), 40)
-        .bitwiseOR(shiftleft(chunk(i), 20)).bitwiseOR(chunk(j))): IndexedSeq[Column]
-    simHash(docs, idCol, textCol)
-      .select(col("doc_id"), col("simhash"),
-        explode(array(keys: _*)).as("bk"))
+      "need 0 <= maxHamming < 31 for >=2-shared chunk-pair bands")
+    val sigs =
+      if (bits == 64) simHash64(docs, idCol, textCol)
+      else simHash(docs, idCol, textCol)
+    bandSigs(sigs, maxHamming, bits)
   }
+
+  private def bandSigs(sigs: DataFrame, maxHamming: Int, bits: Int): DataFrame =
+    sigs.select(col("doc_id"), col("simhash"),
+      explode(array(chunkPairKeys(maxHamming + 2, bits): _*)).as("bk"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, via
     * ≥2-shared-chunks pigeonhole banding ([[simHashBands]]) — NOT an
@@ -423,6 +471,66 @@ object Dedup {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(expr("a.simhash ^ b.simhash")).as("hamming"))
+  }
+
+  /** 64-bit SimHash near-dup pairs with the LOUD capacity guard — the
+    * web-scale serving configuration of the banded family: chunk-pair
+    * keys over a [[simHash64]] signature give a 2^(2·64/c)-value key
+    * space (2^32 at h = 2 vs the 32-bit path's 2^16 — theoretical
+    * capacity 16 × 2^32 ≈ 68 BILLION docs at mean band occupancy
+    * [[graft.multimodal.Multimodal.MaxBandOccupancy]]; the counted
+    * probe saturates at ~2^31, where occupancy over 2^32 keys is still
+    * < 1 — the same int-limit convention as the phash guard), and like
+    * [[graft.multimodal.Multimodal.phashPairs]] the corpus is counted
+    * against that capacity via one `limit(cap+1)` probe over the lazily
+    * checkpointed signature frame (which the self-join then reuses, so
+    * the 64-vote aggregation runs ONCE, not once per join side) and the
+    * job fails with the remediation dials spelled out instead of
+    * silently going quadratic. Verify-before-distinct: the ≤-bound
+    * filter runs before the pair-level dedup so the distinct shuffles
+    * only true pairs. Same salt dial as [[simHashPairs]].
+    */
+  def simHashPairs64(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val sigs = simHash64(docs, idCol, textCol).localCheckpoint(eager = false)
+    val cap = simHashCapacity(maxHamming, bits = 64)
+    val n = sigs.limit((cap min (Int.MaxValue - 1).toLong).toInt + 1).count()
+    if (n > cap) throw new IllegalStateException(
+      s"simHashPairs64: $n signatures exceed the banding capacity $cap at " +
+        s"maxHamming=$maxHamming (mean band-bucket occupancy > " +
+        s"${graft.multimodal.Multimodal.MaxBandOccupancy} — the candidate " +
+        "join would go quadratic). Lower the hamming bound (more key bits " +
+        "per band) or shard the corpus.")
+    val banded = bandSigs(sigs, maxHamming, bits = 64)
+    val (aSide, bSide, keys) =
+      if (saltBuckets == 1) (banded, banded, Seq("bk"))
+      else (
+        banded.withColumn("salt",
+          pmod(xxhash64(col("doc_id")), lit(saltBuckets)).cast("int")),
+        banded.withColumn("salt",
+          explode(sequence(lit(0), lit(saltBuckets - 1)))),
+        Seq("bk", "salt"))
+    aSide.as("a").join(bSide.as("b"), keys)
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(expr("a.simhash ^ b.simhash")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** [[simHashPairs64]]'s counted capacity: signature count beyond which
+    * mean band-bucket occupancy at `maxHamming` passes the shared
+    * [[graft.multimodal.Multimodal.MaxBandOccupancy]] bound. Key bits =
+    * 2 · floor(bits/c) (two chunks form the band key; the floor is the
+    * conservative narrow-chunk width).
+    */
+  def simHashCapacity(maxHamming: Int, bits: Int): Long = {
+    require(maxHamming >= 0 && maxHamming < 31, "maxHamming in [0, 31)")
+    val keyBits = 2 * (bits / (maxHamming + 2))
+    if (keyBits >= 31) (Int.MaxValue - 1).toLong
+    else (graft.multimodal.Multimodal.MaxBandOccupancy << keyBits)
+      .min((Int.MaxValue - 1).toLong)
   }
 
   /** Exact embedding-cosine near-dup pairs above `minCos`, as a

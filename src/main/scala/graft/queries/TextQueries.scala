@@ -1656,6 +1656,55 @@ object TextQueries extends QueryPack {
                 AND bit_count(xor(a.simhash, b.simhash)::BIT) <= 2
               ORDER BY a_id, b_id""")),
 
+    // The WEB-SCALE SimHash pairs configuration (r14): a 64-bit
+    // signature under the same ≥2-shared-chunks banding — the chunk-pair
+    // key space is 2^(2·64/c) = 2^32 at h = 2 (vs the 32-bit operator's
+    // 2^16, whose mean-occupancy capacity tops out at ~1M docs), lifting
+    // the banded self-join's capacity to ~68 BILLION docs, with a
+    // counted limit-probe guard that fails LOUDLY (remediation dials in
+    // the message) instead of silently going quadratic past it. The
+    // signature's 64 votes read both 32-bit halves of the SAME token md5
+    // the 32-bit operator reads its first half from, so the low half of
+    // every signature equals doc_dedup_simhash's output (spec-pinned —
+    // the two operators cannot drift). Stricter than the 32-bit pair
+    // set by construction: hamming over 64 bits ≥ hamming over the low
+    // 32. DuckDB re-derives signatures as two BIGINT halves (the 64-bit
+    // value would overflow signed SQL arithmetic at bit 63) and verifies
+    // by brute-force all-pairs — proving the banding loses nothing.
+    Q("doc_dedup_simhash64_pairs",
+      (s, dir) => Dedup.simHashPairs64(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 2)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+        .orderBy("a_id", "b_id"),
+      Some("""WITH tok AS (
+                SELECT doc_id, unnest(
+                  string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+                FROM documents),
+              bits AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hlo,
+                       ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hhi,
+                       unnest(range(0, 32)) AS b
+                FROM tok),
+              votes AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (hlo >> b) % 2 = 1 THEN 1 ELSE -1 END) AS vlo,
+                       sum(CASE WHEN (hhi >> b) % 2 = 1 THEN 1 ELSE -1 END) AS vhi
+                FROM bits GROUP BY doc_id, b),
+              sh AS (
+                SELECT doc_id,
+                       sum(CASE WHEN vlo > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS lo,
+                       sum(CASE WHEN vhi > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS hi
+                FROM votes GROUP BY doc_id)
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     (bit_count(xor(a.lo, b.lo)::BIT)
+                      + bit_count(xor(a.hi, b.hi)::BIT))::BIGINT AS hamming
+              FROM sh a, sh b
+              WHERE a.doc_id < b.doc_id
+                AND bit_count(xor(a.lo, b.lo)::BIT)
+                    + bit_count(xor(a.hi, b.hi)::BIT) <= 2
+              ORDER BY a_id, b_id""")),
+
     // Overlapping token-window CHUNKING (size 32, stride 24 → 8-token
     // overlap) — the doc→training-example splitter every context-window
     // pipeline runs before tokenizer/packing. Pure narrow codegen: the

@@ -130,6 +130,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === ref)
   }
 
+  test("simHash64: low half equals the 32-bit signature; banding matches all-pairs") {
+    // both operators read the same token md5 (first/both 32-bit halves),
+    // so the 64-bit signature's low half must BIT-EQUAL the 32-bit one —
+    // the no-drift invariant that lets them share fixtures and intuition
+    val sh32 = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sh64 = Dedup.simHash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(sh64.nonEmpty)
+    sh64.foreach { case (id, h) =>
+      assert((h & 0xffffffffL) === sh32(id), s"doc $id low half drifted")
+    }
+    val maxHam = 2
+    val ref = (for {
+      (a, ha) <- sh64; (b, hb) <- sh64 if a < b
+      ham = java.lang.Long.bitCount(ha ^ hb) if ham <= maxHam
+    } yield (a, b, ham)).toSet
+    assert(ref.nonEmpty, "fixture should contain 64-bit simhash-close docs")
+    val got = Dedup.simHashPairs64(docs, "doc_id", "text", maxHamming = maxHam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === ref)
+    // the salt dial must not change the pair set (every unordered pair
+    // still meets exactly once, at the left doc's salt)
+    val salted = Dedup.simHashPairs64(docs, "doc_id", "text",
+        maxHamming = maxHam, saltBuckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(salted === ref)
+  }
+
+  test("simHashPairs64 fails loudly past its banding capacity") {
+    // h = 29 → 31 chunks of 2 bits → 4-bit chunk-pair keys → capacity
+    // 16 × 2^4 = 256 < the 500-doc fixture: the counted probe must throw
+    // with the remediation dials, never run the quadratic join
+    assert(Dedup.simHashCapacity(29, bits = 64) === 256L)
+    val e = intercept[IllegalStateException] {
+      Dedup.simHashPairs64(docs, "doc_id", "text", maxHamming = 29).count()
+    }
+    assert(e.getMessage.contains("capacity"))
+  }
+
   test("minhash lane agreement estimates Jaccard within sketch error on candidates") {
     val idx = Dedup.shingleIndex(docs, "doc_id", "text", n = 3)
     val sigs = Dedup.minHashSignaturesFromIndex(idx, k = 16)
