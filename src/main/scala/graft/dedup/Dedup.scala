@@ -708,4 +708,89 @@ object Dedup {
       .filter(col("cos") >= minCos)
       .select("a_id", "b_id", "cos")
   }
+
+  /** Corpus-level LINE deduplication (the CCNet / RefinedWeb pass): every
+    * line whose normalized form appears in ≥ `maxDocFreq` DISTINCT
+    * documents is boilerplate (nav bars, cookie banners, license headers,
+    * share buttons) and is cut from EVERY document; the rest of each doc
+    * reassembles in order. This is line-granular, corpus-frequency-keyed —
+    * a different axis from span dedup (`doc_despan` cuts shingle runs but
+    * keeps one keeper copy) and from doc-level dedup (which drops whole
+    * docs): boilerplate lines survive doc-level dedup because the docs
+    * AROUND them differ, and despan's keeper rule would keep one copy per
+    * distinct span, which is wrong for boilerplate — no copy is content.
+    *
+    * Shape at 100 TB: one narrow line-ification (posexplode), one
+    * aggregation shuffled on the normalized line (count DISTINCT docs —
+    * partial aggregation absorbs the per-doc repeats map-side), one
+    * corpus-sized equi-join back on the line key, one per-doc positional
+    * re-collect. Everything is linear in total line count; there is no
+    * pair join anywhere, no broadcast of corpus-derived state, and the
+    * line-frequency table shards freely across executors. Hot keys (the
+    * boilerplate itself — some lines appear in millions of docs) are
+    * exactly the keys the join's build side REMOVES, and AQE skew-split
+    * covers the count; `maxDocFreq` is the only dial.
+    *
+    * `docs(idCol, textCol)` → (doc_id, pos, line, keep) at line grain.
+    */
+  def lineDedupFlags(docs: DataFrame, idCol: String, textCol: String,
+      wordsPerLine: Int, maxDocFreq: Long): DataFrame = {
+    require(wordsPerLine >= 1, s"wordsPerLine must be >= 1, got $wordsPerLine")
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    // The fixture's documents carry no newlines, so "lines" are fixed
+    // windows of `wordsPerLine` whitespace-separated words — the chunking
+    // is deterministic, so exact-clone docs produce exactly-equal lines
+    // (the property corpus-frequency keying needs). A real web corpus
+    // would split on '\n' instead; everything downstream is unchanged.
+    val lines = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("w"))
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(w) + ${wordsPerLine - 1}) div $wordsPerLine - 1),
+             |          i -> array_join(slice(w, i * $wordsPerLine + 1, $wordsPerLine), ' '))"""
+            .stripMargin)))
+      .select(col("doc_id"), col("pos"), col("col").as("line"))
+      .withColumn("k", lower(trim(col("line"))))
+    val freq = lines
+      .groupBy("k")
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+    lines
+      .join(freq, "k")
+      .select(col("doc_id"), col("pos"), col("line"),
+        (col("line_df") < maxDocFreq).as("keep"))
+  }
+
+  /** [[lineDedupFlags]] reassembled to cleaned documents: (doc_id,
+    * clean_text, n_kept_lines, n_dropped_lines). Docs that were ALL
+    * boilerplate come back with empty text and n_kept_lines = 0 (the
+    * downstream quality filter's job to drop — this operator never
+    * changes corpus cardinality).
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      wordsPerLine: Int = 10, maxDocFreq: Long = 3L): DataFrame = {
+    val flags = lineDedupFlags(docs, idCol, textCol, wordsPerLine, maxDocFreq)
+    val rebuilt = flags
+      .filter(col("keep"))
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, line))), x -> x.line)"))
+          .as("clean_text"),
+        count(lit(1)).as("n_kept_lines"))
+    val totals = flags
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"))
+    totals
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
+        (col("n_lines") - coalesce(col("n_kept_lines"), lit(0L)))
+          .as("n_dropped_lines"))
+  }
 }

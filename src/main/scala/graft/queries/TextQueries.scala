@@ -2167,6 +2167,51 @@ object TextQueries extends QueryPack {
                      (nt - len(k))::BIGINT AS n_removed
               FROM kept ORDER BY doc_id""")),
 
+    // Corpus-level LINE dedup (CCNet / RefinedWeb): every line whose
+    // normalized form appears in >= 3 DISTINCT documents is boilerplate
+    // and is cut from EVERY doc (no keeper — boilerplate has no content
+    // copy worth keeping, unlike doc_despan's span-keeper rule); docs
+    // reassemble in order, cardinality unchanged. Fixture docs carry no
+    // newlines, so lines are deterministic 10-word windows — exact-clone
+    // groups (the fixture's planted dups) produce exactly-equal lines,
+    // which is the property corpus-frequency keying needs. Shape: one
+    // posexplode + one count-distinct shuffled on the line + one
+    // corpus-sized join back + one positional re-collect — linear in
+    // total line count, no pair join, no broadcast, the frequency table
+    // shards freely. See Dedup.lineDedup for the 100 TB rationale.
+    Q("doc_dedup_lines",
+      (s, dir) => Dedup.lineDedup(
+          t(s, dir, "documents"), "doc_id", "text",
+          wordsPerLine = 10, maxDocFreq = 3L)
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+              ln AS (SELECT doc_id,
+                            unnest([{'pos': i,
+                                     'line': array_to_string(w[i*10+1:i*10+10], ' ')}
+                                    for i in range(0, (len(w) + 9) // 10)]) AS u
+                     FROM d),
+              lines AS (SELECT doc_id, u.pos AS pos, u.line AS line,
+                               lower(trim(u.line)) AS k
+                        FROM ln),
+              freq AS (SELECT k, count(DISTINCT doc_id) AS line_df
+                       FROM lines GROUP BY 1),
+              kept AS (SELECT l.doc_id, l.pos, l.line
+                       FROM lines l JOIN freq USING (k)
+                       WHERE freq.line_df < 3),
+              agg AS (SELECT doc_id,
+                             string_agg(line, ' ' ORDER BY pos) AS clean_text,
+                             count(*) AS n_kept
+                      FROM kept GROUP BY doc_id),
+              tot AS (SELECT doc_id, count(*) AS n_lines
+                      FROM lines GROUP BY doc_id)
+              SELECT t.doc_id,
+                     coalesce(a.clean_text, '') AS clean_text,
+                     coalesce(a.n_kept, 0)::BIGINT AS n_kept_lines,
+                     (t.n_lines - coalesce(a.n_kept, 0))::BIGINT AS n_dropped_lines
+              FROM tot t LEFT JOIN agg a USING (doc_id)
+              ORDER BY t.doc_id""")),
+
     // WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken 2003
     // — the MOSS algorithm): hash every 5-gram, slide a w=8 window over
     // the hash sequence, keep each window's MINIMUM — guarantees any

@@ -637,4 +637,46 @@ class DedupSimilaritySpec extends SparkSpec {
     // and the widening is real on this corpus, not vacuous equality
     assert(c8.size > c2.size)
   }
+
+  test("line dedup: corpus-frequent lines cut everywhere, unique lines keep order") {
+    import spark.implicits._
+    // texts are sequences of exactly-aligned 10-word lines so the planted
+    // boilerplate occupies one chunk window; the key is lower(trim(_)),
+    // so doc 4's SHOUTED copy must still count toward (and fall to) the
+    // corpus frequency
+    def line(tag: String): String =
+      (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val boiler = line("cookie")
+    val docsDf = Seq(
+      (1L, s"${line("alpha")} $boiler ${line("beta")}"),
+      (2L, s"$boiler ${line("gamma")}"),
+      (3L, s"${line("delta")} $boiler"),
+      (4L, boiler.toUpperCase),
+      (5L, s"${line("eps")} ${line("zeta")}")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docsDf, "doc_id", "text",
+        wordsPerLine = 10, maxDocFreq = 3L)
+      .orderBy("doc_id")
+      .collect()
+    assert(out.length == 5, "line dedup must never change corpus cardinality")
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // boilerplate (df = 4 >= 3) is gone from every doc, no keeper copy
+    out.foreach(r => assert(!r.getString(1).toLowerCase.contains("cookie1"),
+      s"doc ${r.getLong(0)} still carries the boilerplate line"))
+    // unique lines survive in original order
+    assert(byId(1L)._1 == s"${line("alpha")} ${line("beta")}")
+    assert(byId(1L)._2 == 2L && byId(1L)._3 == 1L)
+    assert(byId(2L)._1 == line("gamma"))
+    assert(byId(3L)._1 == line("delta"))
+    // the all-boilerplate doc empties but stays present
+    assert(byId(4L) == (("", 0L, 1L)))
+    // a doc with no frequent lines is untouched
+    assert(byId(5L) == ((s"${line("eps")} ${line("zeta")}", 2L, 0L)))
+    // and below the threshold nothing is cut: df = 4 < maxDocFreq = 5
+    val loose = Dedup.lineDedup(docsDf, "doc_id", "text",
+        wordsPerLine = 10, maxDocFreq = 5L)
+      .filter(col("n_dropped_lines") > 0).count()
+    assert(loose == 0L)
+  }
 }

@@ -574,6 +574,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("doc_dedup_lines: line-keyed equi-joins only — never doc×doc") {
+    // (a size-based broadcast of the tiny-SF frequency table would be
+    // legitimate planner behavior, so only the join STRUCTURE is pinned)
+    val p = plan("doc_dedup_lines")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("text_bm25: term filter before tf agg, broadcast stats, top-k heap") {
     val p = plan("text_bm25")
     assert(p.contains("TakeOrderedAndProject"), p)
