@@ -111,6 +111,25 @@ object Dedup {
     docs.sparkSession.read.parquet(path)
   }
 
+  /** Enrich a pair frame with per-doc sizes on BOTH sides. `sizes` is
+    * corpus-derived (one row per doc), so the broadcast is gated on one
+    * counted `limit(cap+1)` probe shared by the two joins — broadcast
+    * within the cap, identical shuffled equi-joins beyond it (the
+    * [[graft.queries.VocabGuard]] discipline, without its checkpoint: the
+    * dim here is a cheap count aggregate, and a checkpoint pin would
+    * outlive [[withShingleIndex]]'s pin/release scope contract).
+    */
+  private def sizeEnrichedJoins(pairsFrame: DataFrame, sizes: DataFrame,
+      cap: Long): DataFrame = {
+    val probe = (math.min(cap, Int.MaxValue - 1L) + 1L).toInt
+    val fits = sizes.limit(probe).count() <= cap
+    def enrich(f: DataFrame, side: String, as: String): DataFrame = {
+      val dim = sizes.withColumnRenamed("doc_id", side).withColumnRenamed("n_sh", as)
+      if (fits) f.join(broadcast(dim), side) else f.join(dim, side)
+    }
+    enrich(enrich(pairsFrame, "a_id", "na"), "b_id", "nb")
+  }
+
   /** Exact Jaccard pairs from a prebuilt (doc_id, shingle) index — the
     * primary pair-generation engine behind [[jaccardPairs]].
     *
@@ -133,7 +152,8 @@ object Dedup {
     * ≪ corpus size) loses nothing in practice.
     */
   def jaccardPairsFromIndex(idx: DataFrame, minJaccard: Double,
-      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+      maxShingleDf: Int = Int.MaxValue,
+      sizesCap: Long = graft.queries.VocabGuard.MaxBroadcastEntries): DataFrame = {
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = idx.groupBy("shingle")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -144,11 +164,14 @@ object Dedup {
           |    named_struct('a_id', x, 'b_id', y))))""".stripMargin)).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
     val common = pairs.groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
-    // sizes is one row per doc — tiny next to the pair table; broadcast
-    // keeps the two enrichment joins shuffle-free
-    common
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na")), "a_id")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb")), "b_id")
+    // sizes is one row per DOC — corpus-derived, so an unconditional
+    // broadcast() is the same web-scale driver-OOM class VocabGuard
+    // closed for the vocabulary joins: counted broadcast within the cap,
+    // identical shuffled equi-join beyond it. One limit-probe covers both
+    // enrichment joins; no checkpoint (the dim is a cheap per-doc count,
+    // and a lingering checkpoint pin would outlive withShingleIndex's
+    // pin/release scope contract).
+    sizeEnrichedJoins(common, sizes, sizesCap)
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double"))
@@ -192,11 +215,12 @@ object Dedup {
     * partial scrapes, quote farms) that symmetric Jaccard structurally
     * misses: a 100-shingle doc embedded in a 10 000-shingle doc has
     * Jaccard ≈ 0.01 but containment 1.0. Identical scale shape to
-    * [[jaccardPairsFromIndex]] (one postings-list shuffle, broadcast
-    * size enrichment); only the final ratio differs.
+    * [[jaccardPairsFromIndex]] (one postings-list shuffle, counted
+    * broadcast-or-shuffle size enrichment); only the final ratio differs.
     */
   def containmentPairsFromIndex(idx: DataFrame, minContainment: Double,
-      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+      maxShingleDf: Int = Int.MaxValue,
+      sizesCap: Long = graft.queries.VocabGuard.MaxBroadcastEntries): DataFrame = {
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = idx.groupBy("shingle")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -207,9 +231,9 @@ object Dedup {
           |    named_struct('a_id', x, 'b_id', y))))""".stripMargin)).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
     val common = pairs.groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
-    common
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na")), "a_id")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb")), "b_id")
+    // per-doc sizes are corpus-derived: counted broadcast-or-shuffle
+    // (the VocabGuard discipline), never an unconditional broadcast
+    sizeEnrichedJoins(common, sizes, sizesCap)
       .withColumn("containment",
         col("n_common").cast("double") / least(col("na"), col("nb")).cast("double"))
       .filter(col("containment") >= minContainment)

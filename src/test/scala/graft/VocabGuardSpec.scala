@@ -73,4 +73,28 @@ class VocabGuardSpec extends SparkSpec {
       }
     }
   }
+
+  test("jaccard/containment size enrichment is bit-equal across the two " +
+      "branches (the per-doc sizes frame is corpus-derived)") {
+    // the r14 audit found these two still force-broadcasting the per-DOC
+    // sizes frame — corpus-sized at web scale, the exact class VocabGuard
+    // exists for; cap = 0 forces the shuffled enrichment
+    val docs = Tables.table(spark, sfDir, "documents")
+    val idx = graft.dedup.Dedup.shingleIndex(docs, "doc_id", "text", n = 3)
+      .localCheckpoint(eager = false)
+    withNoAutoBroadcast {
+      def rows(df: DataFrame) =
+        df.orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+      val jb = rows(graft.dedup.Dedup.jaccardPairsFromIndex(idx, 0.8))
+      val js = rows(graft.dedup.Dedup.jaccardPairsFromIndex(idx, 0.8,
+        sizesCap = 0L))
+      assert(jb === js, "jaccardPairsFromIndex branches diverge")
+      assert(jb.nonEmpty, "jaccard fixture pairs expected")
+      val cb = rows(graft.dedup.Dedup.containmentPairsFromIndex(idx, 0.9))
+      val cs = rows(graft.dedup.Dedup.containmentPairsFromIndex(idx, 0.9,
+        sizesCap = 0L))
+      assert(cb === cs, "containmentPairsFromIndex branches diverge")
+      assert(cb.nonEmpty, "containment fixture pairs expected")
+    }
+  }
 }
