@@ -711,6 +711,28 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** SRP table width that keeps mean bucket occupancy ≤ `occupancy` for
+    * an `n`-row corpus: a FIXED bit width is the same saturation disease
+    * the hamming banding had — 2^bits buckets hold a growing corpus at
+    * occupancy n/2^bits, and per-bucket self-join volume grows
+    * n²/2^bits, quadratic once the corpus outgrows the key space
+    * (measured: the 8-bit config ran 74 s at 30k vectors vs 16 s brute
+    * force). Adaptive bits pin the collision term at
+    * ~tables · occupancy · n — linear with a documented constant.
+    * Capped at 30 bits (plane literals stay bounded); corpora past
+    * occupancy·2^30 rows per table should raise `occupancy`/`tables`.
+    */
+  def srpBitsFor(n: Long, floorBits: Int, occupancy: Long = 16L): Int = {
+    require(floorBits >= 1 && occupancy >= 1)
+    val pos = math.max(n, 1L)
+    // overflow-safe ceil division (pos + occupancy - 1 wraps at Long.Max)
+    val groups = pos / occupancy + (if (pos % occupancy == 0L) 0L else 1L)
+    val need =
+      if (groups <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(groups - 1L)
+    math.min(30, math.max(floorBits, need))
+  }
+
   /** Embedding near-dup via SRP-LSH candidates → exact cosine verify —
     * the sub-quadratic path for TRUE near-duplicate thresholds
     * (cos ≥ ~0.85), where a few tables give near-total recall at a
@@ -718,12 +740,20 @@ object Dedup {
     * the verify joins vectors back by id and keeps pairs ≥ `minCos`.
     * Approximate by construction: recall is 1-(1-p^bits)^tables per pair
     * (p = 1 - θ/π); raise `tables` to taste.
+    *
+    * `bitsPerTable` is the FLOOR: the effective width comes from
+    * [[srpBitsFor]] over a counted corpus probe, so the bucket space
+    * grows with the corpus instead of saturating (EXACT duplicates —
+    * identical vectors — collide at any width, so recall for the clone
+    * regime is unaffected; near-but-not-identical recall decays slowly
+    * with width, compensate with `tables`).
     */
   def embeddingPairsViaCandidates(embs: DataFrame, idCol: String, vecCol: String,
       minCos: Double, dim: Int, bitsPerTable: Int = 12, tables: Int = 6,
       seed: Long = 42L): DataFrame = {
+    val bits = srpBitsFor(embs.count(), bitsPerTable)
     val cands = graft.similarity.Similarity.srpCandidates(
-      embs, idCol, vecCol, bitsPerTable, tables, dim, seed)
+      embs, idCol, vecCol, bits, tables, dim, seed)
     val vecs = embs.select(col(idCol), col(vecCol))
     cands
       .join(vecs.select(col(idCol).as("a_id"), col(vecCol).as("a_vec")), "a_id")

@@ -854,7 +854,15 @@ object VectorQueries extends QueryPack {
           .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
           .orderBy("a_id", "b_id")
       },
-      Some("""WITH corpus AS (
+      None,
+      // the SRP width is corpus-adaptive (Dedup.srpBitsFor over a counted
+      // probe — the anti-saturation dial), so the oracle interpolates the
+      // same width at dump time; everything else is static SQL
+      oracleGen = Some { (s, dir) =>
+        val base = t(s, dir, "embeddings")
+        val n = base.count() + base.filter(col("vec_id") % 2 === 0).count()
+        val bits = Dedup.srpBitsFor(n, 8)
+        s"""WITH corpus AS (
                 SELECT vec_id, embedding FROM embeddings
                 UNION ALL
                 SELECT vec_id + 100000 AS vec_id, embedding
@@ -865,7 +873,7 @@ object VectorQueries extends QueryPack {
                                     || '|' || p.p || '|' || d.d), 1, 8))::BIGINT
                                   % 1000000) < 500000
                             THEN 1 ELSE -1 END AS s
-                FROM range(0, 4) t(t), range(0, 8) p(p), range(0, 64) d(d)),
+                FROM range(0, 4) t(t), range(0, $bits) p(p), range(0, 64) d(d)),
               q AS (
                 SELECT vec_id, i - 1 AS d,
                        CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT) AS qx
@@ -898,7 +906,8 @@ object VectorQueries extends QueryPack {
               WHERE list_dot_product(ea.embedding, eb.embedding)
                     / (sqrt(list_dot_product(ea.embedding, ea.embedding))
                        * sqrt(list_dot_product(eb.embedding, eb.embedding))) >= 0.999
-              ORDER BY a_id, b_id""")),
+              ORDER BY a_id, b_id"""
+      }),
 
     // Embedding near-dup CLUSTERS: the packed triangle join's pair table
     // fed through the same min-label-propagation connected components the

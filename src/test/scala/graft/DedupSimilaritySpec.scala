@@ -269,6 +269,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.forall { case (a, b) => a < b })
   }
 
+  test("adaptive SRP width: formula pins occupancy, clones still total-recall " +
+      "above the floor") {
+    // the width formula: floor below saturation, ceil(log2(n/16)) past it,
+    // capped at 30 — the anti-saturation dial (a FIXED 8-bit table went
+    // quadratic at 30k vectors, measured 74 s vs 16 s brute force at sf1u)
+    assert(Dedup.srpBitsFor(1L, 8) == 8)
+    assert(Dedup.srpBitsFor(4096L, 8) == 8)       // 4096/16 = 256 = 2^8
+    assert(Dedup.srpBitsFor(4097L, 8) == 9)       // first row past capacity
+    assert(Dedup.srpBitsFor(30000L, 8) == 11)     // the measured sf1u regime
+    assert(Dedup.srpBitsFor(Long.MaxValue, 8) == 30) // hard cap
+    // force the adaptive branch with a synthetic corpus well past the
+    // 8-bit floor's 4096-row capacity: 6000 deterministic vectors + 600
+    // planted exact clones; identical vectors agree on every sign bit at
+    // ANY width, so recall for the clone regime must stay total
+    import spark.implicits._
+    val base = spark.range(6000).select(
+      col("id").as("vec_id"),
+      expr("cast(transform(sequence(0, 63), d -> " +
+        "pmod(xxhash64(id * 64 + d), 1000) / 1000.0 - 0.5) as array<float>)")
+        .as("embedding"))
+    val clones = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val corpus = base.unionAll(clones)
+    val got = Dedup.embeddingPairsViaCandidates(corpus, "vec_id", "embedding",
+        minCos = 0.999, dim = 64, bitsPerTable = 8, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 6000L by 10L).map(id => (id, id + 100000L)).toSet
+    assert(expected.subsetOf(got),
+      s"adaptive width lost planted clones: ${(expected -- got).take(5)}")
+  }
+
   test("IVF multi-probe: recall grows with nprobe, full probe = brute force") {
     val centroids = embs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
