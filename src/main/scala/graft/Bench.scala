@@ -59,6 +59,19 @@ object Bench {
         graft.queries.SessionMemo.evictAll(spark)
         res
       }
+    // Contention canary: rel_q6 (pure scan+filter+agg, no join, no wide
+    // shuffle — its warm time is plan-stable) is timed once at bench
+    // START and once at bench END, so every artifact self-reports
+    // whether the box was contended while it was recorded. Two rounds'
+    // headline numbers (r7, r14) were fabricated by end-of-round VM
+    // contention that only a within-artifact before/after probe can
+    // adjudicate without a re-run: a quiet box reads start ≈ end; a box
+    // that degrades mid-bench reads end >> start.
+    def canaryTime(): Double = SparkEntry.queries.get("rel_q6").map { fn =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.getOrElse(-1.0)
     // one untimed warm-up pass (JIT + codegen + page cache), then TWO
     // timed passes reporting the per-query MINIMUM: steady-state engine
     // throughput, the number that scales to a long-lived cluster. The
@@ -67,8 +80,10 @@ object Bench {
     // "regressions" on this box) cannot survive into the recorded
     // number, while a real plan regression shows up in every pass.
     runAll(timed = false)
+    val canaryStart = canaryTime() // warm: the warm-up pass already ran it
     val pass1 = runAll(timed = true)
     val pass2 = runAll(timed = true)
+    val canaryEnd = canaryTime()
     val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
       // a failure in EITHER pass poisons the query: broken never reads fast
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
@@ -84,6 +99,8 @@ object Bench {
     // A JSON parser is order-blind, so a full capture reads identically.
     val json =
       s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},""" +
+        s""""canary":{"query":"rel_q6","start_sec":$canaryStart,""" +
+        s""""end_sec":$canaryEnd},""" +
         s""""metric":"total","value":$total,"unit":"sec"}"""
     println(json)
     // belt-and-braces: the complete record as a file artifact, immune to

@@ -114,15 +114,21 @@ object Dedup {
   /** Enrich a pair frame with per-doc sizes on BOTH sides. `sizes` is
     * corpus-derived (one row per doc), so the broadcast is gated on one
     * counted `limit(cap+1)` probe shared by the two joins — broadcast
-    * within the cap, identical shuffled equi-joins beyond it (the
-    * [[graft.queries.VocabGuard]] discipline, without its checkpoint: the
-    * dim here is a cheap count aggregate, and a checkpoint pin would
-    * outlive [[withShingleIndex]]'s pin/release scope contract).
+    * within the cap, identical shuffled equi-joins beyond it — the
+    * probe-then-branch is [[graft.queries.VocabGuard.fitsWithinCap]],
+    * the checkpoint-FREE half of the guardedJoin discipline: this
+    * helper's callers run inside [[withShingleIndex]]'s pin/release
+    * scope contract (spec-pinned: NO pin created in the scope may
+    * survive it), and a localCheckpoint's blocks linger until GC, so
+    * the sizes frame stays an ordinary lazy plan. The recompute cost is
+    * bounded by the caller: the probe and both joins re-derive `sizes`
+    * from the (typically pinned) index — one cheap per-doc count
+    * aggregate per subtree. NOTE the probe is an eager Spark action at
+    * DataFrame-construction time.
     */
   private def sizeEnrichedJoins(pairsFrame: DataFrame, sizes: DataFrame,
       cap: Long): DataFrame = {
-    val probe = (math.min(cap, Int.MaxValue - 1L) + 1L).toInt
-    val fits = sizes.limit(probe).count() <= cap
+    val fits = graft.queries.VocabGuard.fitsWithinCap(sizes, cap)
     def enrich(f: DataFrame, side: String, as: String): DataFrame = {
       val dim = sizes.withColumnRenamed("doc_id", side).withColumnRenamed("n_sh", as)
       if (fits) f.join(broadcast(dim), side) else f.join(dim, side)
@@ -168,9 +174,8 @@ object Dedup {
     // broadcast() is the same web-scale driver-OOM class VocabGuard
     // closed for the vocabulary joins: counted broadcast within the cap,
     // identical shuffled equi-join beyond it. One limit-probe covers both
-    // enrichment joins; no checkpoint (the dim is a cheap per-doc count,
-    // and a lingering checkpoint pin would outlive withShingleIndex's
-    // pin/release scope contract).
+    // enrichment joins (VocabGuard.fitsWithinCap — the checkpoint-free
+    // branch; see sizeEnrichedJoins for why no checkpoint here).
     sizeEnrichedJoins(common, sizes, sizesCap)
       .withColumn("jaccard",
         col("n_common").cast("double") /
@@ -461,6 +466,10 @@ object Dedup {
     * meets exactly once (at the left doc's salt) while each reducer does
     * ~1/S of the hot key's comparisons. Cost: S× replication of the
     * (doc_id, simhash, bk) band rows — cheap, they are three longs wide.
+    *
+    * Capacity: the 32-bit key space caps this path at ~16 · 2^(2·⌊32/c⌋)
+    * docs (≈ 1 M at h = 2); a counted probe REFUSES loudly past that —
+    * the web-scale configuration is [[simHashPairs64]].
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, saltBuckets: Int = 1): DataFrame =
@@ -482,7 +491,27 @@ object Dedup {
   private def simHashRawCandidates(docs: DataFrame, idCol: String,
       textCol: String, maxHamming: Int, saltBuckets: Int): DataFrame = {
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
-    val banded = simHashBands(docs, idCol, textCol, maxHamming)
+    // Counted capacity guard (the simHashPairs64/phashPairs convention,
+    // ported here in r15 — this was the one banded-pairs member that
+    // could still go quadratic SILENTLY): the 32-bit chunk-pair key
+    // space is 2^(2·⌊32/c⌋) values (2^16 at h = 2 → capacity
+    // 16 · 2^16 ≈ 1 M docs at mean band occupancy
+    // [[graft.multimodal.Multimodal.MaxBandOccupancy]]); past it the
+    // equi-join's collision term dominates and the job must REFUSE with
+    // the remediation dials, not degrade. The signature frame is lazily
+    // checkpointed so the probe and both join sides share ONE
+    // materialization of the 64-vote aggregation.
+    val sigs = simHash(docs, idCol, textCol).localCheckpoint(eager = false)
+    val cap = simHashCapacity(maxHamming, bits = 32)
+    val n = sigs.limit((cap min (Int.MaxValue - 1).toLong).toInt + 1).count()
+    if (n > cap) throw new IllegalStateException(
+      s"simHashPairs: $n signatures exceed the banding capacity $cap at " +
+        s"maxHamming=$maxHamming (mean band-bucket occupancy > " +
+        s"${graft.multimodal.Multimodal.MaxBandOccupancy} — the candidate " +
+        "join would go quadratic). Lower the hamming bound (more key bits " +
+        "per band), switch to simHashPairs64 (2^32-value bands at h=2, " +
+        "capacity ~68 billion docs), or shard the corpus.")
+    val banded = bandSigs(sigs, maxHamming, bits = 32)
     val (aSide, bSide, keys) =
       if (saltBuckets == 1) (banded, banded, Seq("bk"))
       else (
@@ -747,11 +776,18 @@ object Dedup {
     * identical vectors — collide at any width, so recall for the clone
     * regime is unaffected; near-but-not-identical recall decays slowly
     * with width, compensate with `tables`).
+    *
+    * NOTE the width probe is an EAGER `count()` at construction time
+    * unless `knownN` is supplied — callers that already know the corpus
+    * cardinality (a pipeline knows its batch size; the query layer
+    * counts the fixture once) pass it to keep the call lazy and to
+    * guarantee the probed count matches the corpus the hashes are built
+    * over even when `embs` is nondeterministic upstream.
     */
   def embeddingPairsViaCandidates(embs: DataFrame, idCol: String, vecCol: String,
       minCos: Double, dim: Int, bitsPerTable: Int = 12, tables: Int = 6,
-      seed: Long = 42L): DataFrame = {
-    val bits = srpBitsFor(embs.count(), bitsPerTable)
+      seed: Long = 42L, knownN: Option[Long] = None): DataFrame = {
+    val bits = srpBitsFor(knownN.getOrElse(embs.count()), bitsPerTable)
     val cands = graft.similarity.Similarity.srpCandidates(
       embs, idCol, vecCol, bits, tables, dim, seed)
     val vecs = embs.select(col(idCol), col(vecCol))
@@ -774,7 +810,11 @@ object Dedup {
     * AROUND them differ, and despan's keeper rule would keep one copy per
     * distinct span, which is wrong for boilerplate — no copy is content.
     *
-    * Shape at 100 TB: one narrow line-ification (posexplode), one
+    * Shape at 100 TB: an OPTIONAL doc-row re-spread (only when the
+    * corpus arrives in fewer partitions than the cluster has cores —
+    * the [[shingleIndex]] small-files rationale; a well-partitioned
+    * corpus is left alone, so the narrow line-ification below is the
+    * first real work), one narrow line-ification (posexplode), one
     * aggregation shuffled on the normalized line (count DISTINCT docs —
     * partial aggregation absorbs the per-doc repeats map-side), one
     * corpus-sized equi-join back on the line key, one per-doc positional
@@ -796,11 +836,25 @@ object Dedup {
     // is deterministic, so exact-clone docs produce exactly-equal lines
     // (the property corpus-frequency keying needs). A real web corpus
     // would split on '\n' instead; everything downstream is unchanged.
-    val lines = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // gated re-spread: only a corpus arriving in FEWER partitions than
+    // the cluster has cores gets the shingleIndex-style repartition (the
+    // few/small-files case the narrow line-ification needs); a corpus
+    // already at cluster parallelism keeps its partitioning — no
+    // unconditional corpus-wide shuffle
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < parallelism)
+        docs.repartition(parallelism)
+      else docs
+    // null text must not drop the doc (the cardinality invariant
+    // lineDedup documents): split(NULL) would propagate null through
+    // transform/sequence and posexplode would erase the row, so null
+    // coalesces to the empty string (which line-ifies to one empty line,
+    // exactly like genuinely empty text)
+    val lines = spread
       .select(
         col(idCol).as("doc_id"),
-        split(col(textCol), " ").as("w"))
+        split(coalesce(col(textCol), lit("")), " ").as("w"))
       .select(
         col("doc_id"),
         posexplode(expr(

@@ -949,46 +949,24 @@ object ExtendedQueries extends QueryPack {
                AND a.ts <= b.te AND b.ts <= a.te
               GROUP BY a.event_type ORDER BY a.event_type""")),
 
-    // Interval-overlap PAIR EMISSION via time-bucket blocking — the
-    // temporal analog of the dedup postings index, kept as its own
-    // operator now that join_interval counts by sweep-line: when the
-    // pairs themselves ARE the output (session stitching, co-occurrence
-    // edges), enumeration is the job and output-linear cost is the
-    // floor. Each event carries [ts, ts + floor(value) minutes]
-    // (whole-second arithmetic so both engines compare identical µs
-    // timestamps); every interval EXPLODES into the hour buckets it
-    // spans (≤ 4, bounded by the 200-min value cap) and pairs
-    // equi-join on (event_type, bucket) — a plain hash shuffle, no
-    // theta join. Multi-bucket double-counting is eliminated WITHOUT a
-    // pair-level distinct (a second full shuffle of the pair set): a
-    // pair is emitted only from its REPORTING bucket — the one holding
-    // the later of the two starts, which both intervals provably span.
-    // Bounded to ≥ 60 overlapping minutes: the emitting form of this
-    // operator always ships with a selectivity dial (emit-everything is
-    // the count query's job to size first).
+    // Interval-overlap PAIR EMISSION via time-bucket blocking — now the
+    // [[graft.operators.IntervalOverlap]] operator (see its scaladoc for
+    // the shape: hour-bucket explosion, reporting-bucket dedup without a
+    // pair-level distinct, and the r15 counted occupancy guard that
+    // REFUSES a hot (type, bucket) key instead of letting one reducer
+    // emit d²/2 pairs silently). Each event carries
+    // [ts, ts + floor(value) minutes] (whole-second arithmetic so both
+    // engines compare identical µs timestamps); bounded to ≥ 60
+    // overlapping minutes — the emitting form always ships with a
+    // selectivity dial (emit-everything is the sweep-line count query's
+    // job to size first).
     Q("join_interval_pairs",
       (s, dir) => {
         val iv = t(s, dir, "events").select(
           col("event_id"), col("event_type"), col("ts"),
           expr("timestampadd(MINUTE, CAST(floor(value) AS INT), ts)").as("te"))
-        val bucketed = iv.select(col("event_id"), col("event_type"),
-          col("ts"), col("te"),
-          explode(expr(
-            "sequence(date_trunc('hour', ts), date_trunc('hour', te), interval 1 hour)"))
-            .as("bk"))
-        val a = bucketed.select(col("event_type"), col("bk"),
-          col("event_id").as("a_id"), col("ts").as("a_ts"), col("te").as("a_te"))
-        val b = bucketed.select(col("event_type"), col("bk"),
-          col("event_id").as("b_id"), col("ts").as("b_ts"), col("te").as("b_te"))
-        a.join(b, Seq("event_type", "bk"))
-          .filter(col("a_id") < col("b_id") &&
-            col("a_ts") <= col("b_te") && col("b_ts") <= col("a_te") &&
-            date_trunc("hour", greatest(col("a_ts"), col("b_ts"))) === col("bk"))
-          .select(col("event_type"), col("a_id"), col("b_id"),
-            (unix_timestamp(least(col("a_te"), col("b_te"))) -
-              unix_timestamp(greatest(col("a_ts"), col("b_ts"))))
-              .divide(lit(60L)).cast("long").as("ov_minutes"))
-          .filter(col("ov_minutes") >= 60L)
+        graft.operators.IntervalOverlap.overlapPairs(iv,
+            "event_type", "event_id", "ts", "te", minOverlapMinutes = 60L)
           .orderBy("a_id", "b_id")
       },
       Some("""WITH iv AS (SELECT event_id, event_type, ts,

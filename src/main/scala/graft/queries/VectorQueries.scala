@@ -24,6 +24,22 @@ object VectorQueries extends QueryPack {
   private def probeSql(alias: String): String =
     s"(SELECT embedding AS pv FROM embeddings WHERE vec_id = $ProbeId) $alias"
 
+  /** The planted-clone corpus `vec_near_dup_lsh` (and its eval twin) runs
+    * on — the embeddings table plus an exact twin of every even vec_id at
+    * id + 100000. ONE definition shared by the query and its oracle
+    * generator, so if the planting rule ever changes the corpus-adaptive
+    * SRP width ([[Dedup.srpBitsFor]] over this corpus's cardinality)
+    * cannot silently diverge between the operator and the oracle's
+    * interpolated width.
+    */
+  private def nearDupLshCorpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    base.unionAll(
+      base.filter(col("vec_id") % 2 === 0)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding")))
+  }
+
   /** PQ codebook per fixture, memoized: the codebook is a tiny plain
     * value (m·ksub·dsub floats), so the memo pins no Spark state — it
     * just avoids re-running the Lloyd rounds on every query invocation.
@@ -845,11 +861,8 @@ object VectorQueries extends QueryPack {
     // bit-for-bit.
     Q("vec_near_dup_lsh",
       (s, dir) => {
-        val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        val corpus = base.unionAll(
-          base.filter(col("vec_id") % 2 === 0)
-            .select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding")))
-        Dedup.embeddingPairsViaCandidates(corpus, "vec_id", "embedding",
+        Dedup.embeddingPairsViaCandidates(nearDupLshCorpus(s, dir),
+            "vec_id", "embedding",
             minCos = 0.999, dim = 64, bitsPerTable = 8, tables = 4)
           .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
           .orderBy("a_id", "b_id")
@@ -857,10 +870,11 @@ object VectorQueries extends QueryPack {
       None,
       // the SRP width is corpus-adaptive (Dedup.srpBitsFor over a counted
       // probe — the anti-saturation dial), so the oracle interpolates the
-      // same width at dump time; everything else is static SQL
+      // same width at dump time, counting THE SAME corpus frame the query
+      // runs on (nearDupLshCorpus — shared helper, no drift possible);
+      // everything else is static SQL
       oracleGen = Some { (s, dir) =>
-        val base = t(s, dir, "embeddings")
-        val n = base.count() + base.filter(col("vec_id") % 2 === 0).count()
+        val n = nearDupLshCorpus(s, dir).count()
         val bits = Dedup.srpBitsFor(n, 8)
         s"""WITH corpus AS (
                 SELECT vec_id, embedding FROM embeddings
@@ -907,6 +921,128 @@ object VectorQueries extends QueryPack {
                     / (sqrt(list_dot_product(ea.embedding, ea.embedding))
                        * sqrt(list_dot_product(eb.embedding, eb.embedding))) >= 0.999
               ORDER BY a_id, b_id"""
+      }),
+
+    // SRP-LSH near-dup MEASUREMENT — the dial table for the approximate
+    // path (verdict-r14 #3: every other approximate operator carries a
+    // measured dial — vec_ivf_recall for nprobe, vec_pq_recall for
+    // shortlist, doc_dedup_eval(_sweep) for banding; this is the SRP
+    // twin). On the same planted-clone corpus as vec_near_dup_lsh
+    // (shared nearDupLshCorpus helper), candidates from tables ∈
+    // {2, 4, 6, 8} are scored against the EXACT cos ≥ 0.45 pair set
+    // (the vec_near_dup threshold — the moderate-threshold regime where
+    // the srpCandidates scaladoc derives that recall is genuinely
+    // partial, so the recall column actually moves with the dial; clone
+    // pairs at cos = 1.0 collide in every table and anchor the top).
+    // Row tables = 0 is the EXACT ANCHOR: candidates = all C(n,2) pairs
+    // (recall 1.0 by definition, precision = the base rate) — the row a
+    // pipeline compares the LSH configs against. Table prefix-nesting
+    // (table t uses seed 42 + t) means the four candidate sets nest, so
+    // one 8-table bucket build serves all four configs in both engines.
+    // All counts exact ints; the two ratios are single IEEE divisions.
+    Q("vec_near_dup_eval",
+      (s, dir) => {
+        val corpus = nearDupLshCorpus(s, dir).localCheckpoint(eager = false)
+        val n = corpus.count()
+        val allPairs = n * (n - 1) / 2
+        val bits = Dedup.srpBitsFor(n, 8)
+        val exact = Dedup.embeddingPairs(corpus, "vec_id", "embedding",
+            minCos = 0.45)
+          .select("a_id", "b_id").localCheckpoint(eager = false)
+        val nt = exact.agg(count(lit(1)).as("n_true"))
+        val anchor = nt.select(
+          lit(0L).as("tables"),
+          lit(allPairs).as("n_cand"),
+          col("n_true"),
+          col("n_true").as("tp"),
+          round(col("n_true").cast("double") / lit(allPairs.toDouble), 4)
+            .as("prec"),
+          lit(1.0).as("recall"))
+        val rows = Seq(2, 4, 6, 8).map { tb =>
+          val cand = Similarity.srpCandidates(corpus, "vec_id", "embedding",
+              bits, tb, dim = 64, seed = 42L)
+            .localCheckpoint(eager = false)
+          val nc = cand.agg(count(lit(1)).as("n_cand"))
+          val tp = cand.join(exact, Seq("a_id", "b_id"))
+            .agg(count(lit(1)).as("tp"))
+          nc.crossJoin(nt).crossJoin(tp)
+            .select(lit(tb.toLong).as("tables"), col("n_cand"), col("n_true"),
+              col("tp"),
+              round(col("tp").cast("double") / greatest(col("n_cand"), lit(1L)), 4)
+                .as("prec"),
+              round(col("tp").cast("double") / greatest(col("n_true"), lit(1L)), 4)
+                .as("recall"))
+        }
+        (anchor +: rows).reduce(_.unionAll(_)).orderBy("tables")
+      },
+      None,
+      // bits interpolates from the SAME shared corpus helper the query
+      // uses (count once at dump time); everything else is static SQL
+      oracleGen = Some { (s, dir) =>
+        val bits = Dedup.srpBitsFor(nearDupLshCorpus(s, dir).count(), 8)
+        s"""WITH corpus AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id % 2 = 0),
+              planes AS (
+                SELECT t.t AS tbl, p.p AS p, d.d AS d,
+                       CASE WHEN (('0x' || substr(md5('srp|' || (42 + t.t)
+                                    || '|' || p.p || '|' || d.d), 1, 8))::BIGINT
+                                  % 1000000) < 500000
+                            THEN 1 ELSE -1 END AS s
+                FROM range(0, 8) t(t), range(0, $bits) p(p), range(0, 64) d(d)),
+              q AS (
+                SELECT vec_id, i - 1 AS d,
+                       CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT) AS qx
+                FROM (SELECT vec_id,
+                             generate_subscripts(embedding, 1) AS i,
+                             unnest(embedding) AS x
+                      FROM corpus)),
+              proj AS (
+                SELECT q.vec_id, pl.tbl, pl.p, sum(q.qx * pl.s) AS dp
+                FROM q JOIN planes pl ON pl.d = q.d
+                GROUP BY 1, 2, 3),
+              buckets AS (
+                SELECT vec_id, tbl,
+                       string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END,
+                                  '' ORDER BY p) AS bucket
+                FROM proj GROUP BY vec_id, tbl),
+              truth AS (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM corpus a, corpus b
+                WHERE a.vec_id < b.vec_id
+                  AND list_dot_product(a.embedding, b.embedding)
+                      / (sqrt(list_dot_product(a.embedding, a.embedding))
+                         * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.45),
+              nn AS (SELECT count(*) AS n FROM corpus),
+              tn AS (SELECT count(*) AS n_true FROM truth),
+              cfg(tables) AS (SELECT unnest([2, 4, 6, 8])),
+              cand AS (
+                SELECT c.tables, a.vec_id AS a_id, b.vec_id AS b_id
+                FROM cfg c
+                JOIN buckets a ON a.tbl < c.tables
+                JOIN buckets b ON b.tbl = a.tbl AND b.bucket = a.bucket
+                                  AND a.vec_id < b.vec_id
+                GROUP BY 1, 2, 3),
+              m AS (
+                SELECT cand.tables, count(*) AS n_cand,
+                       count(t.a_id) AS tp
+                FROM cand LEFT JOIN truth t USING (a_id, b_id)
+                GROUP BY cand.tables)
+              SELECT CAST(0 AS BIGINT) AS tables,
+                     (SELECT n * (n - 1) // 2 FROM nn) AS n_cand,
+                     tn.n_true, tn.n_true AS tp,
+                     round(tn.n_true::DOUBLE
+                           / (SELECT n * (n - 1) // 2 FROM nn), 4) AS prec,
+                     CAST(1.0 AS DOUBLE) AS recall
+              FROM tn
+              UNION ALL
+              SELECT CAST(m.tables AS BIGINT), m.n_cand, tn.n_true, m.tp,
+                     round(m.tp::DOUBLE / greatest(m.n_cand, 1), 4) AS prec,
+                     round(m.tp::DOUBLE / greatest(tn.n_true, 1), 4) AS recall
+              FROM m, tn
+              ORDER BY tables"""
       }),
 
     // Embedding near-dup CLUSTERS: the packed triangle join's pair table

@@ -51,9 +51,20 @@ object VocabGuard {
       joinType: String = "inner",
       cap: Long = MaxBroadcastEntries): DataFrame = {
     val d = dim.localCheckpoint(eager = false)
-    val probe = (math.min(cap, Int.MaxValue - 1L) + 1L).toInt
-    val n = d.limit(probe).count()
-    if (n <= cap) fact.join(broadcast(d), keys, joinType)
+    if (fitsWithinCap(d, cap)) fact.join(broadcast(d), keys, joinType)
     else fact.join(d, keys, joinType)
+  }
+
+  /** The counted `limit(cap+1)` probe alone: true when `dim` has at most
+    * `cap` rows. Factored out of [[guardedJoin]] for CHECKPOINT-FREE
+    * callers ([[graft.dedup.Dedup]]'s size-enrichment joins) whose
+    * pin/release contracts forbid even a lazily-checkpointed
+    * materialization — a localCheckpoint's blocks linger until the frame
+    * is GC'd, which DedupSimilaritySpec's scope-pin test rejects inside
+    * `withShingleIndex`. NOTE: an eager Spark action.
+    */
+  def fitsWithinCap(dim: DataFrame, cap: Long): Boolean = {
+    val probe = (math.min(cap, Int.MaxValue - 1L) + 1L).toInt
+    dim.limit(probe).count() <= cap
   }
 }

@@ -170,6 +170,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("capacity"))
   }
 
+  test("simHashPairs (32-bit) fails loudly past its banding capacity") {
+    // the r15 guard-symmetry item (verdict-r14 #2): the 32-bit path gets
+    // the same counted probe as simHashPairs64/phashPairs. h = 29 → 31
+    // chunks of 1 bit → 2-bit chunk-pair keys → capacity 16 × 2^2 = 64
+    // < the 500-doc fixture: REFUSE with the remediation dials (incl.
+    // the pointer to simHashPairs64), never run the quadratic join
+    assert(Dedup.simHashCapacity(29, bits = 32) === 64L)
+    val e = intercept[IllegalStateException] {
+      Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 29).count()
+    }
+    assert(e.getMessage.contains("capacity"))
+    assert(e.getMessage.contains("simHashPairs64"))
+    // candidates surface shares the guard (same raw-candidate path)
+    val e2 = intercept[IllegalStateException] {
+      Dedup.simHashCandidates(docs, "doc_id", "text", maxHamming = 29).count()
+    }
+    assert(e2.getMessage.contains("capacity"))
+  }
+
   test("minhash lane agreement estimates Jaccard within sketch error on candidates") {
     val idx = Dedup.shingleIndex(docs, "doc_id", "text", n = 3)
     val sigs = Dedup.minHashSignaturesFromIndex(idx, k = 16)
@@ -709,5 +728,28 @@ class DedupSimilaritySpec extends SparkSpec {
         wordsPerLine = 10, maxDocFreq = 5L)
       .filter(col("n_dropped_lines") > 0).count()
     assert(loose == 0L)
+  }
+
+  test("line dedup: null-text docs survive (cardinality invariant, r15)") {
+    import spark.implicits._
+    // split(NULL) would null-propagate and posexplode would erase the
+    // row — the advisor-r14 hole: the operator coalesces to '' so a
+    // null-text doc comes back exactly like an empty-text doc
+    val withNull = Seq(
+      (1L, "alpha beta"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(withNull, "doc_id", "text",
+        wordsPerLine = 2, maxDocFreq = 2L)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3, "null text must not drop the doc")
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byId(1L) == (("alpha beta", 1L, 0L)))
+    // null and empty text behave identically: one empty line, which is
+    // corpus-frequent here (df = 2 >= 2) so both docs empty but remain
+    assert(byId(2L) == byId(3L))
+    assert(byId(2L)._1 == "")
   }
 }
