@@ -71,6 +71,14 @@ object PairProbe {
         Dedup.simHashPairs(docs, "doc_id", "text", 2).count())
     }
 
+    // doc_dedup_simhash64_pairs (r15 decade leg): the same Σ_bk C(cnt,2)
+    // work driver over the 64-bit chunk-pair banding — the emitted-row
+    // count of the candidate join before verify/distinct
+    val bandRows64 = Dedup.simHashBands(docs, "doc_id", "text", 2, bits = 64)
+      .groupBy("bk").count()
+      .agg(sum(expr("count * (count - 1) div 2"))).head().getLong(0)
+    report("simhash64_band_rows", bandRows64)
+
     // vec_near_dup: EXACT all-pairs by declaration — candidates are
     // C(n,2) in closed form; the measure of interest is verified output
     if (!skipVec) {
@@ -78,8 +86,31 @@ object PairProbe {
       val n = embs.count()
       report("embeddings_n", n)
       report("vec_allpairs", n * (n - 1) / 2)
-      report("vec_near_dup_pairs",
-        Dedup.embeddingPairs(embs, "vec_id", "embedding", 0.45).count())
+      // the exact verify join is the expensive leg — skipped in cheap
+      // mode (its verified count comes from BenchOne SPARK_GRAFT_ROWS=1)
+      if (!cheap)
+        report("vec_near_dup_pairs",
+          Dedup.embeddingPairs(embs, "vec_id", "embedding", 0.45).count())
+
+      // vec_near_dup_lsh (r15 decade leg): SRP candidate volume on the
+      // planted-clone corpus (same construction as the query's
+      // nearDupLshCorpus helper: every even vec_id gets an exact twin at
+      // id + 100000) — the collision-term denominator that normalizes
+      // the query's wall clock
+      val base = embs.select(col("vec_id"), col("embedding"))
+      val corpus = base.unionAll(
+        base.filter(col("vec_id") % 2 === 0)
+          .select((col("vec_id") + lit(100000L)).as("vec_id"),
+            col("embedding")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cn = corpus.count()
+      report("lsh_corpus_n", cn)
+      val bits = Dedup.srpBitsFor(cn, 8)
+      report("lsh_bits", bits.toLong)
+      report("lsh_candidates",
+        graft.similarity.Similarity.srpCandidates(
+          corpus, "vec_id", "embedding", bits, 4, 64, 42L).count())
+      corpus.unpersist()
     }
     spark.stop()
   }

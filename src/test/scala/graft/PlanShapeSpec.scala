@@ -382,9 +382,13 @@ class PlanShapeSpec extends SparkSpec {
   test("join_interval_pairs: bucket blocking turns the theta join into an equi join") {
     val p = plan("join_interval_pairs")
     // the O(n²) inequality join must NOT appear — blocking makes it a
-    // plain hash-partitioned equi join on (event_type, bucket)
+    // plain hash-partitioned equi join on (event_type, bucket). Since
+    // r15's occupancy guard, the bucket explosion lives in the lazily
+    // checkpointed bucket frame (probe + both join sides share ONE
+    // materialization), so this plan reads it back as an ExistingRDD
+    // scan instead of re-deriving the explode per side.
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
-    assert(p.contains("Generate explode"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), p)
   }
