@@ -67,10 +67,17 @@ object Bench {
     // contention that only a within-artifact before/after probe can
     // adjudicate without a re-run: a quiet box reads start ≈ end; a box
     // that degrades mid-bench reads end >> start.
+    // same try/catch contract as runAll: a broken canary degrades to a
+    // missing fingerprint (-1.0), never aborts the artifact (ADVICE r15)
     def canaryTime(): Double = SparkEntry.queries.get("rel_q6").map { fn =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] canary rel_q6 failed: ${e.getMessage}")
+        -1.0
+      }
     }.getOrElse(-1.0)
     // one untimed warm-up pass (JIT + codegen + page cache), then TWO
     // timed passes reporting the per-query MINIMUM: steady-state engine
