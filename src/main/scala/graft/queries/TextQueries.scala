@@ -154,7 +154,11 @@ object TextQueries extends QueryPack {
             graft.text.TextFunctions.normalize(col("text")))).as("word"))
           .filter(length(col("word")) > 0)
           .groupBy("word").agg(count(lit(1)).as("freq"))
-        graft.text.Bpe.learn(s, words, steps)
+        // the r16 scalable contract: ONE distributed dict pass, counted
+        // guarded collect, in-memory incremental merge loop — zero Spark
+        // jobs per merge step (bit-identical to the distributed learn
+        // within the cap; BpeSpec pins the three-way parity)
+        graft.text.Bpe.learnScalable(s, words, steps)
       }
   }
 
@@ -1842,11 +1846,13 @@ object TextQueries extends QueryPack {
               ORDER BY q DESC, len DESC, doc_id""")),
 
     // BPE merge learning (tokenizer training): the corpus is scanned
-    // ONCE into the word-frequency dict; every merge iteration runs on
-    // the vocab-sized dict with in-row pair generation, partial-
-    // aggregated counts, and a single collected argmax row per step —
-    // Lloyd's-iteration driver contract, lineage truncated per step
-    // (see text/Bpe.scala). ORACLED since r14, and by a STATIC SQL
+    // ONCE into the word-frequency dict; since r16 the merge loop then
+    // runs IN-MEMORY over the counted-guard-collected dict
+    // ([[graft.text.Bpe.learnScalable]] — incremental pair index, zero
+    // Spark jobs per merge step; top-N-by-frequency sample-then-train
+    // beyond the 10M-entry cap), closing the V-sequential-jobs driver
+    // bound a 32k-merge vocab would hit under the old per-step
+    // collected-argmax loop. ORACLED since r14, and by a STATIC SQL
     // string: the 8 chained iterations replay in DuckDB as CTE triplets
     // (pair-count → deterministic argmax → one-replace() merge rewrite
     // over the space-wrapped encoding — [[TextOracle.bpeTrainSql]]), so

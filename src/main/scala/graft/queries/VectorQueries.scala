@@ -934,79 +934,114 @@ object VectorQueries extends QueryPack {
     // the srpCandidates scaladoc derives that recall is genuinely
     // partial, so the recall column actually moves with the dial; clone
     // pairs at cos = 1.0 collide in every table and anchor the top).
-    // Row tables = 0 is the EXACT ANCHOR: candidates = all C(n,2) pairs
-    // (recall 1.0 by definition, precision = the base rate) — the row a
-    // pipeline compares the LSH configs against. Table prefix-nesting
-    // (table t uses seed 42 + t) means the four candidate sets nest, so
-    // one 8-table bucket build serves all four configs in both engines.
-    // All counts exact ints; the two ratios are single IEEE divisions.
+    // Row (tables, bits) = (0, 0) is the EXACT ANCHOR: candidates = all
+    // C(n,2) pairs (recall 1.0 by definition, precision = the base
+    // rate) — the row a pipeline compares the LSH configs against.
+    //
+    // TWO dial axes since r16 (verdict-r15 #4): the r15 table showed
+    // recall nearly flat 0.888→0.909 from 2→8 tables at the fixed
+    // srpBitsFor width — near the cos 0.45 threshold the actionable
+    // dial is bits-per-table, so the sweep is now tables ∈ {2,4,6,8} ×
+    // bits ∈ {w−2, w, w+2} around the adaptive width w. BOTH axes
+    // prefix-nest into ONE bucket build: table t is seeded 42 + t
+    // independent of the tables count (candidate sets nest across
+    // table prefixes), and plane p's hyperplane depends only on
+    // (seed, p, d), so the width-w bucket is the w-PREFIX of the
+    // width-(w+2) bucket string — the widest build serves all three
+    // widths via substring compares. The self-join runs ONCE at the
+    // coarsest (lo) prefix (a superset of every config's candidates),
+    // each pair keeps its first colliding table AT EACH width, and all
+    // 12 configs fall out of one conditional aggregation. All counts
+    // exact ints; the two ratios are single IEEE divisions.
     Q("vec_near_dup_eval",
       (s, dir) => {
         val corpus = nearDupLshCorpus(s, dir).localCheckpoint(eager = false)
         val n = corpus.count()
         val allPairs = n * (n - 1) / 2
-        val bits = Dedup.srpBitsFor(n, 8)
+        val mid = Dedup.srpBitsFor(n, 8)
+        val lo = math.max(mid - 2, 1)
+        val hi = mid + 2
+        // checkpointed: serves BOTH the n_true count and the left join
+        // below (ADVICE r15 — the most expensive leg ran twice)
         val exact = Dedup.embeddingPairs(corpus, "vec_id", "embedding",
             minCos = 0.45)
           .select("a_id", "b_id")
+          .localCheckpoint(eager = false)
         val nt = exact.agg(count(lit(1)).as("n_true"))
         val anchor = nt.select(
           lit(0L).as("tables"),
+          lit(0L).as("bits"),
           lit(allPairs).as("n_cand"),
           col("n_true"),
           col("n_true").as("tp"),
           round(col("n_true").cast("double") / lit(allPairs.toDouble), 4)
             .as("prec"),
           lit(1.0).as("recall"))
-        // one 8-table bucket build serves all four configs (table t is
-        // seeded 42 + t independent of the tables count, so candidate
-        // sets prefix-nest): the self-join runs ONCE over the
-        // checkpointed bucket frame, each pair keeps the FIRST table it
-        // collides in, and n_cand/tp for every prefix fall out of one
-        // conditional aggregation — vs four bucket rebuilds (2+4+6+8 =
-        // 20 table-projections) and four joins, measured 2× faster
         val buckets = corpus.select(col("vec_id"),
             explode(array((0 until 8).map { t =>
               struct(lit(t).as("tbl"),
                 Similarity.srpBucket(col("embedding"),
-                  Similarity.signedPlanes(bits, 64, 42L + t)).as("bucket"))
+                  Similarity.signedPlanes(hi, 64, 42L + t)).as("bucket"))
             }: _*)).as("bk"))
           .select(col("vec_id"), col("bk.tbl").as("tbl"),
             col("bk.bucket").as("bucket"))
           .localCheckpoint(eager = false)
+        // join once at the coarsest width; finer-width collisions are
+        // in-row substring equalities on the joined pair
         val pairFirst = buckets.as("a").join(buckets.as("b"),
-            Seq("tbl", "bucket"))
-          .filter(col("a.vec_id") < col("b.vec_id"))
-          .groupBy(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-          .agg(min(col("tbl")).as("first_tbl"))
+            col("a.tbl") === col("b.tbl") &&
+              substring(col("a.bucket"), 1, lo) ===
+                substring(col("b.bucket"), 1, lo) &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            col("a.tbl").as("tbl"),
+            (substring(col("a.bucket"), 1, mid) ===
+              substring(col("b.bucket"), 1, mid)).as("m_mid"),
+            (col("a.bucket") === col("b.bucket")).as("m_hi"))
+          .groupBy("a_id", "b_id")
+          .agg(min(col("tbl")).as("ft_lo"),
+            min(when(col("m_mid"), col("tbl"))).as("ft_mid"),
+            min(when(col("m_hi"), col("tbl"))).as("ft_hi"))
         val flagged = pairFirst
           .join(exact.withColumn("is_true", lit(1L)), Seq("a_id", "b_id"),
             "left")
-          .select(col("first_tbl"),
+          .select(col("ft_lo"), col("ft_mid"), col("ft_hi"),
             coalesce(col("is_true"), lit(0L)).as("is_true"))
-        val aggCols = Seq(2, 4, 6, 8).flatMap { t =>
-          Seq(
-            sum(when(col("first_tbl") < t, 1L).otherwise(0L)).as(s"nc$t"),
-            sum(when(col("first_tbl") < t, col("is_true")).otherwise(0L))
-              .as(s"tp$t"))
+        val widths = Seq("lo" -> lo, "mid" -> mid, "hi" -> hi)
+        val aggCols = widths.flatMap { case (wn, _) =>
+          Seq(2, 4, 6, 8).flatMap { t =>
+            Seq(
+              sum(when(col(s"ft_$wn") < t, 1L).otherwise(0L))
+                .as(s"nc_${wn}_$t"),
+              sum(when(col(s"ft_$wn") < t, col("is_true")).otherwise(0L))
+                .as(s"tp_${wn}_$t"))
+          }
         }
         val counts = flagged.agg(aggCols.head, aggCols.tail: _*)
+        val stackArgs = widths.flatMap { case (wn, w) =>
+          Seq(2, 4, 6, 8).map(t => s"${t}L, ${w}L, nc_${wn}_$t, tp_${wn}_$t")
+        }.mkString(", ")
         val rows = counts.select(expr(
-            "stack(4, 2L, nc2, tp2, 4L, nc4, tp4, 6L, nc6, tp6, 8L, nc8, tp8)"
-              + " as (tables, n_cand, tp)"))
+            s"stack(12, $stackArgs) as (tables, bits, n_cand, tp)"))
           .crossJoin(nt)
-          .select(col("tables"), col("n_cand"), col("n_true"), col("tp"),
+          .select(col("tables"), col("bits"), col("n_cand"), col("n_true"),
+            col("tp"),
             round(col("tp").cast("double") / greatest(col("n_cand"), lit(1L)), 4)
               .as("prec"),
             round(col("tp").cast("double") / greatest(col("n_true"), lit(1L)), 4)
               .as("recall"))
-        anchor.unionAll(rows).orderBy("tables")
+        anchor.unionByName(rows).orderBy("tables", "bits")
       },
       None,
-      // bits interpolates from the SAME shared corpus helper the query
-      // uses (count once at dump time); everything else is static SQL
+      // widths interpolate from the SAME shared corpus helper the query
+      // uses (count once at dump time); everything else is static SQL.
+      // Planes build once at the WIDEST width; the width sweep is
+      // substr-prefix compares — the same prefix-nesting as the Spark
+      // side, so both engines read one bucket table.
       oracleGen = Some { (s, dir) =>
-        val bits = Dedup.srpBitsFor(nearDupLshCorpus(s, dir).count(), 8)
+        val mid = Dedup.srpBitsFor(nearDupLshCorpus(s, dir).count(), 8)
+        val lo = math.max(mid - 2, 1)
+        val hi = mid + 2
         s"""WITH corpus AS (
                 SELECT vec_id, embedding FROM embeddings
                 UNION ALL
@@ -1018,7 +1053,7 @@ object VectorQueries extends QueryPack {
                                     || '|' || p.p || '|' || d.d), 1, 8))::BIGINT
                                   % 1000000) < 500000
                             THEN 1 ELSE -1 END AS s
-                FROM range(0, 8) t(t), range(0, $bits) p(p), range(0, 64) d(d)),
+                FROM range(0, 8) t(t), range(0, $hi) p(p), range(0, 64) d(d)),
               q AS (
                 SELECT vec_id, i - 1 AS d,
                        CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT) AS qx
@@ -1044,20 +1079,24 @@ object VectorQueries extends QueryPack {
                          * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.45),
               nn AS (SELECT count(*) AS n FROM corpus),
               tn AS (SELECT count(*) AS n_true FROM truth),
-              cfg(tables) AS (SELECT unnest([2, 4, 6, 8])),
+              cfgt(tables) AS (SELECT unnest([2, 4, 6, 8])),
+              cfgb(bits) AS (SELECT unnest([$lo, $mid, $hi])),
               cand AS (
-                SELECT c.tables, a.vec_id AS a_id, b.vec_id AS b_id
-                FROM cfg c
-                JOIN buckets a ON a.tbl < c.tables
-                JOIN buckets b ON b.tbl = a.tbl AND b.bucket = a.bucket
-                                  AND a.vec_id < b.vec_id
-                GROUP BY 1, 2, 3),
+                SELECT ct.tables, cb.bits, a.vec_id AS a_id, b.vec_id AS b_id
+                FROM cfgt ct
+                CROSS JOIN cfgb cb
+                JOIN buckets a ON a.tbl < ct.tables
+                JOIN buckets b ON b.tbl = a.tbl
+                              AND substr(b.bucket, 1, cb.bits)
+                                  = substr(a.bucket, 1, cb.bits)
+                              AND a.vec_id < b.vec_id
+                GROUP BY 1, 2, 3, 4),
               m AS (
-                SELECT cand.tables, count(*) AS n_cand,
+                SELECT cand.tables, cand.bits, count(*) AS n_cand,
                        count(t.a_id) AS tp
                 FROM cand LEFT JOIN truth t USING (a_id, b_id)
-                GROUP BY cand.tables)
-              SELECT CAST(0 AS BIGINT) AS tables,
+                GROUP BY cand.tables, cand.bits)
+              SELECT CAST(0 AS BIGINT) AS tables, CAST(0 AS BIGINT) AS bits,
                      (SELECT n * (n - 1) // 2 FROM nn) AS n_cand,
                      tn.n_true, tn.n_true AS tp,
                      round(tn.n_true::DOUBLE
@@ -1065,11 +1104,12 @@ object VectorQueries extends QueryPack {
                      CAST(1.0 AS DOUBLE) AS recall
               FROM tn
               UNION ALL
-              SELECT CAST(m.tables AS BIGINT), m.n_cand, tn.n_true, m.tp,
+              SELECT CAST(m.tables AS BIGINT), CAST(m.bits AS BIGINT),
+                     m.n_cand, tn.n_true, m.tp,
                      round(m.tp::DOUBLE / greatest(m.n_cand, 1), 4) AS prec,
                      round(m.tp::DOUBLE / greatest(tn.n_true, 1), 4) AS recall
               FROM m, tn
-              ORDER BY tables"""
+              ORDER BY tables, bits"""
       }),
 
     // Embedding near-dup CLUSTERS: the packed triangle join's pair table

@@ -20,6 +20,11 @@ import org.apache.spark.storage.StorageLevel
   *    magnitude smaller than the corpus and independent of corpus growth
   *    past saturation; 100 TB of text changes the freq column, not the
   *    dict height.
+  *  - **The merge loop itself is in-memory since r16**
+  *    ([[learnScalable]]): the dict collects under a counted guard
+  *    (frequency-truncated sample-then-train beyond it) and V merges
+  *    cost zero further Spark jobs. The bullets below describe
+  *    [[learn]], the fully-distributed fallback.
   *  - **Per iteration**: adjacent pairs are generated IN-ROW with
   *    higher-order functions (no positional self-join), partial-aggregated
   *    by pair, and only the single argmax row is collected — the driver
@@ -62,7 +67,14 @@ object Bpe {
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"),
       col("freq"))
 
-  /** Learn `steps` merges from a (word, freq) dictionary. */
+  /** Learn `steps` merges from a (word, freq) dictionary with the
+    * FULLY-DISTRIBUTED per-step loop (one collected argmax row per
+    * merge). Correct at any dict size but V merges = V sequential Spark
+    * jobs — use [[learnScalable]] (the declared query's path since r16)
+    * unless the dict genuinely cannot be frequency-truncated to driver
+    * memory; this stays as the no-collect fallback and the cross-
+    * implementation parity anchor (BpeSpec).
+    */
   def learn(spark: SparkSession, words: DataFrame, steps: Int): Seq[Merge] = {
     val mergeUdf = udf((syms: Seq[String], l: String, r: String) => mergeOnce(syms, l, r))
     var dict = initialDict(words).persist(StorageLevel.MEMORY_AND_DISK)
@@ -110,8 +122,121 @@ object Bpe {
     syms
   }
 
+  /** Scalable trainer contract (r16 — closes the one driver-side
+    * iteration bound at the 100× bar): ONE distributed pass builds the
+    * word-frequency dict, a COUNTED guard collects it, and the merge
+    * loop runs IN-MEMORY over the collected dict via the
+    * incremental-index trainer ([[learnLocalIndexed]]) — the
+    * architecture every production tokenizer trainer uses (word counts
+    * in memory, never the corpus). A V-merge vocabulary therefore costs
+    * ZERO Spark jobs beyond the dict build, where [[learn]]'s
+    * one-collected-argmax-per-step contract is V sequential Spark jobs —
+    * fine at the declared 8 steps, a driver bottleneck by construction
+    * at a real 32k–100k-merge vocab.
+    *
+    * Guard + sample-then-train: within `dictCap` (default the
+    * [[graft.queries.VocabGuard.MaxBroadcastEntries]] 10M-entry
+    * model-size bound, ~100–200 MB of strings+longs) the WHOLE dict
+    * collects and the result is bit-identical to [[learn]] /
+    * [[learnLocal]] (BpeSpec pins all three pairwise). Beyond the cap,
+    * training proceeds on the top-`dictCap` words by (freq DESC, word
+    * ASC) — the deterministic frequency-ranked sample; truncating the
+    * rarest tail is the standard sample-then-train recipe (the dropped
+    * words contribute the least pair mass), and the truncation is
+    * reported loudly on stderr with the retained-mass fraction so a
+    * deployment sees what the sample covered.
+    */
+  def learnScalable(spark: SparkSession, words: DataFrame, steps: Int,
+      dictCap: Long = graft.queries.VocabGuard.MaxBroadcastEntries): Seq[Merge] = {
+    require(dictCap >= 1 && dictCap <= Int.MaxValue - 1,
+      s"dictCap must be in [1, ${Int.MaxValue - 1}]")
+    // one lazy materialization serves the counted probe AND the collect
+    val d = words
+      .select(col("word").cast("string").as("word"),
+        col("freq").cast("long").as("freq"))
+      .localCheckpoint(eager = false)
+    val rows =
+      if (graft.queries.VocabGuard.fitsWithinCap(d, dictCap)) d.collect()
+      else {
+        val kept = d.orderBy(col("freq").desc, col("word"))
+          .limit(dictCap.toInt).collect()
+        val total = d.agg(sum("freq")).head().getLong(0)
+        val covered = kept.iterator.map(_.getLong(1)).sum
+        System.err.println(
+          f"[bpe] dict exceeds dictCap=$dictCap%d: training on the top " +
+            f"$dictCap%d words by frequency (sample-then-train), covering " +
+            f"${100.0 * covered / math.max(total, 1L)}%.2f%% of token mass")
+        kept
+      }
+    learnLocalIndexed(
+      rows.iterator.map(r => r.getString(0) -> r.getLong(1)).toMap, steps)
+  }
+
+  /** In-memory trainer with INCREMENTAL pair accounting — O(affected
+    * words) per merge instead of [[learnLocal]]'s full-dict recount:
+    * a pair→word-indices occurrence index finds the words a merge
+    * touches, each touched word's old adjacent-pair contributions are
+    * subtracted and its rewritten ones added, and the argmax comes from
+    * a (freq DESC, left ASC, right ASC)-ordered set maintained under
+    * the same deltas. Result is provably identical to [[learnLocal]]
+    * (per-word recount is exact, the order key is the same tie-break);
+    * BpeSpec pins the parity on the fixture dict and adversarial
+    * overlap cases.
+    */
+  private[graft] def learnLocalIndexed(words: Map[String, Long], steps: Int)
+      : Seq[Merge] = {
+    import scala.collection.mutable
+    val dict = mutable.ArrayBuffer.from(
+      words.toSeq.map { case (w, f) => (w.map(_.toString): Seq[String], f) })
+    val counts = mutable.Map.empty[(String, String), Long]
+    val occurs = mutable.Map.empty[(String, String), mutable.Set[Int]]
+    // ordered view of counts: head = the argmax under the learn tie-break
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.String)
+    val byFreq = mutable.TreeSet.empty[(Long, String, String)]
+    def pairsOf(syms: Seq[String]): Iterator[(String, String)] =
+      if (syms.length < 2) Iterator.empty
+      else syms.iterator.zip(syms.iterator.drop(1))
+    def add(i: Int, syms: Seq[String], f: Long): Unit =
+      pairsOf(syms).foreach { p =>
+        val old = counts.getOrElse(p, 0L)
+        if (old > 0) byFreq.remove((-old, p._1, p._2))
+        counts(p) = old + f
+        byFreq.add((-(old + f), p._1, p._2))
+        occurs.getOrElseUpdate(p, mutable.Set.empty) += i
+      }
+    def remove(i: Int, syms: Seq[String], f: Long): Unit =
+      pairsOf(syms).foreach { p =>
+        val old = counts(p)
+        byFreq.remove((-old, p._1, p._2))
+        if (old - f > 0) { counts(p) = old - f; byFreq.add((-(old - f), p._1, p._2)) }
+        else { counts.remove(p); occurs.remove(p) }
+        occurs.get(p).foreach(_ -= i)
+      }
+    dict.zipWithIndex.foreach { case ((syms, f), i) => add(i, syms, f) }
+    val merges = mutable.ArrayBuffer.empty[Merge]
+    var step = 1
+    while (step <= steps && byFreq.nonEmpty) {
+      val (negCnt, l, r) = byFreq.head
+      merges += Merge(step, l, r, l + r, -negCnt)
+      // rewrite ONLY the words containing (l, r); snapshot the index set
+      // first — remove/add mutate it
+      val touched = occurs.get((l, r)).map(_.toArray).getOrElse(Array.empty)
+      touched.foreach { i =>
+        val (syms, f) = dict(i)
+        remove(i, syms, f)
+        val next = mergeOnce(syms, l, r)
+        dict(i) = (next, f)
+        add(i, next, f)
+      }
+      step += 1
+    }
+    merges.toSeq
+  }
+
   /** Plain single-threaded reference implementation over an in-memory
-    * word-freq map — the parity oracle for [[learn]] (BpeSpec).
+    * word-freq map — the parity oracle for [[learn]] and
+    * [[learnLocalIndexed]] (BpeSpec).
     */
   private[graft] def learnLocal(words: Map[String, Long], steps: Int): Seq[Merge] = {
     var dict: Seq[(Seq[String], Long)] =

@@ -43,6 +43,49 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.mergeOnce(Nil, "a", "b") === Nil)
   }
 
+  test("learnScalable matches the distributed learner bit-for-bit") {
+    // the r16 scalable path (guarded collect + incremental in-memory
+    // loop) must be indistinguishable from the per-step distributed
+    // loop within the cap — the declared query swapped to it relying
+    // on exactly this
+    val dict = wordDict
+    assert(Bpe.learnScalable(spark, dict, steps = 8) ===
+      Bpe.learn(spark, dict, steps = 8))
+  }
+
+  test("learnLocalIndexed matches learnLocal on adversarial overlaps") {
+    // overlapping self-pairs ("aaaa"), chained merges creating new
+    // pairs ("abab" -> ab ab -> (ab,ab)), multi-word ties, and a word
+    // that vanishes into a single symbol — the delta-accounting edge
+    // cases a full recount never sees
+    val dicts = Seq(
+      Map("aaaa" -> 3L, "aaa" -> 2L, "aa" -> 7L),
+      Map("abab" -> 5L, "ab" -> 1L, "ba" -> 4L),
+      Map("aba" -> 1L, "bab" -> 1L),
+      Map("xy" -> 2L, "yx" -> 2L, "xx" -> 2L, "yy" -> 2L),
+      Map("hello" -> 10L, "help" -> 7L, "hell" -> 3L, "lo" -> 12L))
+    dicts.foreach { d =>
+      (1 to 6).foreach { k =>
+        assert(Bpe.learnLocalIndexed(d, k) === Bpe.learnLocal(d, k),
+          s"diverged on $d at steps=$k")
+      }
+    }
+  }
+
+  test("learnScalable beyond the cap trains on the top-N-by-freq sample") {
+    // sample-then-train contract: cap = 2 keeps exactly the two most
+    // frequent words (freq DESC, word ASC — deterministic), and the
+    // merges equal a local train on just that sample
+    val dict = spark.createDataFrame(Seq(
+      ("aaxx", 50L), ("bbyy", 40L), ("cczz", 3L))).toDF("word", "freq")
+    val sampled = Bpe.learnScalable(spark, dict, steps = 4, dictCap = 2L)
+    assert(sampled === Bpe.learnLocal(Map("aaxx" -> 50L, "bbyy" -> 40L), 4))
+    // and the full train sees the dropped word's pairs
+    val full = Bpe.learnScalable(spark, dict, steps = 4)
+    assert(full === Bpe.learnLocal(
+      Map("aaxx" -> 50L, "bbyy" -> 40L, "cczz" -> 3L), 4))
+  }
+
   test("ties break on (freq desc, left, right) — stable argmax") {
     // two pairs with equal weight: ("ab" vs "ba" from "aba" x1) — the
     // lexicographically smaller left wins
