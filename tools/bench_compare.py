@@ -67,7 +67,8 @@ def load(path):
             line = line[: j + 1]
         try:
             d = json.loads(line.strip().rstrip("`"))
-            return d["queries"], d.get("value"), d.get("canary")
+            return (d["queries"], d.get("value"), d.get("canary"),
+                    str(d.get("sf", "")))
         except json.JSONDecodeError:
             pass
     # driver wrapper / truncated tail: regex-recover per-query entries
@@ -82,7 +83,9 @@ def load(path):
                               "start_sec", "end_sec")
     }
     mval = re.search(r'"value":(-?[0-9.]+)', raw)
-    return qs, float(mval.group(1)) if mval else None, None
+    msf = re.search(r'"sf":\s*"?([^,"}]+)', raw)
+    return (qs, float(mval.group(1)) if mval else None, None,
+            msf.group(1) if msf else "")
 
 
 def canary_read(qs, canary):
@@ -100,8 +103,8 @@ def canary_read(qs, canary):
 
 def main():
     ref_path, cand_path = prefer_full(sys.argv[1]), prefer_full(sys.argv[2])
-    ref, ref_total, ref_canary = load(ref_path)
-    cand, cand_total, cand_canary = load(cand_path)
+    ref, ref_total, ref_canary, _ = load(ref_path)
+    cand, cand_total, cand_canary, cand_sf = load(cand_path)
     print(f"reference: {len(ref)} queries, total={ref_total}, canary={ref_canary}")
     print(f"candidate: {len(cand)} queries, total={cand_total}, canary={cand_canary}")
     if cand_canary:
@@ -119,9 +122,11 @@ def main():
     failed = sorted(k for k in cand if cand[k] < 0)
     if failed:
         print(f"FAILED in candidate: {failed}")
-    # drift-normalized gate read, independent of the reference artifact
+    # drift-normalized gate read, independent of the reference artifact;
+    # the v1 anchor is an sf0.1 number, so only sf0.1 maps gate
     cq = canary_read(cand, cand_canary)
-    if cand_total and cand_total > 0 and len(cand) > 60 and cq:
+    if (cand_total and cand_total > 0 and len(cand) > 60 and cq
+            and ("sf0.1" in cand_sf or cand_sf in ("", "0.1"))):
         spq = cand_total / len(cand)
         raw_gate = spq / V1_SPQ
         drift = cq / V1_ERA_REL_Q6
