@@ -182,6 +182,14 @@ object Bpe {
     * (per-word recount is exact, the order key is the same tie-break);
     * BpeSpec pins the parity on the fixture dict and adversarial
     * overlap cases.
+    *
+    * Memory: the occurrence index holds one (pair → word-index-set)
+    * entry per distinct pair with total set size bounded by the dict's
+    * total symbol count — a small constant factor over the dict itself,
+    * so the [[learnScalable]] cap bounds BOTH. At the 10M-word cap this
+    * is a few GB of driver heap: the trade for making a 32k-merge train
+    * cost zero Spark jobs, and the reason the cap is a dial, not a
+    * constant.
     */
   private[graft] def learnLocalIndexed(words: Map[String, Long], steps: Int)
       : Seq[Merge] = {
