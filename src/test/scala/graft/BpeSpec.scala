@@ -72,6 +72,23 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("learnLocalIndexed matches learnLocal on seeded random dicts") {
+    // randomized differential net over the delta-accounting trainer: 60
+    // dicts over a 3-letter alphabet (maximal pair collisions and
+    // overlap churn), deterministic seed so a failure is reproducible
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 60).foreach { trial =>
+      val dict = (1 to (2 + rnd.nextInt(8))).map { _ =>
+        val w = (1 to (1 + rnd.nextInt(9)))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        w -> (1L + rnd.nextInt(20))
+      }.toMap
+      val steps = 1 + rnd.nextInt(10)
+      assert(Bpe.learnLocalIndexed(dict, steps) === Bpe.learnLocal(dict, steps),
+        s"diverged on trial $trial: dict=$dict steps=$steps")
+    }
+  }
+
   test("learnScalable beyond the cap trains on the top-N-by-freq sample") {
     // sample-then-train contract: cap = 2 keeps exactly the two most
     // frequent words (freq DESC, word ASC — deterministic), and the
