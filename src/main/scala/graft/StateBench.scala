@@ -154,8 +154,13 @@ object StateBench {
       val deadline = System.nanoTime() + 30L * 60 * 1000 * 1000 * 1000
       while (processed < total && q.isActive && System.nanoTime() < deadline) {
         Thread.sleep(100)
-        val p = q.lastProgress
-        if (p != null && seenBatches.add(p.batchId)) processed += p.numInputRows
+        // scan the FULL retained progress buffer, not just lastProgress:
+        // a batch completing between polls would otherwise be skipped and
+        // the leg would stall to the deadline (ADVICE r16). recentProgress
+        // retains ~100 events — far more than can complete per 100 ms poll.
+        q.recentProgress.foreach { p =>
+          if (p != null && seenBatches.add(p.batchId)) processed += p.numInputRows
+        }
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val (rows, sst, mem) = stateGauges(q)

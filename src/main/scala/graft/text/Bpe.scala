@@ -150,10 +150,16 @@ object Bpe {
       dictCap: Long = graft.queries.VocabGuard.MaxBroadcastEntries): Seq[Merge] = {
     require(dictCap >= 1 && dictCap <= Int.MaxValue - 1,
       s"dictCap must be in [1, ${Int.MaxValue - 1}]")
-    // one lazy materialization serves the counted probe AND the collect
+    // one lazy materialization serves the counted probe AND the collect.
+    // freq >= 1 guard (ADVICE r16): learnLocalIndexed's incremental
+    // accounting assumes every word contributes positive pair mass — a
+    // zero/negative frequency would drop index entries other words still
+    // reference. Non-positive rows contribute nothing to BPE by
+    // definition, so they are filtered, not errored.
     val d = words
       .select(col("word").cast("string").as("word"),
         col("freq").cast("long").as("freq"))
+      .filter(col("freq") >= 1)
       .localCheckpoint(eager = false)
     val rows =
       if (graft.queries.VocabGuard.fitsWithinCap(d, dictCap)) d.collect()
@@ -193,6 +199,11 @@ object Bpe {
     */
   private[graft] def learnLocalIndexed(words: Map[String, Long], steps: Int)
       : Seq[Merge] = {
+    // the incremental accounting below is only exact for positive mass
+    // (see remove(): a zero-frequency word would evict counts/occurs
+    // entries other words still hold) — callers filter, this throws
+    require(words.valuesIterator.forall(_ >= 1),
+      "learnLocalIndexed requires freq >= 1 for every word")
     import scala.collection.mutable
     val dict = mutable.ArrayBuffer.from(
       words.toSeq.map { case (w, f) => (w.map(_.toString): Seq[String], f) })

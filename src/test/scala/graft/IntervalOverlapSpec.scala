@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.operators.IntervalOverlap
 
 /** [[graft.operators.IntervalOverlap]] — pair emission correctness vs a
-  * brute-force all-pairs reference, the reporting-bucket dedup, and the
-  * r15 occupancy guard (verdict-r14 #6: the emitter's d²/2-per-hot-key
-  * bound made LOUD, the banded-pairs-family convention).
+  * brute-force all-pairs reference, the reporting-bucket dedup, the r17
+  * automatic hot-bucket triangle sharding (verdict-r16 #2: a planted
+  * occupancy breach must now SUCCEED through sharding with a pair set
+  * provably identical to the unsharded form), and the output-size
+  * refusal past maxShardFactor.
   */
 class IntervalOverlapSpec extends SparkSpec {
   import spark.implicits._
@@ -25,30 +27,67 @@ class IntervalOverlapSpec extends SparkSpec {
     }
     .toDF("event_id", "event_type", "ts", "te")
 
-  test("overlapPairs matches brute-force all-pairs with the minute floor") {
+  private def collectPairs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  private lazy val bruteForce: Set[(String, Long, Long, Long)] = {
     val rows = iv.collect().map(r =>
       (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getTimestamp(3)))
-    val ref = (for {
+    (for {
       (a, ta, as_, ae) <- rows; (b, tb, bs, be) <- rows
       if a < b && ta == tb && !as_.after(be) && !bs.after(ae)
       ov = (math.min(ae.getTime, be.getTime) -
         math.max(as_.getTime, bs.getTime)) / 60000L
       if ov >= 30L
     } yield (ta, a, b, ov)).toSet
-    assert(ref.nonEmpty, "fixture should contain overlapping pairs")
-    val got = IntervalOverlap.overlapPairs(iv, "event_type", "event_id",
-        "ts", "te", minOverlapMinutes = 30L)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    // reporting-bucket dedup: every pair exactly ONCE, no distinct needed
-    assert(got.length === got.toSet.size, "pair emitted more than once")
-    assert(got.toSet === ref)
   }
 
-  test("overlapPairs refuses a hot bucket past maxBucketOccupancy") {
+  test("overlapPairs matches brute-force all-pairs with the minute floor") {
+    assert(bruteForce.nonEmpty, "fixture should contain overlapping pairs")
+    val got = collectPairs(IntervalOverlap.overlapPairs(iv, "event_type",
+      "event_id", "ts", "te", minOverlapMinutes = 30L))
+    // reporting-bucket dedup: every pair exactly ONCE, no distinct needed
+    assert(got.length === got.toSet.size, "pair emitted more than once")
+    assert(got.toSet === bruteForce)
+  }
+
+  test("hot-bucket shard path emits the identical pair set") {
+    // maxBucketOccupancy=3 forces EVERY populated (type, bucket) key
+    // through triangle sharding (fixture occupancies run well past 3,
+    // s up to ~ceil(d/3)); the pair set must be bit-identical to both
+    // the unsharded plan and the brute-force reference — sharding
+    // re-partitions the comparison space, it must never change it
+    val sharded = collectPairs(IntervalOverlap.overlapPairs(iv, "event_type",
+      "event_id", "ts", "te", minOverlapMinutes = 30L,
+      maxBucketOccupancy = 3L))
+    assert(sharded.length === sharded.toSet.size,
+      "shard path emitted a pair more than once")
+    assert(sharded.toSet === bruteForce)
+  }
+
+  test("planted occupancy breach succeeds through sharding (r17)") {
     // 50 same-type intervals all inside ONE hour bucket: occupancy 50 >
-    // the bound of 20 — the counted probe must throw with the
-    // remediation dials, never run the d²/2 emission
+    // the bound of 20 — pre-r17 this REFUSED; now it shards (s = 3)
+    // and the emission must match the generously-bounded unsharded run
+    val hot = (1L to 50L)
+      .map(i => (i, "hot",
+        java.sql.Timestamp.valueOf(f"2024-03-01 05:${i % 59}%02d:00"),
+        java.sql.Timestamp.valueOf(f"2024-03-01 05:${(i % 59) + 1}%02d:00")))
+      .toDF("event_id", "event_type", "ts", "te")
+    val unsharded = collectPairs(IntervalOverlap.overlapPairs(hot,
+      "event_type", "event_id", "ts", "te", minOverlapMinutes = 0L,
+      maxBucketOccupancy = 50L))
+    assert(unsharded.nonEmpty)
+    val sharded = collectPairs(IntervalOverlap.overlapPairs(hot,
+      "event_type", "event_id", "ts", "te", minOverlapMinutes = 0L,
+      maxBucketOccupancy = 20L))
+    assert(sharded.length === sharded.toSet.size)
+    assert(sharded.toSet === unsharded.toSet)
+  }
+
+  test("refuses past maxBucketOccupancy x maxShardFactor — output-size bound") {
+    // occupancy 50 > 2 x 3: at this density (relative to the declared
+    // bounds) the d²/2 OUTPUT is the problem — sharding must not mask it
     val hot = (1L to 50L)
       .map(i => (i, "hot",
         java.sql.Timestamp.valueOf(f"2024-03-01 05:${i % 59}%02d:00"),
@@ -56,13 +95,10 @@ class IntervalOverlapSpec extends SparkSpec {
       .toDF("event_id", "event_type", "ts", "te")
     val e = intercept[IllegalStateException] {
       IntervalOverlap.overlapPairs(hot, "event_type", "event_id",
-        "ts", "te", minOverlapMinutes = 0L, maxBucketOccupancy = 20L).count()
+        "ts", "te", minOverlapMinutes = 0L, maxBucketOccupancy = 2L,
+        maxShardFactor = 3).count()
     }
     assert(e.getMessage.contains("maxBucketOccupancy"))
     assert(e.getMessage.contains("minOverlapMinutes"))
-    // the same corpus within the bound runs fine
-    assert(IntervalOverlap.overlapPairs(hot, "event_type", "event_id",
-      "ts", "te", minOverlapMinutes = 0L, maxBucketOccupancy = 50L)
-      .count() > 0L)
   }
 }

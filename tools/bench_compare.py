@@ -57,6 +57,15 @@ def prefer_full(path):
 
 def load(path):
     raw = open(path, errors="ignore").read()
+    # driver-wrapper fingerprint (ADVICE/verdict r16): an artifact whose
+    # outer object carries "n"/"rc" came from the driver's own capture
+    # wrapper — those runs execute while sbt test/compile may share the
+    # box, and r15/r16 both saw such maps read 3-4x on heavy queries.
+    # Adjudicate ONLY from the canary/residual, never record as headline.
+    if re.search(r'"n"\s*:\s*\d+', raw[:200]) and re.search(r'"rc"\s*:', raw[:200]):
+        print(f"WARNING: {path} is a driver-wrapper capture (n/rc keys) — "
+              "it may have run concurrently with sbt; do NOT treat it as an "
+              "exclusive headline, adjudicate via canary + residual only")
     i = raw.rfind('{"queries"')
     if i >= 0:
         line = raw[i:]
@@ -125,14 +134,21 @@ def main():
     # drift-normalized gate read, independent of the reference artifact;
     # the v1 anchor is an sf0.1 number, so only sf0.1 maps gate
     cq = canary_read(cand, cand_canary)
-    if (cand_total and cand_total > 0 and len(cand) > 60 and cq
-            and ("sf0.1" in cand_sf or cand_sf in ("", "0.1"))):
-        spq = cand_total / len(cand)
-        raw_gate = spq / V1_SPQ
-        drift = cq / V1_ERA_REL_Q6
-        print(f"2x-gate read: raw {spq:.3f} s/q = {raw_gate:.2f}x v1; "
-              f"canary drift {drift:.2f}x (rel_q6 {cq:.3f}s vs v1-era "
-              f"{V1_ERA_REL_Q6:.4f}s) -> drift-normalized {raw_gate / drift:.2f}x")
+    if cand_total and cand_total > 0 and len(cand) > 60 and cq:
+        # positive sf0.1 evidence required (ADVICE r16): the v1 anchor is
+        # an sf0.1 number, so an artifact with UNKNOWN sf must not print
+        # an authoritative gate read
+        if "sf0.1" in cand_sf or cand_sf == "0.1":
+            spq = cand_total / len(cand)
+            raw_gate = spq / V1_SPQ
+            drift = cq / V1_ERA_REL_Q6
+            print(f"2x-gate read: raw {spq:.3f} s/q = {raw_gate:.2f}x v1; "
+                  f"canary drift {drift:.2f}x (rel_q6 {cq:.3f}s vs v1-era "
+                  f"{V1_ERA_REL_Q6:.4f}s) -> drift-normalized {raw_gate / drift:.2f}x")
+        elif not cand_sf:
+            print("2x-gate read SKIPPED: candidate artifact carries no sf "
+                  "field — the v1 anchor is sf0.1-only; re-run with a map "
+                  "that records its sf")
     if not common:
         print("no common queries to compare")
         return
