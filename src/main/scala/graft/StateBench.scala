@@ -34,10 +34,23 @@ import graft.streaming.StreamingDedup
   * asserted — events/s, final state rows, and the RocksDB size gauges
   * from the last progress event (loaded-map memory + SST file bytes).
   *
+  * Curve 3 (r17, verdict-r16 #1 — growth was measured, RESTART cost was
+  * the one operational scale axis with zero data): '''recover''' — build
+  * the store to K keys, let the query terminate, then start a FRESH
+  * query from the same checkpoint against a newly-arrived batch (half
+  * re-seen keys, half fresh — both state paths exercised) and record
+  * time-to-first-committed-batch (checkpoint metadata replay + RocksDB
+  * SST restore + the batch itself) and the post-restore throughput. This
+  * is the number a 100 TB deployment budgets for crash recovery: the
+  * exactly-once specs prove the restart is CORRECT, this leg measures
+  * whether it is fast enough to matter.
+  *
   * Knobs: SPARK_GRAFT_STATE_KEYS (comma list, default
   * "1000000,4000000,10000000"), SPARK_GRAFT_STATE_BATCH_KEYS (default
   * 200000), SPARK_GRAFT_STATE_GAP_MS (default 700),
-  * SPARK_GRAFT_STATE_TTL_MS (default 2000 ≈ 3 batch gaps).
+  * SPARK_GRAFT_STATE_TTL_MS (default 2000 ≈ 3 batch gaps),
+  * SPARK_GRAFT_STATE_LEGS (comma subset of "growth,ttl,recover",
+  * default all — decade probes re-run one curve without paying the rest).
   */
 object StateBench {
   def main(args: Array[String]): Unit = {
@@ -58,6 +71,8 @@ object StateBench {
     val batchKeys = sys.env.getOrElse("SPARK_GRAFT_STATE_BATCH_KEYS", "200000").toLong
     val gapMs = sys.env.getOrElse("SPARK_GRAFT_STATE_GAP_MS", "700").toLong
     val ttlMs = sys.env.getOrElse("SPARK_GRAFT_STATE_TTL_MS", "2000").toLong
+    val legs = sys.env.getOrElse("SPARK_GRAFT_STATE_LEGS", "growth,ttl,recover")
+      .split(",").map(_.trim).toSet
 
     /** Synthetic fingerprint stream: ids in [0, n), key = zero-padded id
       * string (26 bytes/key in state — the md5-hex shape without paying
@@ -91,7 +106,7 @@ object StateBench {
     }
 
     // ---- curve 1: growth (no TTL) --------------------------------------
-    cards.foreach { k =>
+    if (legs("growth")) cards.foreach { k =>
       val src = Files.createTempDirectory(s"statebench_g$k").toString
       val chk = Files.createTempDirectory(s"statebench_gc$k").toString
       docs(k, copies = 2).write.mode("overwrite").parquet(src)
@@ -116,7 +131,7 @@ object StateBench {
     // fresh keys per micro-batch at a fixed rate; TTL spans ~3 batch
     // gaps, so live state plateaus near 3 * batchKeys however far the
     // TOTAL cardinality grows — the flat curve the contract promises
-    cards.foreach { k =>
+    if (legs("ttl")) cards.foreach { k =>
       val src = Files.createTempDirectory(s"statebench_t$k").toString
       val chk = Files.createTempDirectory(s"statebench_tc$k").toString
       val nb = math.max(1L, k / batchKeys)
@@ -166,6 +181,57 @@ object StateBench {
       val (rows, sst, mem) = stateGauges(q)
       q.stop()
       println(s"""{"metric":"dedup_state_ttl","keys":${nb * batchKeys},"batches":$nb,"batch_keys":$batchKeys,"ttl_ms":$ttlMs,"gap_ms":$gapMs,"events_per_sec":${(nb * batchKeys / sec).round},"sec":$sec,"state_rows":$rows,"rocksdb_sst_bytes":$sst,"rocksdb_mem_bytes":$mem}""")
+      Seq(src, chk).foreach(d =>
+        graft.operators.Artifacts.deleteRecursively(java.nio.file.Paths.get(d)))
+    }
+
+    // ---- curve 3: recovery (r17) ---------------------------------------
+    // build K keys into the store, let the query terminate cleanly, then
+    // restart a FRESH query from the same checkpoint against one newly
+    // arrived batch: time-to-first-committed-batch is the restart cost a
+    // deployment pays after a crash (offset-log replay + RocksDB SST
+    // restore across all 32 store partitions + the batch itself)
+    if (legs("recover")) cards.foreach { k =>
+      val src = Files.createTempDirectory(s"statebench_r$k").toString
+      val chk = Files.createTempDirectory(s"statebench_rc$k").toString
+      docs(k, copies = 1).write.mode("overwrite").parquet(src)
+      def runOnce(): org.apache.spark.sql.streaming.StreamingQuery =
+        StreamingDedup.dedup(
+            spark.readStream.schema(docs(1, 1).schema).parquet(src)
+              .as[StreamingDedup.Doc])
+          .toDF().writeStream
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .format("noop")
+          .start()
+      val tb = System.nanoTime()
+      val build = runOnce()
+      build.awaitTermination()
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      // the post-crash batch: half RE-SEEN keys (state lookups that must
+      // come back duplicate), half fresh (state inserts) — both store
+      // paths in the measured first batch
+      val half = math.max(1L, batchKeys / 2)
+      docs(half, copies = 1)
+        .unionAll(docs(half, copies = 1, offset = k))
+        .write.mode("append").parquet(src)
+      val t0 = System.nanoTime()
+      val q = runOnce()
+      var firstSec = -1.0
+      val deadline = System.nanoTime() + 30L * 60 * 1000 * 1000 * 1000
+      while (q.isActive && firstSec < 0 && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        if (q.recentProgress.exists(_.numInputRows > 0))
+          firstSec = (System.nanoTime() - t0) / 1e9
+      }
+      q.awaitTermination()
+      val totalSec = (System.nanoTime() - t0) / 1e9
+      val (rows, sst, mem) = stateGauges(q)
+      // first_batch_sec = restore + offset replay + the batch itself (the
+      // whole appended batch commits as batch one under AvailableNow);
+      // the RESTORE component is the first_batch_sec slope across the
+      // cardinality decade at this fixed batch size
+      println(s"""{"metric":"dedup_state_recover","keys":$k,"build_sec":$buildSec,"restart_batch_events":${2 * half},"first_batch_sec":$firstSec,"restart_total_sec":$totalSec,"first_batch_events_per_sec":${if (firstSec > 0) (2 * half / firstSec).round else -1L},"state_rows":$rows,"rocksdb_sst_bytes":$sst,"rocksdb_mem_bytes":$mem}""")
       Seq(src, chk).foreach(d =>
         graft.operators.Artifacts.deleteRecursively(java.nio.file.Paths.get(d)))
     }
