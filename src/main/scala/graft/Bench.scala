@@ -86,9 +86,15 @@ object Bench {
     // contention spike during one pass (observed fabricating 3–4×
     // "regressions" on this box) cannot survive into the recorded
     // number, while a real plan regression shows up in every pass.
+    // THREE canary samples since r17 (verdict-r16 protocol item): a lone
+    // start probe twice needed per-round adjudication (r15 high, r16 low
+    // — post-warm-up settling); start/mid/end brackets each timed pass so
+    // a drifting box shows a monotone triple, a settling start shows
+    // mid ≈ end, and one odd sample can't define the band by itself
     runAll(timed = false)
     val canaryStart = canaryTime() // warm: the warm-up pass already ran it
     val pass1 = runAll(timed = true)
+    val canaryMid = canaryTime()
     val pass2 = runAll(timed = true)
     val canaryEnd = canaryTime()
     val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
@@ -107,7 +113,7 @@ object Bench {
     val json =
       s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},""" +
         s""""canary":{"query":"rel_q6","start_sec":$canaryStart,""" +
-        s""""end_sec":$canaryEnd},""" +
+        s""""mid_sec":$canaryMid,"end_sec":$canaryEnd},""" +
         s""""metric":"total","value":$total,"unit":"sec"}"""
     println(json)
     // belt-and-braces: the complete record as a file artifact, immune to

@@ -66,6 +66,42 @@ object BpeProbe {
     val synMerges = graft.text.Bpe.learnLocalIndexed(syn, steps)
     val synSec = (System.nanoTime() - t2) / 1e9
     println(s"""{"metric":"bpe_train_probe_synth","dict_words":${syn.size},"steps_requested":$steps,"merges_learned":${synMerges.size},"train_sec":$synSec,"per_merge_us":${if (synMerges.nonEmpty) (synSec * 1e6 / synMerges.size).round else -1L}}""")
+
+    // ---- full-path corpus leg (r17, verdict-r16 #4): the two legs above
+    // measure the dict pass and the in-memory loop SEPARATELY; nothing
+    // yet drives learnScalable's whole composition — corpus scan →
+    // tokenize → dict shuffle → counted collect → 32k in-memory merges —
+    // on a corpus whose VOCABULARY is production-shaped. A deterministic
+    // synthetic corpus (SPARK_GRAFT_BPE_CORPUS_DOCS documents, default
+    // 200k, ~50 words each, drawn cube-skewed from a ~50k-word md5-hex
+    // vocabulary) is WRITTEN TO PARQUET and read back, so the timed call
+    // includes the real scan the contract promises is the only
+    // corpus-height work.
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BPE_CORPUS_DOCS", "200000").toLong
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("bpeprobe_corpus").toString
+    val vocabSize = 50000
+    spark.range(nDocs).select(col("id").as("doc_id"),
+        expr(s"""array_join(transform(sequence(1, 50), j ->
+             substring(md5(cast(cast(pow(pmod(xxhash64(id, j), 1000000) / 1000000.0, 3)
+                 * $vocabSize AS INT) as string)),
+               1, 4 + cast(pow(pmod(xxhash64(id, j), 1000000) / 1000000.0, 3)
+                 * $vocabSize AS INT) % 12)), ' ')""").as("text"))
+      .write.mode("overwrite").parquet(corpusDir)
+    val t3 = System.nanoTime()
+    val corpusWords = spark.read.parquet(corpusDir)
+      .select(explode(graft.text.TextFunctions.tokens(
+        graft.text.TextFunctions.normalize(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val jb = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val fullMerges = graft.text.Bpe.learnScalable(spark, corpusWords, steps)
+    val fullSec = (System.nanoTime() - t3) / 1e9
+    val ja = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val dictWords = corpusWords.count()
+    println(s"""{"metric":"bpe_train_full_path","corpus_docs":$nDocs,"corpus_tokens":${nDocs * 50},"dict_words":$dictWords,"steps_requested":$steps,"merges_learned":${fullMerges.size},"total_sec":$fullSec,"spark_jobs":${ja - jb},"per_merge_us":${if (fullMerges.nonEmpty) (fullSec * 1e6 / fullMerges.size).round else -1L}}""")
+    graft.operators.Artifacts.deleteRecursively(
+      java.nio.file.Paths.get(corpusDir))
     spark.stop()
   }
 }

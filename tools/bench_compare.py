@@ -89,7 +89,7 @@ def load(path):
         m.group(1): float(m.group(2))
         for m in re.finditer(r'"([a-z][a-z0-9_]+)\\?":(-?[0-9][0-9.]*)', raw)
         if m.group(1) not in ("value", "n_queries", "n", "rc", "cpus", "sf",
-                              "start_sec", "end_sec")
+                              "start_sec", "mid_sec", "end_sec")
     }
     mval = re.search(r'"value":(-?[0-9.]+)', raw)
     msf = re.search(r'"sf":\s*"?([^,"}]+)', raw)
@@ -97,17 +97,21 @@ def load(path):
             msf.group(1) if msf else "")
 
 
+def canary_legs(canary):
+    """All positive probe samples — start/mid/end (mid since r17)."""
+    if not canary:
+        return []
+    return [v for v in (canary.get("start_sec"), canary.get("mid_sec"),
+                        canary.get("end_sec")) if v and v > 0]
+
+
 def canary_read(qs, canary):
     """Best quiet-box rel_q6 read: the map entry (min of the two timed
-    passes) when present, else the canary probe's smaller leg."""
+    passes) when present, else the smallest canary probe sample."""
     if qs.get("rel_q6", -1) > 0:
         return qs["rel_q6"]
-    if canary:
-        legs = [v for v in (canary.get("start_sec"), canary.get("end_sec"))
-                if v and v > 0]
-        if legs:
-            return min(legs)
-    return None
+    legs = canary_legs(canary)
+    return min(legs) if legs else None
 
 
 def main():
@@ -116,11 +120,17 @@ def main():
     cand, cand_total, cand_canary, cand_sf = load(cand_path)
     print(f"reference: {len(ref)} queries, total={ref_total}, canary={ref_canary}")
     print(f"candidate: {len(cand)} queries, total={cand_total}, canary={cand_canary}")
-    if cand_canary:
-        s, e = cand_canary.get("start_sec"), cand_canary.get("end_sec")
-        if s and e and s > 0:
-            tag = "QUIET" if e / s < 1.5 else "DEGRADING MID-RUN"
-            print(f"candidate canary ratio end/start = {e / s:.2f} -> box {tag}")
+    legs = canary_legs(cand_canary)
+    if len(legs) >= 2:
+        # three samples since r17 (start/mid/end): the contention
+        # fingerprint is a LATER sample well above an earlier one; a high
+        # start with mid ~= end is post-warm-up settling, not contention
+        spread = max(legs) / min(legs)
+        later_over_first = max(legs[1:]) / legs[0]
+        tag = ("QUIET" if later_over_first < 1.5 else "DEGRADING MID-RUN")
+        print(f"candidate canary samples {[round(v, 3) for v in legs]} "
+              f"spread {spread:.2f}x, later/first {later_over_first:.2f} "
+              f"-> box {tag}")
     common = [k for k in ref if k in cand and ref[k] > 0 and cand[k] > 0]
     new = sorted((k for k in cand if k not in ref),
                  key=lambda k: -cand[k])
