@@ -1,0 +1,125 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import org.apache.spark.TaskContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashedVal, Kmv, KmvAggregator, KmvSampleAggregator}
+
+/** Measurement main: TASK-RETRY determinism — the operational property
+  * behind the r17 theta/KMV re-oracling, proved by fault injection
+  * rather than argument.
+  *
+  * At 1000 executors, task retries and speculative re-execution are
+  * routine; an operator whose output depends on partition evaluation
+  * order (or on which attempt of a task wins) silently breaks
+  * exactly-once pipelines and cache/recompute consistency. This probe
+  * runs representative engine primitives on the real `events` fixture
+  * under `local[8, 3]` (task retries enabled — the one Spark conf the
+  * shared-session test suites cannot set), injects a deterministic
+  * one-shot task failure into the scan stage of each leg, verifies via
+  * a listener that a task genuinely failed and was re-run, and asserts
+  * the result is IDENTICAL to the clean run, row for row.
+  *
+  * Legs: hash aggregation (sum/count), theta/KMV distinct sketch (the
+  * full array, not just the estimate), bottom-m quantile sample,
+  * global sort + window rank, and a shuffle join — the shapes every
+  * declared query composes. Output: one JSON line per leg + a summary;
+  * the datum is recorded in BASELINE.md §Round-17.
+  */
+object RetryProbe {
+  /** Armed per leg; the first matching task trips it exactly once. */
+  private val armed = new AtomicBoolean(false)
+  private val failsSeen = new AtomicInteger(0)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8, 3]") // 3 attempts per task: injected failure retries
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.reason != org.apache.spark.Success) failsSeen.incrementAndGet()
+    })
+    import spark.implicits._
+
+    // the fixture's events as a typed dataset so the injector can sit
+    // between the scan and every downstream plan under test
+    val base = Tables.table(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id"), col("value"),
+        col("event_id"))
+      .as[(String, Long, Double, Long)]
+
+    /** Pass-through that throws once (partition 0, first attempt) when
+      * armed — downstream of the scan, upstream of the shape under
+      * test, so the retried task re-runs real work.
+      */
+    def injected = base.mapPartitions { it =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0 &&
+          armed.compareAndSet(true, false))
+        throw new RuntimeException("RetryProbe: injected task failure")
+      it
+    }.toDF("event_type", "user_id", "value", "event_id")
+
+    val kmv = udaf(new KmvAggregator(Kmv.Capacity), ExpressionEncoder[Long]())
+    val smp = udaf(new KmvSampleAggregator(1000), ExpressionEncoder[HashedVal]())
+
+    val legs: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "hash_agg" -> ((df: DataFrame) => df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("s"))
+        .orderBy("event_type")),
+      "kmv_sketch" -> ((df: DataFrame) => df
+        .select(col("event_type"), Kmv.hash64(col("user_id")).as("h"))
+        .groupBy("event_type").agg(kmv(col("h")).as("sk"))
+        .select(col("event_type"), col("sk"), Kmv.estimate(col("sk")).as("est"))
+        .orderBy("event_type")),
+      "kmv_sample" -> ((df: DataFrame) => df
+        .select(col("event_type"), Kmv.hash64(col("event_id")).as("h"),
+          col("value").as("v"))
+        .groupBy("event_type").agg(smp(col("h"), col("v")).as("s"))
+        .select(col("event_type"),
+          array_sort(transform(col("s"), x => x.getField("v"))).as("vs"))
+        .orderBy("event_type")),
+      "sort_window" -> ((df: DataFrame) => df
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))))
+        .filter(col("rk") <= 100).select("event_type", "rk", "event_id")
+        .orderBy("event_type", "rk")),
+      "shuffle_join" -> ((df: DataFrame) => {
+        val l = df.select(col("user_id"), col("value"))
+        val r = df.groupBy("user_id").agg(count(lit(1)).as("n"))
+        l.join(r, "user_id").groupBy()
+          .agg(count(lit(1)).as("rows"), round(sum(col("value") * col("n")), 4).as("s"))
+      }))
+
+    var allOk = true
+    val results = legs.map { case (name, shape) =>
+      val clean = shape(base.toDF("event_type", "user_id", "value", "event_id"))
+        .collect().map(_.toString).toSeq
+      failsSeen.set(0)
+      armed.set(true)
+      val t0 = System.nanoTime()
+      val faulted = shape(injected).collect().map(_.toString).toSeq
+      val sec = (System.nanoTime() - t0) / 1e9
+      val tripped = !armed.get()
+      val retried = failsSeen.get() >= 1
+      val identical = clean == faulted
+      allOk &= tripped && retried && identical
+      println(f"""{"leg":"$name","injected":$tripped,"task_failures":${failsSeen.get()},"identical":$identical,"rows":${clean.size},"sec":$sec%.2f}""")
+      identical
+    }
+    println(s"""{"metric":"retry_determinism","legs":${results.size},"all_identical":$allOk,"sf":"$sfDir"}""")
+    spark.stop()
+    if (!allOk) sys.exit(1)
+  }
+}

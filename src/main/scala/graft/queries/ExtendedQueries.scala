@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -535,27 +536,129 @@ object ExtendedQueries extends QueryPack {
               WHERE c_custkey % 4 = 1
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
-    // MERGEABLE sketch reuse (DataSketches HLL): build PARTIAL
+    // MERGEABLE sketch reuse (theta/KMV since r17; the HLL register-max
+    // variant stays spec-pinned in SketchSpec): build PARTIAL
     // per-(type, day) sketches — the artifacts an incremental pipeline
     // persists at ingest — then answer the per-type distinct-users
     // question by UNIONING sketches, never re-touching the events. At
     // 100 TB this is the difference between re-scanning a year of raw
     // events per dashboard refresh and merging 365 kilobyte-sized
-    // sketches; HLL register-max merge makes the union estimate
-    // IDENTICAL to a single global sketch (SketchSpec proves equality,
-    // not approximate agreement). Rows-only: the estimate is
-    // sketch-defined, with an error-bound test vs exact.
+    // sketches; the KMV bottom-k union is LOSSLESS (bottomK(∪ partials)
+    // = bottomK(global) — KmvSpec proves array equality), and because
+    // the merged sketch is a pure function of the distinct-hash set the
+    // DuckDB oracle certifies it the strongest way possible: the SQL
+    // computes the GLOBAL sketch directly from raw events, so the hash
+    // match IS the cross-engine merge-losslessness theorem, row by row.
     Q("agg_sketch_reuse",
       (s, dir) => {
+        val kmv = graft.functions.Kmv.sketchUdaf()
+        import graft.functions.Kmv
         val daily = t(s, dir, "events")
-          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-          .agg(hll_sketch_agg(col("user_id")).as("sk"))
-        daily.groupBy("event_type")
-          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
-            .as("approx_users"), count(lit(1)).as("n_partials"))
+          .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+            Kmv.hash64(col("user_id")).as("h"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(kmv(col("h")).as("sk"))
+        daily
+          .select(col("event_type"), col("day"), explode(col("sk")).as("h"))
+          .groupBy("event_type")
+          .agg(kmv(col("h")).as("sk"),
+            countDistinct(col("day")).as("n_partials"))
+          .select(col("event_type"),
+            Kmv.estimate(col("sk")).as("approx_users"), col("n_partials"))
           .orderBy("event_type")
       },
-      None),
+      Some {
+        import graft.functions.Kmv
+        s"""WITH d AS (SELECT DISTINCT event_type,
+                              ${Kmv.hash64Sql("user_id::VARCHAR")} AS h
+                       FROM events),
+            r AS (SELECT event_type, h,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY h) AS rn
+                  FROM d),
+            keep AS (SELECT event_type, list_sort(list(h)) AS u
+                     FROM r WHERE rn <= ${Kmv.Capacity}
+                     GROUP BY event_type),
+            np AS (SELECT event_type,
+                          count(DISTINCT date_trunc('day', ts)) AS n_partials
+                   FROM events GROUP BY event_type)
+            SELECT k.event_type, ${Kmv.estimateSql("u")} AS approx_users,
+                   np.n_partials
+            FROM keep k JOIN np USING (event_type)
+            ORDER BY event_type"""
+      }),
+
+    // Theta-sketch set INTERSECTION (new r17) — the estimator family
+    // KMV unlocks that HLL structurally cannot: audience overlap
+    // |A ∩ B| between every pair of event types from the SAME bottom-k
+    // sketches agg_sketch_reuse banks, never re-touching raw events.
+    // Standard theta intersection: θ = min(θ_A, θ_B) where θ_X = h₍ₖ₎
+    // of a saturated sketch (2⁶⁰ when exact); both sketches' retained
+    // hashes below θ are a uniform sample of each set at the SAME
+    // sampling rate θ/2⁶⁰, so |A∩B| ≈ |S_A ∩ S_B ∩ [0,θ)| · 2⁶⁰ / θ —
+    // one formula, exact when both sketches are exact. Pure set
+    // arithmetic over md5 hashes → the oracle replays it bit-for-bit.
+    // Scale shape: the pair join is over 5 sketch rows (one per type),
+    // never the corpus; at 10⁴ types it is still a self-join of
+    // kilobyte rows.
+    Q("agg_sketch_intersect",
+      (s, dir) => {
+        import graft.functions.Kmv
+        val kmv = Kmv.sketchUdaf()
+        val sk = t(s, dir, "events")
+          .select(col("event_type"), Kmv.hash64(col("user_id")).as("h"))
+          .groupBy("event_type")
+          .agg(kmv(col("h")).as("sk"))
+        def theta(c: Column): Column =
+          when(size(c) <= Kmv.K, lit(Kmv.TwoPow60))
+            .otherwise(element_at(c, Kmv.K))
+        val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+        val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+        a.join(b, col("type_a") < col("type_b"))
+          .withColumn("th", least(theta(col("ska")), theta(col("skb"))))
+          .withColumn("c", size(array_intersect(
+            filter(col("ska"), x => x < col("th")),
+            filter(col("skb"), x => x < col("th")))).cast("double"))
+          .select(col("type_a"), col("type_b"),
+            floor(col("c") * lit(Kmv.TwoPow60.toDouble) /
+              col("th").cast("double")).as("approx_common_users"))
+          .orderBy("type_a", "type_b")
+      },
+      Some {
+        import graft.functions.Kmv
+        s"""WITH d AS (SELECT DISTINCT event_type,
+                              ${Kmv.hash64Sql("user_id::VARCHAR")} AS h
+                       FROM events),
+            r AS (SELECT event_type, h,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY h) AS rn,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM d),
+            keep AS (SELECT event_type, h, rn, n FROM r
+                     WHERE rn <= ${Kmv.Capacity}),
+            th AS (SELECT event_type,
+                          CASE WHEN max(n) <= ${Kmv.K} THEN ${Kmv.TwoPow60}
+                               ELSE max(CASE WHEN rn = ${Kmv.K} THEN h END)
+                          END AS theta
+                   FROM keep GROUP BY event_type),
+            pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                             least(a.theta, b.theta) AS t
+                      FROM th a JOIN th b ON a.event_type < b.event_type),
+            c AS (SELECT p.type_a, p.type_b, count(*) AS nc
+                  FROM pairs p
+                  JOIN keep x ON x.event_type = p.type_a AND x.h < p.t
+                  JOIN keep y ON y.event_type = p.type_b AND y.h = x.h
+                             AND y.h < p.t
+                  GROUP BY 1, 2)
+            SELECT p.type_a, p.type_b,
+                   CAST(floor(CAST(coalesce(c.nc, 0) AS DOUBLE)
+                              * ${Kmv.TwoPow60}.0
+                              / CAST(p.t AS DOUBLE)) AS BIGINT)
+                     AS approx_common_users
+            FROM pairs p LEFT JOIN c
+              ON c.type_a = p.type_a AND c.type_b = p.type_b
+            ORDER BY 1, 2"""
+      }),
 
     // Z-ORDER layout key ([[graft.operators.ZOrder]]): the Morton
     // z-value that clusters a table for 2-D min/max pruning, computed as

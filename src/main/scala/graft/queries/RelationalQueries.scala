@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.{HashedVal, Kmv, KmvSampleAggregator}
+
 /** Classic relational coverage over the TPC-H-ish fixtures (SURVEY.md §2.3:
   * every category the reference lacks, provided via stock Catalyst — joins
   * incl. semi/anti/broadcast, hash aggregation with partial/final phases,
@@ -178,31 +180,86 @@ object RelationalQueries extends QueryPack {
                      count(*) AS n_events
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
-    // Approx distinct (HLL++): sketch mergeable across 1000 executors;
-    // not SQL-oracle-able bit-for-bit → rows-only check, plus a ScalaTest
-    // asserting the estimate is within HLL error of the exact count.
+    // Approx distinct via the theta/KMV bottom-k sketch ([[graft
+    // .functions.Kmv]]): mergeable constant-state partials like HLL
+    // (which stays available, spec-pinned in SketchSpec), but the
+    // estimate is a pure function of the distinct md5 SET — identical
+    // under any partitioning/retry AND in any engine, so since r17 this
+    // gets the full rows+schema+hash oracle (the SQL replays the exact
+    // bottom-k arithmetic) instead of the rows-only check HLL register
+    // internals force.
     Q("agg_approx_distinct",
-      (s, dir) => t(s, dir, "events")
-        .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
-        .orderBy("event_type"),
-      None),
+      (s, dir) => {
+        val kmv = Kmv.sketchUdaf()
+        t(s, dir, "events")
+          .select(col("event_type"), Kmv.hash64(col("user_id")).as("h"))
+          .groupBy("event_type")
+          .agg(kmv(col("h")).as("sk"))
+          .select(col("event_type"), Kmv.estimate(col("sk")).as("approx_users"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH d AS (SELECT DISTINCT event_type,
+                                 ${Kmv.hash64Sql("user_id::VARCHAR")} AS h
+                          FROM events),
+               r AS (SELECT event_type, h,
+                            row_number() OVER (PARTITION BY event_type
+                                               ORDER BY h) AS rn
+                     FROM d),
+               keep AS (SELECT event_type, list_sort(list(h)) AS u
+                        FROM r WHERE rn <= ${Kmv.Capacity}
+                        GROUP BY event_type)
+               SELECT event_type, ${Kmv.estimateSql("u")} AS approx_users
+               FROM keep ORDER BY event_type""")),
 
-    // Approx percentiles (t-digest-style mergeable sketch,
-    // `approx_percentile`): constant state per group regardless of group
-    // size — the 100 TB percentile path where exact interpolation
-    // (`agg_median`) would shuffle every value. Not SQL-oracle-able
-    // bit-for-bit → rows-only check + a ScalaTest pinning the estimates
-    // within rank error of the exact percentiles.
+    // Approx percentiles via a deterministic bottom-m-by-hash row
+    // sample ([[graft.functions.KmvSampleAggregator]]): constant state
+    // per group regardless of group size — the 100 TB percentile path
+    // where exact interpolation (`agg_median`) would shuffle every
+    // value. Unlike `approx_percentile`'s t-digest (whose centroids are
+    // merge-order-dependent → rows-only forever), the sample is a pure
+    // function of the row set — the m rows sorting lowest by
+    // (md5(event_id), value) — so the rank-selection estimates are
+    // engine- and retry-reproducible and the DuckDB oracle replays them
+    // exactly. Rank error ≈ √(p(1−p)/m) ~ 1.6% at the median, m=1000;
+    // below m rows the sample is the whole group ⟹ exact quantiles.
     Q("agg_approx_quantile",
-      (s, dir) => t(s, dir, "events")
-        .groupBy("event_type")
-        .agg(expr("approx_percentile(value, array(0.5, 0.9), 1000)").as("pcts"))
-        .select(col("event_type"),
-          col("pcts").getItem(0).as("p50_approx"),
-          col("pcts").getItem(1).as("p90_approx"))
-        .orderBy("event_type"),
-      None),
+      (s, dir) => {
+        val m = 1000
+        val smp = udaf(new KmvSampleAggregator(m),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[HashedVal]())
+        t(s, dir, "events")
+          .select(col("event_type"),
+            Kmv.hash64(col("event_id")).as("h"), col("value").as("v"))
+          .groupBy("event_type")
+          .agg(smp(col("h"), col("v")).as("sample"))
+          .select(col("event_type"),
+            array_sort(transform(col("sample"), x => x.getField("v")))
+              .as("vs"))
+          .select(col("event_type"),
+            element_at(col("vs"),
+              greatest(lit(1L), ceil(lit(0.5) * size(col("vs"))))
+                .cast("int")).as("p50_approx"),
+            element_at(col("vs"),
+              greatest(lit(1L), ceil(lit(0.9) * size(col("vs"))))
+                .cast("int")).as("p90_approx"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH s AS (SELECT event_type, value,
+                                 row_number() OVER (PARTITION BY event_type
+                                   ORDER BY ${Kmv.hash64Sql("event_id::VARCHAR")},
+                                            value) AS hr
+                          FROM events),
+               r AS (SELECT event_type, value,
+                            row_number() OVER (PARTITION BY event_type
+                                               ORDER BY value) AS vr,
+                            count(*) OVER (PARTITION BY event_type) AS m
+                     FROM s WHERE hr <= 1000)
+               SELECT event_type,
+                      max(CASE WHEN vr = greatest(1, CAST(ceil(0.5 * m) AS BIGINT))
+                               THEN value END) AS p50_approx,
+                      max(CASE WHEN vr = greatest(1, CAST(ceil(0.9 * m) AS BIGINT))
+                               THEN value END) AS p90_approx
+               FROM r GROUP BY event_type ORDER BY event_type""")),
 
     // Grouping sets via ROLLUP; group keys coalesced so the oracle's sort
     // order is NULL-free and total.
@@ -551,31 +608,47 @@ object RelationalQueries extends QueryPack {
               FROM h ORDER BY hour""")),
 
     // The APPROXIMATE twin of ts_sliding_distinct for windows where the
-    // exact per-hour user sets stop fitting: one DataSketches HLL
-    // sketch per hour (mergeable, constant-size — the same partials
+    // exact per-hour user sets stop fitting: one theta/KMV sketch per
+    // hour (mergeable, constant-size — the same partials
     // agg_sketch_reuse banks), then the 3-hour window MERGES sketches
-    // in-row (hll_union fold over the collected window) instead of
-    // unioning raw user sets — per-row window state is 3 sketches, not
-    // 3 user lists, so a 30-day reach window costs the same as a
-    // 3-hour one. Rows-only by design (sketch internals are partition-
-    // dependent); SketchSpec bounds it against the exact twin.
+    // in-row ([[Kmv.unionArrays]] — bottom-k of the union, the lossless
+    // KMV merge) instead of unioning raw user sets — per-row window
+    // state is 3 × (k+1) hashes, not 3 user lists, so a 30-day reach
+    // window costs the same as a 3-hour one. Since r17 the sketch is
+    // KMV rather than HLL (the in-row hll_union fold stays spec-pinned
+    // in SketchSpec): the estimate is a pure function of each window's
+    // distinct-hash set, so the oracle replays it exactly and the query
+    // graduates from rows-only to full hash certification.
     Q("ts_sliding_distinct_approx",
       (s, dir) => {
+        val kmv = Kmv.sketchUdaf()
         val hourly = t(s, dir, "events")
-          .groupBy(date_trunc("hour", col("ts")).as("hour"))
-          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+          .select(date_trunc("hour", col("ts")).as("hour"),
+            Kmv.hash64(col("user_id")).as("h"))
+          .groupBy("hour")
+          .agg(kmv(col("h")).as("sk"))
         val w = Window.orderBy("hour").rowsBetween(-2, 0)
         hourly
-          .withColumn("sks", collect_list(col("sk")).over(w))
+          .withColumn("u", Kmv.unionArrays(collect_list(col("sk")).over(w)))
           .select(
             date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-            expr("""hll_sketch_estimate(
-                      aggregate(slice(sks, 2, size(sks) - 1), sks[0],
-                                (acc, x) -> hll_union(acc, x)))""")
-              .cast("long").as("n_users_approx"))
+            Kmv.estimate(col("u")).as("n_users_approx"))
           .orderBy("hour")
       },
-      None),
+      Some(s"""WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+                                 list_sort(list(DISTINCT
+                                   ${Kmv.hash64Sql("user_id::VARCHAR")}))
+                                   [1:${Kmv.Capacity}] AS sk
+                          FROM events GROUP BY 1),
+               w AS (SELECT hour,
+                            list_sort(list_distinct(flatten(
+                              list(sk) OVER (ORDER BY hour
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))))
+                              [1:${Kmv.Capacity}] AS u
+                     FROM h)
+               SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+                      ${Kmv.estimateSql("u")} AS n_users_approx
+               FROM w ORDER BY hour""")),
 
     // FLAGSHIP COMPOSITE (TPC-H Q3 shape): segment-filtered customers ⋈
     // open orders ⋈ pending lineitems → revenue per order → top-10.

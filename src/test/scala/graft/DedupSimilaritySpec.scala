@@ -639,20 +639,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
-  test("approx_percentile estimates stay within rank error of exact percentiles") {
+  test("approx quantile estimates stay within rank error of exact percentiles") {
+    // r17: agg_approx_quantile is the deterministic bottom-m-by-hash
+    // sample (KmvSampleAggregator, m=1000) — at this fixture every
+    // group is under m so the estimates must be the EXACT rank-selected
+    // quantiles; the saturated-regime rank-error bound is pinned in
+    // KmvSpec, and the cross-engine arithmetic by the driver oracle
     val events = Tables.table(spark, sfDir, "events")
     val approx = SparkEntry.queries("agg_approx_quantile")(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = events.groupBy("event_type")
-      .agg(expr("percentile(value, array(0.5, 0.9))").as("p"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, array(0.5, 0.9))").as("p"))
       .collect()
-      .map(r => r.getString(0) ->
-        (r.getSeq[Double](1)(0), r.getSeq[Double](1)(1))).toMap
+      .map(r => r.getString(0) -> (r.getLong(1),
+        (r.getSeq[Double](2)(0), r.getSeq[Double](2)(1)))).toMap
     assert(approx.keySet === exact.keySet && approx.nonEmpty)
-    // accuracy=1000 bounds RANK error at 1/1000; translate to a value
-    // tolerance via each group's value spread (loose but principled)
-    exact.foreach { case (et, (e50, e90)) =>
+    exact.foreach { case (et, (n, (e50, e90))) =>
+      assert(n <= 1000, s"fixture grew past m; revisit this test: $et n=$n")
       val (a50, a90) = approx(et)
+      // rank selection (ceil(p·n)) vs percentile()'s interpolation can
+      // differ by at most one order statistic's gap; bound via spread/n
       val spread = events.filter(col("event_type") === et)
         .agg(max("value").cast("double") - min("value").cast("double"))
         .head().getDouble(0)

@@ -2,11 +2,15 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Mergeable-sketch contract behind `agg_sketch_reuse`: unioning the
-  * persisted per-day partial HLL sketches must give EXACTLY the same
-  * estimate as one global sketch over the raw events (register-max
-  * merge is lossless w.r.t. the sketch state), and the estimate must
-  * track the exact distinct count.
+/** Mergeable-sketch contracts. Since r17 the DECLARED sketch queries
+  * (`agg_sketch_reuse` et al.) use the theta/KMV sketch — pure function
+  * of the distinct-hash set, hence fully oracle-certified; see
+  * [[KmvSpec]]. The DataSketches HLL path stays a first-class library
+  * capability (smaller state for the same error, at the cost of
+  * engine-specific register internals) and is pinned HERE: register-max
+  * union must equal the single global sketch exactly, estimates must
+  * track exact counts, and the in-row `hll_union` window fold must
+  * match the exact sliding twin.
   */
 class SketchSpec extends SparkSpec {
 
@@ -36,12 +40,43 @@ class SketchSpec extends SparkSpec {
       s"HLL estimate $est vs exact $exact")
   }
 
-  test("sliding-window HLL fold tracks the exact sliding distinct within 5%") {
+  test("sliding-window sketch merge tracks the exact sliding distinct within 5%") {
+    // since r17 the declared query merges KMV sketches (oracle-exact);
+    // the accuracy contract vs the exact twin is unchanged
     val exact = SparkEntry.queries("ts_sliding_distinct")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val approx = SparkEntry.queries("ts_sliding_distinct_approx")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet === exact.keySet) // same hourly grid
+    for ((hour, est) <- approx) {
+      val truth = exact(hour).toDouble
+      assert(math.abs(est - truth) <= math.max(3.0, 0.05 * truth),
+        s"$hour: approx $est vs exact $truth")
+    }
+  }
+
+  test("in-row HLL fold (hll_union aggregate over a collected window) " +
+      "tracks the exact sliding distinct within 5%") {
+    // the declared sliding query switched to KMV in r17 for oracle
+    // exactness; the constant-state-per-row HLL fold remains a library
+    // capability — pinned here with the pre-r17 query body
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.table(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val w = Window.orderBy("hour").rowsBetween(-2, 0)
+    val approx = hourly
+      .withColumn("sks", collect_list(col("sk")).over(w))
+      .select(
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        expr("""hll_sketch_estimate(
+                  aggregate(slice(sks, 2, size(sks) - 1), sks[0],
+                            (acc, x) -> hll_union(acc, x)))""")
+          .cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("ts_sliding_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
     for ((hour, est) <- approx) {
       val truth = exact(hour).toDouble
       assert(math.abs(est - truth) <= math.max(3.0, 0.05 * truth),
