@@ -37,6 +37,17 @@ object RetryProbe {
   private val armed = new AtomicBoolean(false)
   private val failsSeen = new AtomicInteger(0)
 
+  /** Pass-through that throws once (partition 0, first attempt) when
+    * armed — local-mode tasks share this JVM, so the CAS is visible.
+    */
+  private def failOnce[T](it: Iterator[T]): Iterator[T] = {
+    val tc = TaskContext.get()
+    if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0 &&
+        armed.compareAndSet(true, false))
+      throw new RuntimeException("RetryProbe: injected task failure")
+    it
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -63,13 +74,14 @@ object RetryProbe {
       * armed — downstream of the scan, upstream of the shape under
       * test, so the retried task re-runs real work.
       */
-    def injected = base.mapPartitions { it =>
-      val tc = TaskContext.get()
-      if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0 &&
-          armed.compareAndSet(true, false))
-        throw new RuntimeException("RetryProbe: injected task failure")
-      it
-    }.toDF("event_type", "user_id", "value", "event_id")
+    // injection in the SCAN stage: the retried task re-reads parquet
+    def injected = base.mapPartitions(it => failOnce(it))
+      .toDF("event_type", "user_id", "value", "event_id")
+    // injection in a SHUFFLE-READ stage: the retried task re-fetches
+    // its shuffle blocks — the reduce-side failure path
+    def injectedPostShuffle = base.repartition(8)
+      .mapPartitions(it => failOnce(it))
+      .toDF("event_type", "user_id", "value", "event_id")
 
     val kmv = udaf(new KmvAggregator(Kmv.Capacity), ExpressionEncoder[Long]())
     val smp = udaf(new KmvSampleAggregator(1000), ExpressionEncoder[HashedVal]())
@@ -103,22 +115,28 @@ object RetryProbe {
       }))
 
     var allOk = true
-    val results = legs.map { case (name, shape) =>
+    var nLegs = 0
+    for ((name, shape) <- legs;
+         (mode, faultySrc) <- Seq("scan" -> (() => injected),
+           "post_shuffle" -> (() => injectedPostShuffle))) {
       val clean = shape(base.toDF("event_type", "user_id", "value", "event_id"))
         .collect().map(_.toString).toSeq
       failsSeen.set(0)
       armed.set(true)
       val t0 = System.nanoTime()
-      val faulted = shape(injected).collect().map(_.toString).toSeq
+      val faulted = shape(faultySrc()).collect().map(_.toString).toSeq
       val sec = (System.nanoTime() - t0) / 1e9
       val tripped = !armed.get()
       val retried = failsSeen.get() >= 1
+      // clean here is the UN-repartitioned plan: identity across the
+      // faulted-repartitioned run asserts partition invariance AND
+      // retry determinism at once
       val identical = clean == faulted
       allOk &= tripped && retried && identical
-      println(f"""{"leg":"$name","injected":$tripped,"task_failures":${failsSeen.get()},"identical":$identical,"rows":${clean.size},"sec":$sec%.2f}""")
-      identical
+      nLegs += 1
+      println(f"""{"leg":"$name","mode":"$mode","injected":$tripped,"task_failures":${failsSeen.get()},"identical":$identical,"rows":${clean.size},"sec":$sec%.2f}""")
     }
-    println(s"""{"metric":"retry_determinism","legs":${results.size},"all_identical":$allOk,"sf":"$sfDir"}""")
+    println(s"""{"metric":"retry_determinism","legs":$nLegs,"all_identical":$allOk,"sf":"$sfDir"}""")
     spark.stop()
     if (!allOk) sys.exit(1)
   }
