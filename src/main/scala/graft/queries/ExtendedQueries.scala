@@ -60,6 +60,35 @@ object ExtendedQueries extends QueryPack {
       }
   }
 
+  /** Durable per-(event_type, day) KMV sketch bank — the persisted
+    * partials behind `agg_sketch_banked`: built once per fixture
+    * (fingerprint-gated, atomic publish), kilobytes per day, reusable
+    * by any later reach/overlap question without re-touching events.
+    */
+  private[graft] object SharedSketchBank {
+    private val memo = new SessionMemo[String, String]()
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String): String =
+      memo(s, dir) {
+        import graft.functions.Kmv
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        val root = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), s"graft_kmvbank_$tag")
+        val fp = graft.operators.Artifacts.tableFingerprint(dir, "events") +
+          s"|kmv=${Kmv.K}" // sketch width is part of the identity
+        graft.operators.Artifacts.ensureBuilt(root, fp) { tmp =>
+          val kmv = Kmv.sketchUdaf()
+          graft.Tables.table(s, dir, "events")
+            .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+              Kmv.hash64(col("user_id")).as("h"))
+            .groupBy(col("event_type"), col("day"))
+            .agg(kmv(col("h")).as("sk"))
+            .write.mode("overwrite").parquet(tmp.resolve("bank").toString)
+        }
+        root.resolve("bank").toString
+      }
+  }
+
   private object SharedBucketedTables {
     private val memo = new SessionMemo[String, (String, String)]()
     val NumBuckets = 8
@@ -585,6 +614,59 @@ object ExtendedQueries extends QueryPack {
             SELECT k.event_type, ${Kmv.estimateSql("u")} AS approx_users,
                    np.n_partials
             FROM keep k JOIN np USING (event_type)
+            ORDER BY event_type"""
+      }),
+
+    // BANKED sketches as a durable artifact (new r17): the
+    // agg_sketch_reuse partials made persistent — per-(type, day) KMV
+    // sketches written ONCE per fixture (fingerprint-gated, atomic —
+    // the [[SharedPartitionedEvents]] contract), then a dashboard
+    // question ("7-day reach per type, ending at the freshest banked
+    // day") answered from the BANK ALONE: the plan scans kilobytes of
+    // sketch rows, never events (KmvSpec plan-asserts zero events
+    // scans). At 100 TB this is the nightly-ingest + interactive-
+    // dashboard split: ingest appends one sketch row per (type, day);
+    // every refresh costs O(types × days-in-window × k) regardless of
+    // event volume. The window cutoff derives relationally from the
+    // bank's own max(day) (broadcast 1-row join — no driver collect),
+    // and the oracle recomputes the same window's GLOBAL sketch from
+    // raw events, so the hash match again proves merge losslessness.
+    Q("agg_sketch_banked",
+      (s, dir) => {
+        import graft.functions.Kmv
+        val kmv = Kmv.sketchUdaf()
+        val bank = s.read.parquet(SharedSketchBank(s, dir))
+        val maxd = bank.agg(max(col("day")).as("maxd"))
+        bank.crossJoin(broadcast(maxd))
+          .filter(col("day") >= col("maxd") - expr("INTERVAL 6 DAYS"))
+          .select(col("event_type"), col("day"), explode(col("sk")).as("h"))
+          .groupBy("event_type")
+          .agg(kmv(col("h")).as("sk"), countDistinct(col("day")).as("n_days"))
+          .select(col("event_type"),
+            Kmv.estimate(col("sk")).as("approx_users_7d"), col("n_days"))
+          .orderBy("event_type")
+      },
+      Some {
+        import graft.functions.Kmv
+        s"""WITH mx AS (SELECT max(date_trunc('day', ts)) AS maxd FROM events),
+            w AS (SELECT event_type, user_id, date_trunc('day', ts) AS day
+                  FROM events, mx
+                  WHERE date_trunc('day', ts) >= maxd - INTERVAL 6 DAY),
+            d AS (SELECT DISTINCT event_type,
+                         ${Kmv.hash64Sql("user_id::VARCHAR")} AS h
+                  FROM w),
+            r AS (SELECT event_type, h,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY h) AS rn
+                  FROM d),
+            keep AS (SELECT event_type, list_sort(list(h)) AS u
+                     FROM r WHERE rn <= ${Kmv.Capacity}
+                     GROUP BY event_type),
+            nd AS (SELECT event_type, count(DISTINCT day) AS n_days
+                   FROM w GROUP BY event_type)
+            SELECT k.event_type, ${Kmv.estimateSql("u")} AS approx_users_7d,
+                   nd.n_days
+            FROM keep k JOIN nd USING (event_type)
             ORDER BY event_type"""
       }),
 

@@ -122,6 +122,33 @@ class KmvSpec extends SparkSpec {
     assert(again === vs)
   }
 
+  test("agg_sketch_banked answers from the bank ALONE: every file scan " +
+      "in the executed plan reads the sketch bank, never events") {
+    val df = SparkEntry.queries("agg_sketch_banked")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val locs = allNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(locs.nonEmpty, "expected file scans of the bank")
+    assert(locs.forall(_.contains("graft_kmvbank_")),
+      s"plan scans outside the bank: $locs")
+    // exact regime at this fixture (≤ k users/type): the banked
+    // estimate must EQUAL the true 7-day reach
+    val events = Tables.table(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id"),
+        date_trunc("day", col("ts")).as("day"))
+    val maxd = events.agg(max("day")).head().getTimestamp(0)
+    val exact = events
+      .filter(col("day") >= lit(maxd) - expr("INTERVAL 6 DAYS"))
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exact)
+  }
+
   test("saturated sample: rank error of the selected quantile stays " +
       "within 5×√(p(1−p)/m) of the requested rank") {
     val m = 1000
