@@ -48,6 +48,18 @@ object RetryProbe {
     it
   }
 
+  // NOTE on speculative execution: the concurrent-duplicate-attempt
+  // race (spark.speculation) CANNOT be probed here — TaskSchedulerImpl
+  // only starts its speculation scheduler when `!isLocal`, so the path
+  // is structurally unreachable in local mode (verified empirically: a
+  // 3 s stalled task with interval=100ms/quantile=0.5 never got a
+  // speculative duplicate). The failure-retry legs below cover
+  // attempt-level determinism; for racing duplicates Spark's commit
+  // protocol guarantees a single winner, and every shape probed here
+  // is a deterministic function of its input partition, so either
+  // attempt commits the same bytes. Environmental limitation, same
+  // class as the connector jars.
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
