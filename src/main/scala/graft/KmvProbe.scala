@@ -1,10 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Kmv, KmvAggregator}
+import graft.functions.Kmv
 
 /** Measurement main: the KMV aggregator at decade scale — the datum
   * behind the "constant state, O(1) common-case reject" claim in
@@ -25,11 +24,12 @@ object KmvProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.driver.memory", "8g")
+      // heap comes from the launching java -Xmx: spark.driver.memory
+      // set here would be a no-op once the local JVM is already up
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val kmv = udaf(new KmvAggregator(Kmv.Capacity), ExpressionEncoder[Long]())
+    val kmv = Kmv.sketchUdaf()
     for (n <- legs) {
       // warm-up pass (plan + codegen), then the timed pass
       def run(): Long = spark.range(n)

@@ -5,11 +5,10 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 import org.apache.spark.TaskContext
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{HashedVal, Kmv, KmvAggregator, KmvSampleAggregator}
+import graft.functions.Kmv
 
 /** Measurement main: TASK-RETRY determinism — the operational property
   * behind the r17 theta/KMV re-oracling, proved by fault injection
@@ -22,9 +21,11 @@ import graft.functions.{HashedVal, Kmv, KmvAggregator, KmvSampleAggregator}
   * runs representative engine primitives on the real `events` fixture
   * under `local[8, 3]` (task retries enabled — the one Spark conf the
   * shared-session test suites cannot set), injects a deterministic
-  * one-shot task failure into the scan stage of each leg, verifies via
-  * a listener that a task genuinely failed and was re-run, and asserts
-  * the result is IDENTICAL to the clean run, row for row.
+  * one-shot task failure into each leg at TWO positions — the scan
+  * stage (retry re-reads parquet) and a shuffle-read stage (retry
+  * re-fetches shuffle blocks) — verifies via a listener that a task
+  * genuinely failed and was re-run, and asserts the result is
+  * IDENTICAL to the clean un-repartitioned run, row for row.
   *
   * Legs: hash aggregation (sum/count), theta/KMV distinct sketch (the
   * full array, not just the estimate), bottom-m quantile sample,
@@ -82,10 +83,6 @@ object RetryProbe {
         col("event_id"))
       .as[(String, Long, Double, Long)]
 
-    /** Pass-through that throws once (partition 0, first attempt) when
-      * armed — downstream of the scan, upstream of the shape under
-      * test, so the retried task re-runs real work.
-      */
     // injection in the SCAN stage: the retried task re-reads parquet
     def injected = base.mapPartitions(it => failOnce(it))
       .toDF("event_type", "user_id", "value", "event_id")
@@ -95,12 +92,20 @@ object RetryProbe {
       .mapPartitions(it => failOnce(it))
       .toDF("event_type", "user_id", "value", "event_id")
 
-    val kmv = udaf(new KmvAggregator(Kmv.Capacity), ExpressionEncoder[Long]())
-    val smp = udaf(new KmvSampleAggregator(1000), ExpressionEncoder[HashedVal]())
+    val kmv = Kmv.sketchUdaf()
+    val smp = Kmv.sampleUdaf(1000)
+
+    // double sums are quantized to integer micro-units before
+    // aggregating: a LONG sum is associative, so bit-identity holds
+    // under ANY merge order, which is exactly the property under test —
+    // a raw double sum could differ in the last ULP across partitionings
+    // (the rel_q7/q8 oracle-parity move, applied to the probe itself)
+    def qsum(c: org.apache.spark.sql.Column) =
+      sum((c * 1000000).cast("long"))
 
     val legs: Seq[(String, DataFrame => DataFrame)] = Seq(
       "hash_agg" -> ((df: DataFrame) => df.groupBy("event_type")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("s"))
+        .agg(count(lit(1)).as("n"), qsum(col("value")).as("s"))
         .orderBy("event_type")),
       "kmv_sketch" -> ((df: DataFrame) => df
         .select(col("event_type"), Kmv.hash64(col("user_id")).as("h"))
@@ -123,30 +128,37 @@ object RetryProbe {
         val l = df.select(col("user_id"), col("value"))
         val r = df.groupBy("user_id").agg(count(lit(1)).as("n"))
         l.join(r, "user_id").groupBy()
-          .agg(count(lit(1)).as("rows"), round(sum(col("value") * col("n")), 4).as("s"))
+          .agg(count(lit(1)).as("rows"),
+            qsum(col("value") * col("n")).as("s"))
       }))
 
     var allOk = true
     var nLegs = 0
-    for ((name, shape) <- legs;
-         (mode, faultySrc) <- Seq("scan" -> (() => injected),
-           "post_shuffle" -> (() => injectedPostShuffle))) {
+    for ((name, shape) <- legs) {
+      // one baseline per leg (mode-independent): the UN-repartitioned
+      // clean plan — identity across the faulted runs then asserts
+      // partition invariance AND retry determinism at once
       val clean = shape(base.toDF("event_type", "user_id", "value", "event_id"))
         .collect().map(_.toString).toSeq
-      failsSeen.set(0)
-      armed.set(true)
-      val t0 = System.nanoTime()
-      val faulted = shape(faultySrc()).collect().map(_.toString).toSeq
-      val sec = (System.nanoTime() - t0) / 1e9
-      val tripped = !armed.get()
-      val retried = failsSeen.get() >= 1
-      // clean here is the UN-repartitioned plan: identity across the
-      // faulted-repartitioned run asserts partition invariance AND
-      // retry determinism at once
-      val identical = clean == faulted
-      allOk &= tripped && retried && identical
-      nLegs += 1
-      println(f"""{"leg":"$name","mode":"$mode","injected":$tripped,"task_failures":${failsSeen.get()},"identical":$identical,"rows":${clean.size},"sec":$sec%.2f}""")
+      for ((mode, faultySrc) <- Seq("scan" -> (() => injected),
+           "post_shuffle" -> (() => injectedPostShuffle))) {
+        failsSeen.set(0)
+        armed.set(true)
+        val t0 = System.nanoTime()
+        val faulted = shape(faultySrc()).collect().map(_.toString).toSeq
+        val sec = (System.nanoTime() - t0) / 1e9
+        val tripped = !armed.get()
+        // listener bus delivery is async: give the TaskEnd(failed)
+        // event a bounded window to land before reading the counter
+        val deadline = System.nanoTime() + 5e9.toLong
+        while (failsSeen.get() < 1 && System.nanoTime() < deadline)
+          Thread.sleep(20)
+        val retried = failsSeen.get() >= 1
+        val identical = clean == faulted
+        allOk &= tripped && retried && identical
+        nLegs += 1
+        println(f"""{"leg":"$name","mode":"$mode","injected":$tripped,"task_failures":${failsSeen.get()},"identical":$identical,"rows":${clean.size},"sec":$sec%.2f}""")
+      }
     }
     println(s"""{"metric":"retry_determinism","legs":$nLegs,"all_identical":$allOk,"sf":"$sfDir"}""")
     spark.stop()

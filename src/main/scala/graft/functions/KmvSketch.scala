@@ -96,6 +96,15 @@ object Kmv {
     val agg = udaf(new KmvAggregator(Capacity), ExpressionEncoder[Long]())
     (c: Column) => agg(c)
   }
+
+  /** The bottom-m sample aggregator ([[KmvSampleAggregator]]) as a
+    * ready-to-apply aggregate column — the ONE construction site for
+    * its encoder, like [[sketchUdaf]] for the sketch.
+    */
+  def sampleUdaf(m: Int): (Column, Column) => Column = {
+    val agg = udaf(new KmvSampleAggregator(m), ExpressionEncoder[HashedVal]())
+    (h: Column, v: Column) => agg(h, v)
+  }
 }
 
 /** Bottom-`capacity` DISTINCT hashes, ascending. See [[Kmv]]. */

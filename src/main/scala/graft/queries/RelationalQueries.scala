@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.{HashedVal, Kmv, KmvSampleAggregator}
+import graft.functions.Kmv
 
 /** Classic relational coverage over the TPC-H-ish fixtures (SURVEY.md §2.3:
   * every category the reference lacks, provided via stock Catalyst — joins
@@ -224,9 +224,7 @@ object RelationalQueries extends QueryPack {
     // below m rows the sample is the whole group ⟹ exact quantiles.
     Q("agg_approx_quantile",
       (s, dir) => {
-        val m = 1000
-        val smp = udaf(new KmvSampleAggregator(m),
-          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[HashedVal]())
+        val smp = Kmv.sampleUdaf(1000)
         t(s, dir, "events")
           .select(col("event_type"),
             Kmv.hash64(col("event_id")).as("h"), col("value").as("v"))

@@ -1,10 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Kmv, KmvAggregator}
+import graft.functions.Kmv
 
 /** `foreachBatch` sink maintaining the DURABLE per-(event_type, day)
   * KMV sketch bank — the streaming ingest half of `agg_sketch_banked`:
@@ -38,7 +37,7 @@ object SketchBankSink {
   def applyBatch(spark: SparkSession, bankDir: String,
       batch: DataFrame): Unit = {
     val bankPath = java.nio.file.Paths.get(bankDir)
-    val kmv = udaf(new KmvAggregator(Kmv.Capacity), ExpressionEncoder[Long]())
+    val kmv = Kmv.sketchUdaf()
     val delta = batch
       .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
         Kmv.hash64(col("user_id")).as("h"))
@@ -46,7 +45,10 @@ object SketchBankSink {
       .agg(kmv(col("h")).as("sk"))
       .localCheckpoint() // pin: the fold below reads it twice
     if (delta.isEmpty) return
-    graft.operators.Artifacts.withDirLock(bankPath.getParent) {
+    // lock the bank dir itself (the MergeSink/Compaction convention:
+    // every writer of a swap-managed dir takes <dir>.dirlock, so a
+    // future compactor or second writer is mutually excluded)
+    graft.operators.Artifacts.withDirLock(bankPath) {
       graft.operators.Artifacts.recoverSwap(bankPath)
       val existing =
         if (java.nio.file.Files.exists(bankPath)) spark.read.parquet(bankDir)
@@ -69,9 +71,17 @@ object SketchBankSink {
     }
   }
 
-  /** The bank as a frame (for assertions and downstream reads). */
+  /** The bank as a frame (for assertions and downstream reads). The
+    * crash repair runs under the SAME dir lock as [[applyBatch]]: an
+    * unlocked recoverSwap racing a concurrent publish could move the
+    * `.old` aside-copy back over the bank inside swapInto's two-move
+    * window and fail the writer's rename.
+    */
   def read(spark: SparkSession, bankDir: String): DataFrame = {
-    graft.operators.Artifacts.recoverSwap(java.nio.file.Paths.get(bankDir))
+    val bankPath = java.nio.file.Paths.get(bankDir)
+    graft.operators.Artifacts.withDirLock(bankPath) {
+      graft.operators.Artifacts.recoverSwap(bankPath)
+    }
     spark.read.parquet(bankDir)
   }
 }
