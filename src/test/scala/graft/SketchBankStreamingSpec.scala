@@ -86,6 +86,31 @@ class SketchBankStreamingSpec extends SparkSpec {
     assert(bankRows(bank) === before)
   }
 
+  test("CONCURRENT writers serialize under the bank dir lock and " +
+      "converge to the batch truth (fold commutativity + mutual exclusion)") {
+    val src = Files.createTempDirectory("skbank4_src").toString
+    val bank = Files.createTempDirectory("skbank4_root").toString + "/bank"
+    writeSource(src)
+    val full = spark.read.schema(schema).json(src).cache()
+    full.count()
+    // 6 overlapping slices folded from 3 threads at once — every pair
+    // of folds races on the same swap-managed dir; the lock serializes
+    // them and commutativity makes every interleaving equivalent
+    val slices = (0 until 6).map(i => full.filter(col("user_id") % 6 <= i))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val folds = slices.grouped(2).toSeq.map { pair =>
+      Future { pair.foreach(b => SketchBankSink.applyBatch(spark, bank, b)) }
+    }
+    Await.result(Future.sequence(folds), 120.seconds)
+    full.unpersist()
+    val got = bankRows(bank)
+    val want = batchTruth(src) // union of slices covers every event
+    assert(got.keySet === want.keySet)
+    for ((k, sk) <- want) assert(got(k) === sk, s"sketch mismatch at $k")
+  }
+
   test("crash-resume: restart from the checkpoint converges to the " +
       "batch-truth bank") {
     val src = Files.createTempDirectory("skbank3_src").toString
