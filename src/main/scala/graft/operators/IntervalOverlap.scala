@@ -97,10 +97,14 @@ object IntervalOverlap {
           "sequence(date_trunc('hour', ts), date_trunc('hour', te), interval 1 hour)"))
           .as("bk"))
       .localCheckpoint(eager = false)
+    // occ stays LAZY: the common (no-hot-key) path reads it exactly once
+    // — through the take-ordered probe below — so a checkpoint would add
+    // a whole materialization job to every healthy run; the rare shard
+    // path re-derives the hot frame from the checkpointed bucket frame,
+    // one cheap re-aggregation
     val occ = bucketed.groupBy("event_type", "bk")
       .agg(count(lit(1)).as("d"))
       .filter(col("d") > maxBucketOccupancy)
-      .localCheckpoint(eager = false)
     val worst = occ.orderBy(col("d").desc).limit(1).collect()
     if (worst.nonEmpty &&
         worst.head.getLong(2) > maxBucketOccupancy * maxShardFactor.toLong) {

@@ -50,9 +50,19 @@ object WeightedQuantile {
     val v = col(valueCol)
     val w = col(weightCol)
 
+    // Lineage truncation on the TINY per-group frames (one row per group
+    // / per surviving bucket) — the exactPercentiles move: without it,
+    // `bounds` is re-derived by every subtree that references `bucketed`
+    // or `scanned` and the FACT TABLE is re-scanned multiplicatively
+    // (measured: 22 lineitem scans in agg_weighted_median_bucketed's
+    // plan; 3 is what the three-pass algorithm needs). Losing a lazy
+    // local checkpoint (executor loss) recomputes a tiny aggregate,
+    // never correctness.
+    def tiny(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+
     // pass A: group bounds + totals (tiny: one row per group)
-    val bounds = df.groupBy(g).agg(
-      min(v).as("mn"), max(v).as("mx"), sum(w).as("totw"))
+    val bounds = tiny(df.groupBy(g).agg(
+      min(v).as("mn"), max(v).as("mx"), sum(w).as("totw")))
 
     // deterministic monotone bucketization; mx row clamps into the last
     // bucket, a degenerate (single-value) group collapses into bucket 0
@@ -69,14 +79,14 @@ object WeightedQuantile {
     val hist = bucketed.groupBy(g, col("bkt")).agg(sum(w).as("hw"))
     val byBkt = Window.partitionBy(g).orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val scanned = hist
+    val scanned = tiny(hist
       .join(broadcast(bounds.select(g, col("totw"))), Seq(groupCol))
-      .withColumn("cum", sum("hw").over(byBkt))
-    val cut = scanned.filter(col("cum") >= col("totw") * q)
-      .groupBy(g).agg(min("bkt").as("cutbkt"))
-    val prefix = scanned.join(broadcast(cut), Seq(groupCol))
+      .withColumn("cum", sum("hw").over(byBkt)))
+    val cut = tiny(scanned.filter(col("cum") >= col("totw") * q)
+      .groupBy(g).agg(min("bkt").as("cutbkt")))
+    val prefix = tiny(scanned.join(broadcast(cut), Seq(groupCol))
       .filter(col("bkt") < col("cutbkt"))
-      .groupBy(g).agg(sum("hw").as("prew"))
+      .groupBy(g).agg(sum("hw").as("prew")))
 
     // pass C: sort only the cut bucket; value order suffices (see Scaladoc)
     val run = Window.partitionBy(g).orderBy(v)

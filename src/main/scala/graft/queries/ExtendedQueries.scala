@@ -1361,7 +1361,14 @@ object ExtendedQueries extends QueryPack {
     // engines, so the 3×MAD cut compares identical doubles.
     Q("ts_anomaly_mad",
       (s, dir) => {
+        // the query needs SEVEN passes over (event_type, value) — three
+        // per exact-median call plus the final anomaly count — so the
+        // narrow two-column projection is checkpointed once and every
+        // pass reads the materialization instead of re-scanning the fact
+        // table (the projection is the lightweight decision proxy of the
+        // two-pass design: ~1% of the event row width)
         val ev = t(s, dir, "events").select("event_type", "value")
+          .localCheckpoint(eager = false)
         val med = graft.operators.WeightedQuantile
           .exactPercentiles(ev, "event_type", "value", Seq(0.5))
           .select(col("event_type"), col("pctl").as("med"))
@@ -1532,10 +1539,17 @@ object ExtendedQueries extends QueryPack {
     // agg_median.
     Q("ts_trend",
       (s, dir) => {
+        // the hourly series is COMPACT (|types| × time-span rows at every
+        // corpus scale) but sits under a fact scan + aggregation; the
+        // percentile operator below re-executes its input once per pass
+        // (bounds, histogram, cut-bucket sort), so a lazy local checkpoint
+        // here trades three fact scans for one + two re-explodes of the
+        // tiny materialized series
         val hourly = t(s, dir, "events")
           .groupBy(col("event_type"),
             expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("h"))
           .agg(round(sum("value"), 4).as("v"))
+          .localCheckpoint(eager = false)
         val a = hourly.select(col("event_type"), col("h").as("h1"), col("v").as("v1"))
         val b = hourly.select(col("event_type"), col("h").as("h2"), col("v").as("v2"))
         // the b-side is the compact series itself — BROADCAST it so the

@@ -1004,10 +1004,14 @@ object RelationalQueries extends QueryPack {
       (s, dir) => {
         val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
         val ord = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+        // late feeds BOTH the semi-join candidate side and the anti-join
+        // probe — a lazy local checkpoint runs the lineitem⋈orders
+        // late-line derivation once instead of once per reference
         val late = t(s, dir, "lineitem")
           .join(ord, col("l_orderkey") === col("o_orderkey"))
           .filter(col("l_shipdate") > expr("timestampadd(DAY, 60, o_orderdate)"))
           .select("l_orderkey", "l_suppkey").distinct()
+          .localCheckpoint(eager = false)
         val cand = late.as("c")
           .join(li.as("o"), col("c.l_orderkey") === col("o.l_orderkey") &&
             col("c.l_suppkey") =!= col("o.l_suppkey"), "left_semi")
@@ -1483,9 +1487,13 @@ object RelationalQueries extends QueryPack {
         val sized = t(s, dir, "part")
           .filter(col("p_size") === 15)
           .select("p_partkey")
+        // cand feeds the per-part minimum AND the final equality filter —
+        // checkpoint the (p_size-pruned, supplier-pruned) frame lazily so
+        // the partsupp double-broadcast join runs once, not twice
         val cand = partsupp(s, dir)
           .join(broadcast(sized), col("ps_partkey") === col("p_partkey"))
           .join(broadcast(asiaSupp), col("ps_suppkey") === col("s_suppkey"))
+          .localCheckpoint(eager = false)
         val best = cand.groupBy("ps_partkey")
           .agg(min("ps_supplycost").as("best"))
         cand.join(broadcast(best), "ps_partkey")
@@ -1586,11 +1594,15 @@ object RelationalQueries extends QueryPack {
             .filter(col("n_name").isin("NATION_2", "NATION_7"))),
             col("s_nationkey") === col("n_nationkey"))
           .select("s_suppkey")
+        // vm backs both the threshold aggregate and the filtered output —
+        // a lazy local checkpoint of the PART-cardinality frame runs the
+        // partsupp join+aggregation once instead of once per reference
         val vm = partsupp(s, dir)
           .join(broadcast(supps), col("ps_suppkey") === col("s_suppkey"))
           .groupBy("ps_partkey")
           .agg(sum(round(col("ps_supplycost") * col("ps_availqty") * lit(1e6), 0)
             .cast("long")).as("vmic"))
+          .localCheckpoint(eager = false)
         val v = vm.select(col("ps_partkey"),
           round(col("vmic") / lit(1e6), 2).as("value"), col("vmic"))
         val thr = broadcast(

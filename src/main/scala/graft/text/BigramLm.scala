@@ -30,7 +30,14 @@ object BigramLm {
   def scores(base: DataFrame, minCount: Long = 1L): DataFrame = {
     val bigt = base.select(col("doc_id"),
       explode(TextFunctions.allShingles(col("tk"), 2)).as("bg"))
+    // cbi and uni are MODEL-sized (zipf-bounded vocab rows — they feed a
+    // broadcast dictionary by contract) yet each sits under a corpus
+    // explode+aggregate; both are referenced by several dict subtrees
+    // (cbi by cctx AND the dict join; uni by the dict join AND the
+    // backoff table), so lazy local checkpoints run each corpus
+    // aggregation once instead of once per reference
     val cbi = bigt.groupBy("bg").agg(count(lit(1)).as("cb"))
+      .localCheckpoint(eager = false)
     // c(u·) and N REDUCE from the already-aggregated frames — summing
     // cb by context ≡ counting corpus bigrams by context, and Σc(v) ≡
     // the token total, so neither needs its own corpus-wide aggregation
@@ -40,6 +47,7 @@ object BigramLm {
       .agg(sum("cb").as("cu"))
     val toks = base.select(explode(col("tk")).as("token"))
     val uni = toks.groupBy("token").agg(count(lit(1)).as("cw"))
+      .localCheckpoint(eager = false)
     val nn = uni.agg(sum("cw").as("n"))
     val dict = cbi
       .join(cctx, split(col("bg"), " ").getItem(0) === col("u"))
