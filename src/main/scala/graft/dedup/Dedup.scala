@@ -863,6 +863,11 @@ object Dedup {
             .stripMargin)))
       .select(col("doc_id"), col("pos"), col("col").as("line"))
       .withColumn("k", lower(trim(col("line"))))
+      // lines feeds BOTH the corpus-frequency aggregate and the flag
+      // join; the lazy checkpoint runs the line-ification (split +
+      // posexplode over the corpus) once instead of once per reference —
+      // the materialized rows are exactly what the freq shuffle moves
+      .localCheckpoint(eager = false)
     val freq = lines
       .groupBy("k")
       .agg(countDistinct(col("doc_id")).as("line_df"))
@@ -880,7 +885,11 @@ object Dedup {
     */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
       wordsPerLine: Int = 10, maxDocFreq: Long = 3L): DataFrame = {
+    // flags backs the rebuilt text AND the per-doc line totals — one
+    // materialization instead of re-running the frequency join per
+    // reference (same rows either way; the totals read is narrow)
     val flags = lineDedupFlags(docs, idCol, textCol, wordsPerLine, maxDocFreq)
+      .localCheckpoint(eager = false)
     val rebuilt = flags
       .filter(col("keep"))
       .groupBy("doc_id")

@@ -131,12 +131,30 @@ object WeightedQuantile {
     * count, free from pass A, so callers like ts_trend don't pay a
     * fourth scan for it.
     */
+  /** Max TOTAL non-null input rows for which [[exactPercentiles]] takes
+    * the single-aggregation buffered path (Spark's own `percentile`,
+    * which the bucketed machinery is term-for-term bit-identical to —
+    * WeightedQuantileSpec pins the parity). The counted split is the
+    * VocabGuard convention — the cheap exact form within a measured
+    * bound, the constant-shuffle-row rank selection beyond it — because
+    * below the bound the three passes plus their half-dozen broadcast
+    * jobs cost more than the one aggregation they avoid. The bound is
+    * deliberately SMALL: percentile()'s partial buffers ship the whole
+    * value multiset to one reducer per group, so past ~10⁵ values the
+    * histogram's parallel passes win back the job overhead (measured:
+    * ts_trend's 1.2M-slope input ran 3.4 s buffered vs 1.9 s bucketed,
+    * while the 100k-value agg_median ran 0.6 s buffered vs 2.2 s
+    * bucketed). 256k values ≈ 2 MB per worst-case group buffer.
+    */
+  val MaxBufferedValues: Long = 256L * 1024
+
   def exactPercentiles(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
       qs: Seq[Double],
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024,
+      bufferedCap: Long = MaxBufferedValues): DataFrame = {
     val g = col(groupCol)
     val v = col(valueCol)
     val in0 = df.select(g, v)
@@ -163,6 +181,31 @@ object WeightedQuantile {
     val nullRows = boundsAll.filter(col("n") === 0)
       .select(g, explode(array(qs.map(lit): _*)).as("q"),
         lit(null).cast("double").as("pctl"), col("n"))
+
+    // Counted small-input shortcut (pass A doubles as the probe: it is
+    // materialized either way): within `bufferedCap` total values, ONE
+    // buffered percentile aggregation replaces passes B/C and their
+    // half-dozen broadcast jobs — bit-identical output (Spark Percentile
+    // is the interpolation this operator mirrors term for term;
+    // WeightedQuantileSpec pins branch parity), same (g, q, pctl, n)
+    // schema, all-null groups still arrive via nullRows.
+    // bufferedCap <= 0 skips the probe job too — the opt-out for callers
+    // whose input is KNOWN to exceed the buffered regime by construction
+    // (ts_trend's slope multiset grows quadratically with the time span)
+    val totalN =
+      if (bufferedCap <= 0) Long.MaxValue
+      else boundsAll.agg(coalesce(sum("n"), lit(0L))).collect()(0).getLong(0)
+    if (totalN <= bufferedCap) {
+      val qsArr = typedlit(qs)
+      return in.groupBy(g)
+        .agg(percentile(v, qsArr).as("ps"), count(v).as("n"))
+        .select(g, col("n"), posexplode(col("ps")))
+        .select(g,
+          element_at(qsArr, col("pos").cast("int") + 1).as("q"),
+          col("col").as("pctl"), col("n"))
+        .unionByName(nullRows)
+    }
+
     val ranks = bounds
       .select(g, col("n"), col("mn"), col("mx"),
         explode(array(qs.map(lit): _*)).as("q"))

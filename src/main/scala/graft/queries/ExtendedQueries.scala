@@ -1567,8 +1567,13 @@ object ExtendedQueries extends QueryPack {
         // per type for a 10-year corpus), exactly the regime where a
         // buffer-everything percentile agg OOMs its task; `n` rides along
         // from the operator's bounds pass for free
+        // bufferedCap = 0: the slope multiset is quadratic in the time
+        // span by construction — always beyond the buffered regime, so
+        // skip the counted probe's extra job and go straight to the
+        // bucketed rank selection
         graft.operators.WeightedQuantile
-          .exactPercentiles(slopes, "event_type", "slope", Seq(0.5))
+          .exactPercentiles(slopes, "event_type", "slope", Seq(0.5),
+            bufferedCap = 0)
           .select(col("event_type"),
             round(col("pctl"), 4).as("theil_sen_slope"),
             col("n").as("n_pairs"))

@@ -362,9 +362,16 @@ object GraphQueries extends QueryPack {
         var dist = seed.select(col("id"), lit(0L).as("hops"))
         var frontier = dist.select("id")
         for (i <- 1 to MaxHops) {
+          // anti-join BEFORE the distinct: the closed-set filter is a
+          // (broadcast) probe that runs map-side, so applying it to the
+          // raw expansion drops already-visited nodes — the bulk of the
+          // expansion once the frontier covers most of a small-world
+          // graph — before the distinct's shuffle instead of after it.
+          // Row-wise filter on the dedup key commutes with distinct:
+          // identical frontier either way.
           val expansion = edges
             .join(frontier.withColumnRenamed("id", "src"), "src")
-            .select(col("dst").as("id")).distinct()
+            .select(col("dst").as("id"))
           // each frontier is referenced twice (next round's expansion
           // AND the dist union) and dist_i references frontier_i and
           // dist_{i-1} — left lazy, the collected plan re-derives every
@@ -373,6 +380,7 @@ object GraphQueries extends QueryPack {
           // vec_ivf_recall_drift per-phase pattern), making total work
           // linear in MaxHops as the header claims.
           frontier = expansion.join(dist.select("id"), Seq("id"), "left_anti")
+            .distinct()
             .localCheckpoint(false)
           dist = dist.unionByName(
             frontier.select(col("id"), lit(i.toLong).as("hops")))

@@ -70,7 +70,7 @@ class WeightedQuantileSpec extends SparkSpec {
   test("exactPercentiles == percentile() bit-for-bit on events") {
     val qs = Seq(0.1, 0.5, 0.9, 0.25)
     val got = WeightedQuantile
-      .exactPercentiles(ev, "event_type", "value", qs)
+      .exactPercentiles(ev, "event_type", "value", qs, bufferedCap = 0)
       .groupBy("event_type")
       .pivot("q", qs).agg(first("pctl"))
       .orderBy("event_type").collect()
@@ -88,7 +88,7 @@ class WeightedQuantileSpec extends SparkSpec {
       "CASE WHEN id % 13 = 0 THEN NULL ELSE CAST(id % 11 AS DOUBLE) END AS v")
       .union(spark.range(1).selectExpr("'solo' AS g", "CAST(3.5 AS DOUBLE) AS v"))
     for (q <- Seq(0.0, 0.5, 0.77, 1.0)) {
-      val got = WeightedQuantile.exactPercentiles(df, "g", "v", Seq(q), buckets = 16)
+      val got = WeightedQuantile.exactPercentiles(df, "g", "v", Seq(q), buckets = 16, bufferedCap = 0)
         .select("g", "pctl").orderBy("g").collect()
       val want = df.groupBy("g").agg(expr(s"percentile(v, $q)").as("pctl"))
         .orderBy("g").collect()
@@ -102,7 +102,7 @@ class WeightedQuantileSpec extends SparkSpec {
       // group g2 is ALL null; g0/g1 carry values
       "CASE WHEN id % 3 = 2 THEN NULL ELSE CAST(id AS DOUBLE) END AS v")
     val got = WeightedQuantile
-      .exactPercentiles(df, "g", "v", Seq(0.25, 0.75), buckets = 8)
+      .exactPercentiles(df, "g", "v", Seq(0.25, 0.75), buckets = 8, bufferedCap = 0)
       .orderBy("g", "q").collect()
     val want = df.groupBy("g").agg(
         expr("percentile(v, 0.25)").as("p25"),
@@ -124,10 +124,41 @@ class WeightedQuantileSpec extends SparkSpec {
     }
   }
 
+  // The counted small-input shortcut (one buffered percentile aggregation
+  // within MaxBufferedValues total rows — the r17 stage-count fix) must be
+  // BIT-equal to the bucketed rank selection it bypasses, on every edge the
+  // bucketed tests above pin: ties, nulls, singleton groups, all-null
+  // groups, multiple qs. The default-cap call takes the shortcut (inputs
+  // here are ≪ 2M rows); bufferedCap = 0 forces the bucketed machinery.
+  test("buffered shortcut == bucketed rank selection bit-for-bit") {
+    val df = spark.range(2000).selectExpr(
+      "concat('g', id % 5) AS g",
+      // ties + nulls + one all-null group (g4) + spread values
+      "CASE WHEN id % 5 = 4 THEN NULL " +
+        "WHEN id % 13 = 0 THEN NULL ELSE CAST(id % 17 AS DOUBLE) END AS v")
+      .union(spark.range(1).selectExpr("'solo' AS g", "CAST(2.25 AS DOUBLE) AS v"))
+    val qs = Seq(0.0, 1.0 / 3, 0.5, 0.9, 1.0)
+    val fast = WeightedQuantile.exactPercentiles(df, "g", "v", qs)
+      .orderBy("g", "q").collect()
+    val slow = WeightedQuantile
+      .exactPercentiles(df, "g", "v", qs, bufferedCap = 0)
+      .orderBy("g", "q").collect()
+    assert(fast.toSeq === slow.toSeq)
+    // and on the real fixture frame both branches agree too
+    val fastEv = WeightedQuantile
+      .exactPercentiles(ev, "event_type", "value", Seq(0.5, 0.9))
+      .orderBy("event_type", "q").collect()
+    val slowEv = WeightedQuantile
+      .exactPercentiles(ev, "event_type", "value", Seq(0.5, 0.9),
+        bufferedCap = 0)
+      .orderBy("event_type", "q").collect()
+    assert(fastEv.toSeq === slowEv.toSeq)
+  }
+
   test("exactPercentiles reports the non-null count as n") {
     val df = spark.range(100).selectExpr(
       "'a' AS g", "CASE WHEN id < 10 THEN NULL ELSE CAST(id AS DOUBLE) END AS v")
-    val r = WeightedQuantile.exactPercentiles(df, "g", "v", Seq(0.5)).collect()
+    val r = WeightedQuantile.exactPercentiles(df, "g", "v", Seq(0.5), bufferedCap = 0).collect()
     assert(r.length === 1 && r.head.getLong(r.head.fieldIndex("n")) === 90L)
   }
 }
