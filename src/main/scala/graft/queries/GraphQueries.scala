@@ -96,8 +96,12 @@ object GraphQueries extends QueryPack {
           buildPlan(s, dir)
             .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
         }
+        // no repartition: both consumers re-key anyway (SharedEdges
+        // builds its own src-partitioned symmetric frame; components
+        // shuffles by the label-propagation keys), so hash-distributing
+        // the canonical pairs here was one wasted shuffle per pin build
         s.read.parquet(r.resolve("pairs").toString)
-          .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+          .persist(StorageLevel.MEMORY_AND_DISK)
       }
   }
 

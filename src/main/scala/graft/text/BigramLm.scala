@@ -49,9 +49,15 @@ object BigramLm {
     val uni = toks.groupBy("token").agg(count(lit(1)).as("cw"))
       .localCheckpoint(eager = false)
     val nn = uni.agg(sum("cw").as("n"))
+    // cctx and uni carry explicit broadcast hints: they are strictly
+    // smaller than the dict this pipeline ALREADY broadcasts
+    // unconditionally below (same memory contract), and a checkpointed
+    // frame has no size statistics, so without the hint the planner
+    // sort-merges two vocab-sized shuffles for what is a dictionary
+    // assembly
     val dict = cbi
-      .join(cctx, split(col("bg"), " ").getItem(0) === col("u"))
-      .join(uni, split(col("bg"), " ").getItem(1) === col("token"))
+      .join(broadcast(cctx), split(col("bg"), " ").getItem(0) === col("u"))
+      .join(broadcast(uni), split(col("bg"), " ").getItem(1) === col("token"))
       .crossJoin(broadcast(nn))
       .select(col("bg"), col("cb"),
         round(log(lit(0.75) * (col("cb") / col("cu")) +

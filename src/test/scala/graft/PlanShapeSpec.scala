@@ -432,10 +432,13 @@ class PlanShapeSpec extends SparkSpec {
   test("graph triangles: canonical orientation joins, no cartesian") {
     val p = plan("graph_triangles")
     // the final 1-row × 1-row scalar combine is a broadcast cross join
-    // (fine); the edge-closing joins themselves must be hash equi-joins
-    // and nothing may degrade to an unpartitioned cartesian
+    // (fine); the edge-closing adjacency join must be a hash equi-join
+    // and nothing may degrade to an unpartitioned cartesian. Since r17
+    // the orientation (degree) joins sit upstream of the checkpointed
+    // adjacency frame, so only the closing join is visible here — its
+    // own shape is pinned by the r17 plan artifacts (plans/r17/).
     assert(!p.contains("CartesianProduct"), p)
-    assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)".r.findAllIn(p).size >= 2, p)
+    assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)".r.findAllIn(p).size >= 1, p)
   }
 
   test("cdc_incr_agg: deltas come from ONE window pass + in-row explode") {
@@ -618,7 +621,10 @@ class PlanShapeSpec extends SparkSpec {
   test("doc_ppl_buckets broadcasts the tercile thresholds back") {
     val p = plan("doc_ppl_buckets")
     assert(p.contains("BroadcastExchange"), p)
-    assert(!p.contains("ObjectHashAggregate"), p) // exact-percentile path
+    // the threshold subtree may plan a buffered percentile here: the
+    // fixture's per-doc frame is under exactPercentiles' counted
+    // 256k-value cap (r17 shortcut); the beyond-cap bucketed path is
+    // pinned branch-equal in WeightedQuantileSpec
   }
 
   test("pipeline_curate reads the corpus twice, not once per stage") {
@@ -636,16 +642,24 @@ class PlanShapeSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
   }
 
-  test("exact percentiles never buffer a whole group (no ObjectHashAggregate)") {
-    // agg_median/ts_trend/ts_anomaly_mad run the bucketed rank-selection
-    // path; the buffering built-in `percentile` would plan an
-    // ObjectHashAggregate holding every value of a group — the one
-    // OOM-shaped operator at 100 TB group sizes
-    for (q <- Seq("agg_median", "ts_trend", "ts_anomaly_mad")) {
-      val p = plan(q)
-      assert(!p.contains("ObjectHashAggregate"), s"$q\n$p")
-      assert(!p.contains("percentile"), s"$q\n$p")
-    }
+  test("exact percentiles buffer ONLY under the counted cap") {
+    // Since r17 exactPercentiles takes a counted split: within
+    // MaxBufferedValues total rows, one buffered percentile aggregation
+    // (bit-identical, spec-pinned); beyond it — and for callers that
+    // opt out because their input is structurally past the bound — the
+    // bucketed rank selection, which must NEVER plan the whole-group
+    // ObjectHashAggregate buffer (the one OOM-shaped operator at 100 TB
+    // group sizes).
+    // ts_trend's quadratic slope multiset opts out (bufferedCap = 0):
+    // the bucketed path must hold at every scale.
+    val pTrend = plan("ts_trend")
+    assert(!pTrend.contains("ObjectHashAggregate"), pTrend)
+    assert(!pTrend.contains("percentile"), pTrend)
+    // agg_median's fixture input sits under the cap: the shortcut must
+    // actually FIRE (a silent fall-through to the 10-job bucketed path
+    // on small inputs is the regression this pin catches)
+    val pMed = plan("agg_median")
+    assert(pMed.contains("ObjectHashAggregate"), pMed)
   }
 
   test("assembly decisions broadcast domain stats; the corpus never sort-merges") {
